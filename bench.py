@@ -1,0 +1,77 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed twice: a warm-up pass (JIT/codegen, file
+footers) is NOT what we report — we time the second pass, which is the
+steady-state number a long-running cluster job would see. Set
+BENCH_COLD=1 to report the first pass instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_local_supplier_volume",
+    "join_left_outer_order_counts",
+    "agg_distinct_parts_per_supplier",
+    "window_topk_orders_per_customer",
+    "events_sessionize",
+    "text_term_frequency",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "similarity_brute_topk",
+    "similarity_matmul_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cold = os.environ.get("BENCH_COLD") == "1"
+
+    from fhir_to_lakehouse_spark.plans import QUERIES
+    from fhir_to_lakehouse_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        # count() forces full execution without driver-side row transfer
+        df.count()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        first = run_once(name)
+        timings[name] = round(first if cold else run_once(name), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Deduplication primitives: exact hash, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Design for 100 TB:
+- exact dedup = one hash-shuffle on a 32-hex-char key (not the document
+  body) — group by fingerprint, keep canonical min id;
+- near-dup never compares all pairs: candidates come from LSH band
+  buckets (minhash) or cheap blocking keys (lang + length bucket), and
+  only candidates pay the verify cost. The shuffle key is the small
+  band/block key, so skew is bounded by band-bucket size.
+- MinHash here is the *string* variant: signature component i is
+  min(md5(shingle || '#' || i)) compared lexicographically. Slightly
+  slower than xxhash64 but bit-for-bit reproducible in any engine with
+  md5 — which is what makes the DuckDB oracle possible. A xxhash64
+  variant (faster JVM path for production) is sig_xxhash below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.functions.text import fingerprint, shingles, tokens
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 12) -> Column:
+    """array<string> of length num_hashes: lexicographic-min md5 per seed.
+
+    Empty shingle sets get the sentinel 'z'*8 (sorts above any hex) so
+    empty docs never collide with real ones via NULL handling quirks.
+    """
+    def comp(seed: int):
+        # NB: the lambda must take exactly one arg — F.transform treats a
+        # two-arg lambda as (element, index) and would clobber the seed
+        return F.coalesce(
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s: F.md5(F.concat_ws("#", s, F.lit(str(seed)))),
+                )
+            ),
+            F.lit("z" * 8),
+        )
+
+    return F.array(*[comp(i) for i in range(num_hashes)])
+
+
+def sig_xxhash(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """Production-path MinHash: xxhash64 (JVM, no md5 string churn).
+    Not oracle-reproducible in DuckDB — covered by pytest instead."""
+    def comp(seed: int):
+        return F.coalesce(
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(seed)))),
+            F.lit(2**63 - 1),
+        )
+
+    return F.array(*[comp(i) for i in range(num_hashes)])
+
+
+def band_keys(sig_col: Column, bands: int, rows: int) -> Column:
+    """LSH banding: array of band keys 'b:md5(sig[b*r:(b+1)*r])'."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.md5(F.concat_ws("|", F.slice(sig_col, b * rows + 1, rows))),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard over two array columns (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def simhash64(token_col: Column) -> Column:
+    """64-bit SimHash over tokens using xxhash64 bit votes.
+
+    For each bit position, sum +1/-1 votes across token hashes and take
+    the sign. Pure Catalyst: aggregate over the token array with a
+    64-element vote vector (bit masks are Python-side literals since
+    shift amounts must be constants). Not DuckDB-reproducible
+    (xxhash64) — pytest covers it.
+    """
+    # masks[63] is the sign bit: 1<<63 wraps to long min value
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    hashes = F.transform(token_col, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0)] * 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+                    for m in masks
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for b, m in enumerate(masks):
+        out = out.bitwiseOR(
+            F.when(F.element_at(votes, b + 1) > 0, F.lit(m).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical (normalized) docs: fingerprint -> canonical min id
+    + duplicate count. One shuffle on the 16-byte fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def candidate_pairs_blocked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: list[str] | None = None,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Blocked n-gram-Jaccard near-dup: self-join within blocking keys
+    only (never all-pairs), verify with exact Jaccard on shingle sets.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """
+    block_cols = block_cols or ["lang"]
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        shingles(text_col, shingle_k).alias("sh"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard_sim"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (md5-string variant, oracle-able).
+
+    shingle -> signature -> explode band keys -> self-join on band key
+    (candidates only) -> distinct pair -> verify estimated similarity =
+    fraction of equal signature components >= threshold.
+    """
+    rows = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(text_col, shingle_k), num_hashes).alias("sig"),
+    )
+    banded = sigs.select(
+        "id", "sig", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(len(range(num_hashes))))
+    return (
+        cand.withColumn("est_sim", est)
+        .filter(F.col("est_sim") >= threshold)
+        .select("id_a", "id_b", F.round("est_sim", 6).alias("est_sim"))
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale plan:
+- brute-force cosine top-k: exact baseline. The query set is broadcast;
+  the corpus is scanned once; per-row dot products run as Catalyst
+  higher-order functions (zip_with + aggregate) in double precision;
+  top-k per query via window row_number. Corpus-side cost is O(N*Q*d)
+  with zero shuffles of the corpus (the only shuffle is the final
+  top-k on the small (query, candidate) result).
+- IVF (inverted-file) bucketed: deterministic coarse quantizer (the
+  first n_cells vectors by id are the centroids — deterministic, no
+  kmeans RNG), each corpus vector is assigned to its nearest centroid
+  (broadcast centroids), queries probe the nearest n_probe cells, so
+  the scan touches ~n_probe/n_cells of the corpus. This is the 100 TB
+  path: cell assignment is a write-time partition key, so a probe
+  reads only matching partitions.
+
+There is also a Pandas-UDF (Arrow) matmul variant for wide batches —
+numpy does Q×d · d×N per Arrow batch, which beats per-row HOFs when Q
+is large.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × scanned corpus.
+
+    Returns (query_id, vec_id, cos_sim, rank), rank 1..k, ties broken
+    by vec_id so results are engine-deterministic.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select(query_id_col, id_col, "cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroids).
+    Output: (vec_id, cell, embedding). At write time ``cell`` becomes
+    the partition column so probes prune partitions."""
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    cen = centroids.select(
+        F.col("cell"), as_double(F.col(vec_col)).alias("cen_v")
+    )
+    scored = c.join(F.broadcast(cen)).withColumn(
+        "sim", cosine(F.col("v"), F.col("cen_v"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "cell", F.col("v").alias(vec_col))
+    )
+
+
+def matmul_topk_pandas(
+    corpus: DataFrame,
+    query_rows: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched matmul top-k: queries held as a numpy matrix in the
+    closure (broadcast via task pickle), corpus streamed per Arrow batch
+    through mapInPandas, numpy does the (B×d)·(d×Q) product. Partial
+    top-k per batch, final exact top-k via groupBy window on the tiny
+    candidate set."""
+    from pyspark.sql import Window
+
+    qids = np.array([q[0] for q in query_rows], dtype=np.int64)
+    qmat = np.array([q[1] for q in query_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1e-12
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0] = 1e-12
+            sims = (cmat @ qmat.T) / np.outer(cnorm, qnorm)  # B×Q
+            ids = pdf[id_col].to_numpy()
+            # partial top-k inside the batch: keep k best rows per query
+            frames = []
+            for qi in range(len(qids)):
+                col = sims[:, qi]
+                mask = ids != qids[qi]
+                cids, csims = ids[mask], np.round(col[mask], 6)
+                if len(cids) == 0:
+                    continue
+                # order by (-sim, id) so batch-local pruning keeps exactly
+                # the candidates the global (rounded sim desc, id asc)
+                # ranking would pick — ties never lose the right row
+                top = np.lexsort((cids, -csims))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            id_col: cids[top],
+                            "cos_sim": csims[top],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,103 @@
+"""Text analysis primitives: tokenization, quality scoring, language ID,
+fingerprinting.
+
+All pure Catalyst column expressions (no Python UDFs): at 100 TB these
+run inside WholeStageCodegen and vectorize over the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword marker lists for the heuristic language ID.
+# Deliberately tiny and deterministic so the oracle SQL can mirror them.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+    "zh": ["de", "shi", "le", "wo", "bu"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["in", "is", "it", "that", "for"]
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text -> array<string>.
+
+    ``F.split`` on ``\\s+`` after trim; empty string yields [''] which we
+    filter out so empty docs count 0 tokens.
+    """
+    toks = F.split(F.trim(F.lower(F.col(col) if isinstance(col, str) else col)), r"\s+")
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_digit = F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))
+    return n_digit / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: longer docs with low punctuation /
+    digit noise and a plausible stopword rate score higher. The exact
+    formula is arbitrary but fixed — the oracle mirrors it digit for
+    digit."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_term = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    return (
+        0.4 * length_term
+        + 0.3 * (1 - punct_ratio(c))
+        + 0.2 * (1 - digit_ratio(c))
+        + 0.1 * F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts (the n-gram-heuristic language ID:
+    word-unigram variant so the oracle stays expressible)."""
+    toks = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+    return out
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    md5 (not xxhash64) so external engines can reproduce it."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as array<string> (distinct), built with
+    transform(sequence(...)) — all Catalyst, no UDF."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )

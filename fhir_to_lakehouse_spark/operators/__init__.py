@@ -1,0 +1,17 @@
+from fhir_to_lakehouse_spark.operators.bundles import (
+    encode_resources,
+    explode_entries,
+    latest_per_key,
+    parse_bundles,
+    prepare_stream,
+    split_by_method,
+)
+
+__all__ = [
+    "encode_resources",
+    "explode_entries",
+    "latest_per_key",
+    "parse_bundles",
+    "prepare_stream",
+    "split_by_method",
+]

@@ -1,0 +1,100 @@
+"""Stream/batch-agnostic bundle transforms (the engine core).
+
+Pure DataFrame -> DataFrame functions, exactly like the reference's
+BundleProcessor methods (/root/reference/src/bundle_processor.py:39-128)
+— the same code path serves a streaming micro-batch and a static test
+DataFrame (SURVEY §3.3). No actions, no collect: everything stays lazy
+so foreachBatch decides when to execute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.schemas import BUNDLE_SCHEMA, schema_for
+
+
+def parse_bundles(df: DataFrame) -> DataFrame:
+    """Kafka value (binary) -> parsed envelope struct.
+
+    Parity: /root/reference/src/bundle_processor.py:65-67 (P1+P2).
+    The partial BUNDLE_SCHEMA keeps the inner resource as a raw string —
+    column pruning means Spark never materializes fields routing doesn't
+    need.
+    """
+    return df.withColumn("bundle", F.col("value").cast("string")).withColumn(
+        "parsed_bundle", F.from_json(F.col("bundle"), BUNDLE_SCHEMA)
+    )
+
+
+def explode_entries(df: DataFrame) -> DataFrame:
+    """Envelope -> one row per bundle entry with routing columns.
+
+    Parity: /root/reference/src/bundle_processor.py:68-75 (P3-P7):
+    explode entries, pull method/url from the request struct, split the
+    url into resource_type / request_resource_id.
+    """
+    url_split = F.split(F.col("request_url"), "/")
+    return (
+        df.withColumn("entry", F.explode("parsed_bundle.entry"))
+        .withColumn("resource", F.col("entry.resource"))
+        .withColumn("request_method", F.col("entry.request.method"))
+        .withColumn("request_url", F.col("entry.request.url"))
+        .withColumn("resource_type", url_split.getItem(0))
+        .withColumn("request_resource_id", url_split.getItem(1))
+    )
+
+
+def prepare_stream(df: DataFrame) -> DataFrame:
+    """Full input chain: parse + explode (reference prepare_stream,
+    /root/reference/src/bundle_processor.py:39-77)."""
+    return explode_entries(parse_bundles(df))
+
+
+def latest_per_key(
+    df: DataFrame,
+    key: str = "request_url",
+    order: list | None = None,
+) -> DataFrame:
+    """Last-writer-wins dedup (W1): keep the single latest event per key.
+
+    Ordering parity with /root/reference/src/bundle_processor.py:114-128:
+    ``partition ASC, offset DESC`` — the highest offset within the
+    LOWEST Kafka partition wins ties (offset order, not timestamp
+    order). This resolves PUT/DELETE races inside a batch; cross-batch
+    correctness comes from merge idempotency.
+
+    Scale: one hash Exchange on ``key``; row_number needs no sort of
+    the whole batch, only within key groups.
+    """
+    order = order or [F.col("partition").asc(), F.col("offset").desc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("row_num", F.row_number().over(w))
+        .filter(F.col("row_num") == 1)
+        .drop("row_num")
+    )
+
+
+def split_by_method(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(puts, deletes) — reference filters at
+    /root/reference/src/bundle_processor.py:160 and :227."""
+    return (
+        df.filter(F.col("request_method") == "PUT"),
+        df.filter(F.col("request_method") == "DELETE"),
+    )
+
+
+def encode_resources(df: DataFrame, resource_type: str) -> DataFrame:
+    """FHIR JSON string column -> typed columns (Pathling replacement).
+
+    ``from_json`` with the curated schema for the type (SURVEY §7.3),
+    plus ``resource_json`` carrying the full raw document so nothing
+    outside the curated schema is lost. Replaces the JVM Pathling call
+    at /root/reference/src/bundle_processor.py:162-166.
+    """
+    parsed = F.from_json(F.col("resource"), schema_for(resource_type))
+    return df.select(
+        parsed.alias("r"), F.col("resource").alias("resource_json")
+    ).select("r.*", "resource_json")

@@ -1,0 +1,21 @@
+"""Declared query-operator library.
+
+Each module registers named queries via :func:`registry.query`; importing
+this package populates the global registry that ``__spark_entry__.py``
+re-exports to the driver.
+"""
+
+from fhir_to_lakehouse_spark.plans import registry
+from fhir_to_lakehouse_spark.plans import relational  # noqa: F401
+from fhir_to_lakehouse_spark.plans import windows  # noqa: F401
+from fhir_to_lakehouse_spark.plans import scalars  # noqa: F401
+from fhir_to_lakehouse_spark.plans import events  # noqa: F401
+from fhir_to_lakehouse_spark.plans import text  # noqa: F401
+from fhir_to_lakehouse_spark.plans import dedup  # noqa: F401
+from fhir_to_lakehouse_spark.plans import similarity  # noqa: F401
+from fhir_to_lakehouse_spark.plans import multimodal  # noqa: F401
+
+QUERIES = registry.QUERIES
+ORACLES = registry.ORACLES
+
+__all__ = ["QUERIES", "ORACLES", "registry"]

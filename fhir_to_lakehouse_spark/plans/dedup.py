@@ -1,0 +1,203 @@
+"""Deduplication queries over the documents table (north-star extension).
+
+Exact, blocked n-gram Jaccard, and MinHash+LSH are oracle-checked; the
+xxhash64 production variants (faster, but not reproducible outside the
+JVM) are rows-only and covered by pytest equivalence tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.functions import dedup as DD
+from fhir_to_lakehouse_spark.functions import text as TX
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+_DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+_DUCK_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_DUCK_TOKS}) - 2, 0) + 1),"
+    f" i -> array_to_string(({_DUCK_TOKS})[i:i+2], ' ')))"
+)
+
+_MINHASH_K = 12
+_MINHASH_BANDS = 4
+_MINHASH_ROWS = _MINHASH_K // _MINHASH_BANDS
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           MIN(doc_id)                                             AS canonical_id,
+           CAST(COUNT(*) AS BIGINT)                                AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group identical normalized docs by md5 fingerprint;
+    one shuffle on the 32-char key, never on document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(docs)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id AS id, lang, n_chars // 100 AS len_bucket,
+             {_DUCK_SHINGLES} AS sh
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))
+                 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)
+             AS jaccard_sim
+    FROM s a JOIN s b
+      ON a.id < b.id AND a.lang = b.lang AND a.len_bucket = b.len_bucket
+    WHERE len(list_intersect(a.sh, b.sh))
+          / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup: candidate pairs only within
+    (lang, length-bucket) blocks — the all-pairs join never happens; the
+    self-join shuffles on the small block key."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / 100).cast("long")
+    )
+    pairs = DD.candidate_pairs_blocked(
+        docs, block_cols=["lang", "len_bucket"], shingle_k=3
+    )
+    return pairs.filter(F.col("jaccard_sim") >= 0.05).select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    )
+
+
+def _duck_sig() -> str:
+    comps = ", ".join(
+        f"coalesce(list_aggregate(list_transform({_DUCK_SHINGLES},"
+        f" s -> md5(s || '#' || '{i}')), 'min'), 'zzzzzzzz')"
+        for i in range(_MINHASH_K)
+    )
+    return f"[{comps}]"
+
+
+_MINHASH_ORACLE = f"""
+    WITH sigs AS (
+      SELECT doc_id AS id, {_duck_sig()} AS sig FROM documents
+    ), banded AS (
+      SELECT id, sig, unnest([
+        {", ".join(f"'{b}:' || md5(array_to_string(sig[{b * _MINHASH_ROWS + 1}:{b * _MINHASH_ROWS + _MINHASH_ROWS}], '|'))" for b in range(_MINHASH_BANDS))}
+      ]) AS bk
+      FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_filter(range(1, {_MINHASH_K} + 1),
+                                 i -> sig_a[i] = sig_b[i]))
+                 / {float(_MINHASH_K)}, 6) AS est_sim
+    FROM cand
+    WHERE len(list_filter(range(1, {_MINHASH_K} + 1), i -> sig_a[i] = sig_b[i]))
+          / {float(_MINHASH_K)} >= 0.25
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (md5-string signatures, 12 hashes, 4 bands ×
+    3 rows): shingle -> signature -> band-bucket self-join -> estimate.
+    Only band-collision candidates are compared; the shuffle key is the
+    band hash. Scale: band buckets bound skew; signatures are ~12×32B
+    per doc regardless of doc size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        docs,
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        threshold=0.25,
+        shingle_k=3,
+    )
+
+
+@query("dedup_minhash_xxhash")
+def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash: xxhash64 signatures (JVM-fast, no md5 string
+    churn). Same LSH shape as dedup_minhash_lsh; rows-only check (no
+    xxhash64 in DuckDB), equivalence covered in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        F.col("doc_id").alias("id"),
+        DD.sig_xxhash(TX.shingles("text", 3), 16).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.transform(
+                                    F.slice("sig", b * 4 + 1, 4),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(16.0)
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(est, 6).alias("est_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("est_sim") >= 0.25)
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 per document + near-dup pairs at Hamming distance <= 8
+    within (lang) blocks. xxhash64-based -> rows-only check; the
+    truth-table behavior (identical text -> distance 0) is pytest-covered."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("lang"),
+        DD.simhash64(TX.tokens("text")).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            DD.hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+    )

@@ -1,0 +1,167 @@
+"""Event-stream analytics (batch-checkable analogs of streaming ops).
+
+The reference has zero event-time operators (SURVEY §2.8: no watermark,
+no tumbling/sliding/session windows); these queries add that family over
+the ``events`` table in batch form. The streaming variants in
+fhir_to_lakehouse_spark/streaming/windows.py reuse the same logical
+plans via readStream, so correctness here transfers (the engine core is
+stream/batch agnostic like the reference's BundleProcessor, SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts)       AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)               AS n,
+           ROUND(SUM(value), 2)                   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch analog of
+    ``groupBy(F.window('ts','1 hour'))`` in streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH slides AS (
+      SELECT ts, value,
+             time_bucket(INTERVAL 30 MINUTE, ts) AS aligned
+      FROM events
+    ), expanded AS (
+      SELECT aligned                              AS window_start, value FROM slides
+      UNION ALL
+      SELECT aligned - INTERVAL 30 MINUTE         AS window_start, value FROM slides
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2)     AS total_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour wide, sliding every 30 min. Each event
+    lands in 2 overlapping windows (Spark expands rows the same way)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT)  AS session_id,
+           CAST(COUNT(*) AS BIGINT)    AS n_events,
+           MIN(ts)                     AS session_start,
+           MAX(ts)                     AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap via lag + cumulative sum.
+
+    Batch analog of ``F.session_window(ts, '30 minutes')``; the lag/
+    cumsum formulation is used so the oracle can express identical
+    session boundaries. One shuffle on user_id serves both windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w_cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "events_user_funnel",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS views,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS clicks,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_value
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) FILTER (WHERE event_type = 'view') > 0
+    """,
+)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel with conditional aggregates + HAVING."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2
+            ).alias("purchase_value"),
+        )
+        .filter(F.col("views") > 0)
+    )

@@ -1,0 +1,153 @@
+"""Similarity-search queries over the embeddings table (north-star
+extension): exact brute-force cosine top-k (Catalyst HOF path and
+Arrow/numpy Pandas-UDF path — same oracle) and IVF-bucketed ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.functions import similarity as SIM
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_K = 5
+
+_BRUTE_ORACLE = f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             ROUND(list_dot_product(q.qv, c.v)
+                   / greatest(sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(c.v, c.v)), 1e-12), 6)
+               AS cos_sim
+      FROM c JOIN q ON q.query_id <> c.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+"""
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@query("similarity_brute_topk", oracle=_BRUTE_ORACLE)
+def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k, Catalyst higher-order-function path: the
+    query set is broadcast, the corpus is scanned once, dot products run
+    as zip_with+aggregate in double precision (no Python in the loop)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, _query_vectors(spark, sf_dir), k=_K)
+
+
+@query("similarity_matmul_topk", oracle=_BRUTE_ORACLE)
+def similarity_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as similarity_brute_topk (identical oracle) via the
+    Arrow path: mapInPandas streams corpus batches into numpy, one
+    (B×d)·(d×Q) matmul per batch, per-batch partial top-k, global exact
+    top-k on the tiny candidate set. The scale path when Q is large."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = [
+        (int(r["query_id"]), list(r["embedding"]))
+        for r in _query_vectors(spark, sf_dir).collect()  # Q rows only
+    ]
+    return SIM.matmul_topk_pandas(emb, qrows, k=_K)
+
+
+@query("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: deterministic coarse centroids (the 8 lowest
+    vec_ids), corpus partitioned by nearest-centroid cell, queries probe
+    their 2 nearest cells only — at scale the cell is a partition column
+    and probes prune ~75% of the corpus. Rows-only check (approximate
+    op); recall-vs-brute-force is asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cell"), "embedding")
+    )
+    assigned = SIM.ivf_assign(emb, centroids)
+
+    # queries probe their 2 nearest centroid cells
+    from pyspark.sql import Window
+
+    q = _query_vectors(spark, sf_dir)
+    qd = q.select("query_id", SIM.as_double(F.col("embedding")).alias("qv"))
+    cen = centroids.select("cell", SIM.as_double(F.col("embedding")).alias("cv"))
+    probes = (
+        qd.join(F.broadcast(cen))
+        .withColumn("sim", SIM.cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cos_sim", F.round(SIM.cosine(F.col("qv"), F.col("embedding")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT)   AS n,
+           ROUND(AVG(nrm), 6)         AS avg_norm,
+           ROUND(MIN(nrm), 6)         AS min_norm,
+           ROUND(MAX(nrm), 6)         AS max_norm
+    FROM c GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregate: L2 norm per vector (HOF dot product),
+    stats per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = SIM.as_double(F.col("embedding"))
+    return (
+        emb.select("vec_id", "label", SIM.l2_norm(v).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""Text-analysis queries over the documents table (north-star extension:
+token stats, quality scoring, language ID, term frequency, fingerprints).
+
+Every oracle mirrors the Catalyst expression digit-for-digit (same
+operation order, same rounding) — see functions/text.py for the
+primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.functions import text as TX
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+# DuckDB equivalent of TX.tokens()
+_DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS}) AS INT)                 AS n_tokens,
+           CAST(len(list_distinct({_DUCK_TOKS})) AS INT)  AS n_distinct_tokens,
+           CAST(length(text) AS INT)                      AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): total + distinct tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(
+             0.4 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                        / greatest(length(text), 1))
+           + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                        / greatest(length(text), 1))
+           + 0.1 * least(
+               (len(list_filter({_DUCK_TOKS},
+                    x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x)))
+                / greatest(len({_DUCK_TOKS}), 1)) * 5, 1.0)
+           , 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, punctuation/digit noise,
+    stopword plausibility."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(TX.quality_score("text"), 6).alias("quality")
+    )
+
+
+_LANGS = sorted(TX.LANG_MARKERS)  # deterministic check order
+
+
+def _duck_score(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS[lang])
+    return f"len(list_filter({_DUCK_TOKS}, x -> list_contains([{markers}], x)))"
+
+
+_LANG_ORACLE = f"""
+    SELECT doc_id,
+           {', '.join(f'CAST({_duck_score(l)} AS INT) AS score_{l}' for l in _LANGS)},
+           CASE {' '.join(f"WHEN {_duck_score(l)} = greatest({', '.join(_duck_score(m) for m in _LANGS)}) THEN '{l}'" for l in _LANGS)}
+           END AS predicted_lang
+    FROM documents
+"""
+
+
+@query("text_lang_id", oracle=_LANG_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language hit counts + argmax with a
+    fixed alphabetical tie-break (the synthetic corpus is English-ish
+    word salad; determinism is what's under test, not accuracy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = TX.lang_scores("text")
+    best = F.greatest(*[scores[lang] for lang in _LANGS])
+    pred = None
+    for lang in _LANGS:
+        cond = scores[lang] == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANGS],
+        pred.alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_term_frequency",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_DUCK_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+    """,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency: explode tokens -> count -> top 50.
+    The explode→groupBy is map-side combinable; top-k is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 document fingerprint (exact-dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@query(
+    "text_shingle_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_distinct(
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> array_to_string(toks[i:i+2], ' '))
+           )) AS INT) AS n_shingles
+    FROM t
+    """,
+)
+def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-shingle count per document (the MinHash input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(TX.shingles("text", 3)).alias("n_shingles")
+    )

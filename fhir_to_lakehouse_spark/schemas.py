@@ -1,0 +1,165 @@
+"""Explicit schemas: FHIR bundle envelope + curated resource types.
+
+The envelope mirrors the reference's deliberately partial parse schema
+(/root/reference/src/bundle_processor.py:40-63): only what routing
+needs; the inner resource stays an unparsed JSON string until encoding.
+
+Resource typing replaces the reference's Pathling JVM encoder
+(/root/reference/src/bundle_processor.py:162-166) with schema-directed
+``from_json`` per SURVEY §7.3: curated StructTypes cover every field the
+reference observably relies on (id / active / birthDate / clustering
+columns), and the raw JSON is kept alongside in ``resource_json`` so no
+information is lost for fields outside the curated schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- bundle envelope (partial parse: routing fields only) ----------------
+
+BUNDLE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "entry",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        # resource kept as raw JSON string at this stage —
+                        # full typing is deferred to encode_resources()
+                        T.StructField("resource", T.StringType()),
+                        T.StructField(
+                            "request",
+                            T.StructType(
+                                [
+                                    T.StructField("method", T.StringType()),
+                                    T.StructField("url", T.StringType()),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+# --- curated per-resource-type schemas (Pathling replacement) ------------
+
+_CODING = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("system", T.StringType()),
+            T.StructField("code", T.StringType()),
+            T.StructField("display", T.StringType()),
+        ]
+    )
+)
+
+_CODEABLE_CONCEPT = T.StructType(
+    [T.StructField("coding", _CODING), T.StructField("text", T.StringType())]
+)
+
+_REFERENCE = T.StructType([T.StructField("reference", T.StringType())])
+
+PATIENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("gender", T.StringType()),
+        T.StructField("birthDate", T.DateType()),
+        T.StructField("deceasedDateTime", T.StringType()),
+        T.StructField(
+            "name",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("use", T.StringType()),
+                        T.StructField("family", T.StringType()),
+                        T.StructField("given", T.ArrayType(T.StringType())),
+                        T.StructField("prefix", T.ArrayType(T.StringType())),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "identifier",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("system", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                        T.StructField("type", _CODEABLE_CONCEPT),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "address",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("line", T.ArrayType(T.StringType())),
+                        T.StructField("city", T.StringType()),
+                        T.StructField("state", T.StringType()),
+                        T.StructField("postalCode", T.StringType()),
+                        T.StructField("country", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("maritalStatus", _CODEABLE_CONCEPT),
+        T.StructField("multipleBirthBoolean", T.BooleanType()),
+    ]
+)
+
+CONDITION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("clinicalStatus", _CODEABLE_CONCEPT),
+        T.StructField("verificationStatus", _CODEABLE_CONCEPT),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("onsetDateTime", T.StringType()),
+        T.StructField("recordedDate", T.StringType()),
+        T.StructField("abatementDateTime", T.StringType()),
+    ]
+)
+
+OBSERVATION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("effectiveDateTime", T.StringType()),
+        T.StructField("issued", T.StringType()),
+        T.StructField(
+            "valueQuantity",
+            T.StructType(
+                [
+                    # FHIR decimal -> DecimalType (Pathling parity, SURVEY §7.3)
+                    T.StructField("value", T.DecimalType(38, 18)),
+                    T.StructField("unit", T.StringType()),
+                    T.StructField("system", T.StringType()),
+                    T.StructField("code", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("valueCodeableConcept", _CODEABLE_CONCEPT),
+    ]
+)
+
+RESOURCE_SCHEMAS: dict[str, T.StructType] = {
+    "Patient": PATIENT_SCHEMA,
+    "Condition": CONDITION_SCHEMA,
+    "Observation": OBSERVATION_SCHEMA,
+}
+
+# Fallback for resource types without a curated schema: id only (the
+# merge key) + the raw JSON column that every encoded frame carries.
+GENERIC_SCHEMA = T.StructType([T.StructField("id", T.StringType())])
+
+
+def schema_for(resource_type: str) -> T.StructType:
+    return RESOURCE_SCHEMAS.get(resource_type, GENERIC_SCHEMA)

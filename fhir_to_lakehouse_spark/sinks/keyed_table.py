@@ -1,0 +1,231 @@
+"""Keyed mutable table sink: MERGE upsert / MERGE delete semantics.
+
+Reference parity (J1/J2 at /root/reference/src/bundle_processor.py:
+256-262 and 287-292): one table per resource type, upsert on PUT
+(``whenMatchedUpdateAll + whenNotMatchedInsertAll`` on ``s.id = t.id``),
+delete on DELETE (``whenMatchedDelete``), with app-level retry on
+concurrent-write conflicts (:240-244).
+
+Two backends behind one API:
+- **Delta** (when delta-spark jars are present): real ``DeltaTable
+  .merge`` — Delta compiles MERGE to a join, AQE broadcasts the small
+  micro-batch side; liquid-clustering/optimize/vacuum supported.
+  This is the production path at 100 TB: merge touches only files
+  whose min/max id-stats overlap the batch keys (data skipping), not
+  the whole table.
+- **Parquet fallback** (this container): copy-on-write rewrite —
+  new = batch ∪ (existing ⟕anti batch). Correct same semantics;
+  rewrite cost is proportional to table size, which is acceptable for
+  tests and clearly documented as the non-Delta degradation.
+
+Write atomicity in the fallback: write to ``<path>.tmp-<n>`` then swap
+directories, so a reader never sees a half-written table.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.session import delta_available
+
+
+def retry(attempts: int = 5, base_s: float = 0.05, cap_s: float = 30.0):
+    """Exponential-backoff retry — thin replacement for the reference's
+    tenacity decorators (/root/reference/src/bundle_processor.py:240-244,
+    backoff 5-30 s, 5 attempts; shorter base locally)."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            delay = base_s
+            for i in range(attempts):
+                try:
+                    return fn(*args, **kwargs)
+                except Exception:
+                    if i == attempts - 1:
+                        raise
+                    time.sleep(min(delay, cap_s))
+                    delay *= 2
+
+        return wrapper
+
+    return deco
+
+
+class KeyedTable:
+    """A mutable table keyed on ``key`` at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, key: str = "id"):
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self._delta = delta_available() and not os.environ.get("FORCE_PARQUET_SINK")
+
+    # -- existence / read ------------------------------------------------
+
+    def exists(self) -> bool:
+        if self._delta:
+            from delta.tables import DeltaTable
+
+            return DeltaTable.isDeltaTable(self.spark, self.path)
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def to_df(self) -> DataFrame:
+        """Read back (reference S8: DeltaTable.forPath(...).toDF())."""
+        if self._delta:
+            from delta.tables import DeltaTable
+
+            return DeltaTable.forPath(self.spark, self.path).toDF()
+        return self.spark.read.parquet(self.path)
+
+    # -- DDL -------------------------------------------------------------
+
+    def create_if_not_exists(
+        self, schema, cluster_by: list[str] | None = None
+    ) -> None:
+        """Idempotent create with table properties + optional liquid
+        clustering (reference S6,
+        /root/reference/src/bundle_processor.py:172-204)."""
+        if self._delta:
+            from delta.tables import DeltaTable
+
+            builder = (
+                DeltaTable.createIfNotExists(self.spark)
+                .location(self.path)
+                .addColumns(schema)
+                .property("delta.autoOptimize.autoCompact", "true")
+                .property("delta.autoOptimize.optimizeWrite", "true")
+                .property("delta.checkpoint.writeStatsAsStruct", "true")
+                .property("delta.checkpoint.writeStatsAsJson", "false")
+            )
+            if cluster_by:
+                builder = builder.clusterBy(*cluster_by)
+            builder.execute()
+        elif not self.exists():
+            self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+                self.path
+            )
+
+    # -- MERGE -----------------------------------------------------------
+
+    @retry()
+    def merge_upsert(self, src: DataFrame) -> None:
+        """J1: upsert rows of ``src`` by key (latest batch row wins)."""
+        if self._delta:
+            from delta.tables import DeltaTable
+
+            (
+                DeltaTable.forPath(self.spark, self.path)
+                .alias("t")
+                .merge(src.alias("s"), f"s.{self.key} = t.{self.key}")
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
+        if not self.exists():
+            self._swap_write(src)
+            return
+        existing = self.to_df()
+        keep = existing.join(
+            src.select(self.key), on=self.key, how="left_anti"
+        )
+        self._swap_write(keep.unionByName(src, allowMissingColumns=True))
+
+    @retry()
+    def merge_delete(self, ids: DataFrame, id_col: str | None = None) -> None:
+        """J2: delete rows whose key appears in ``ids`` (semi-join-shaped
+        merge, reference /root/reference/src/bundle_processor.py:287-292).
+        """
+        id_col = id_col or self.key
+        if self._delta:
+            from delta.tables import DeltaTable
+
+            (
+                DeltaTable.forPath(self.spark, self.path)
+                .alias("t")
+                .merge(ids.alias("s"), f"s.{id_col} = t.{self.key}")
+                .whenMatchedDelete()
+                .execute()
+            )
+            return
+        if not self.exists():
+            return
+        existing = self.to_df()
+        keep = existing.join(
+            ids.select(F.col(id_col).alias(self.key)),
+            on=self.key,
+            how="left_anti",
+        )
+        self._swap_write(keep)
+
+    # -- maintenance (reference S13/S14, lakehousekeeper parity) ---------
+
+    def optimize(self, target_files: int | None = None) -> None:
+        """Compaction: Delta OPTIMIZE, or coalesced rewrite in fallback
+        (reference /root/reference/src/bundle_processor.py:310)."""
+        if self._delta:
+            from delta.tables import DeltaTable
+
+            DeltaTable.forPath(self.spark, self.path).optimize().executeCompaction()
+            return
+        if self.exists():
+            df = self.to_df().coalesce(target_files or 1)
+            self._swap_write(df)
+
+    def vacuum(self, retention_hours: float = 24.0) -> None:
+        """Remove unreferenced files (reference
+        /root/reference/src/bundle_processor.py:321). Fallback: clear
+        leftover tmp dirs older than retention."""
+        if self._delta:
+            from delta.tables import DeltaTable
+
+            DeltaTable.forPath(self.spark, self.path).vacuum(retention_hours)
+            return
+        parent, base = os.path.split(self.path.rstrip("/"))
+        if not os.path.isdir(parent):
+            return
+        cutoff = time.time() - retention_hours * 3600
+        for d in os.listdir(parent):
+            if d.startswith(f"{base}.tmp-") and os.path.getmtime(
+                os.path.join(parent, d)
+            ) < cutoff:
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+    def detail(self) -> dict:
+        """Table metadata (reference S15 delta_table.detail())."""
+        if self._delta:
+            from delta.tables import DeltaTable
+
+            return (
+                DeltaTable.forPath(self.spark, self.path)
+                .detail()
+                .toJSON()
+                .collect()[0]
+            )
+        n_files = (
+            len([f for f in os.listdir(self.path) if f.endswith(".parquet")])
+            if self.exists()
+            else 0
+        )
+        return {"location": self.path, "numFiles": n_files, "format": "parquet"}
+
+    # -- internals -------------------------------------------------------
+
+    def _swap_write(self, df: DataFrame) -> None:
+        """Copy-on-write with atomic directory swap (crash-safe: readers
+        see the old or the new table, never a partial write)."""
+        tmp = f"{self.path.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path.rstrip('/')}.tmp-old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)

@@ -1,0 +1,56 @@
+"""Batch parquet table access for the synthetic testdata star schema.
+
+The driver materializes TPC-H-ish tables plus ``events`` (stream analog),
+``documents`` (text/dedup extension) and ``embeddings`` (similarity
+extension) as one parquet file per table under ``/root/testdata/sf*/``.
+
+Parquet scans here are the 100 TB-scale path: Catalyst pushes filters and
+prunes columns down to the scan, so every operator in plans/ should
+select/filter as early as possible and let the scan do the work.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet TIMESTAMP(NANOS) read via nanosAsLong (see session.py):
+        # integer-divide to micros (exact; double division would lose
+        # precision at 1e18 ns) and restore a proper timestamp column
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> None:
+    """Register each table as a temp view so operators may use spark.sql."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
