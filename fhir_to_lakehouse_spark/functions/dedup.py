@@ -78,40 +78,56 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
-def simhash64(token_col: Column) -> Column:
-    """64-bit SimHash over tokens using xxhash64 bit votes.
+_SIMHASH_BITS = 64
+# masks[63] is the sign bit: 1<<63 wraps to long min value
+_SIMHASH_MASKS = [(1 << b) if b < 63 else -(1 << 63) for b in range(_SIMHASH_BITS)]
 
-    For each bit position, sum +1/-1 votes across token hashes and take
-    the sign. Pure Catalyst: aggregate over the token array with a
-    64-element vote vector (bit masks are Python-side literals since
-    shift amounts must be constants). Not DuckDB-reproducible
-    (xxhash64) — pytest covers it.
-    """
-    # masks[63] is the sign bit: 1<<63 wraps to long min value
-    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+def simhash_votes(token_col: Column) -> Column:
+    """Per-bit +1/-1 vote sums across xxhash64 token hashes ->
+    array<int>[64]. One aggregate expression over the token array."""
     hashes = F.transform(token_col, lambda t: F.xxhash64(t))
-    votes = F.aggregate(
+    return F.aggregate(
         hashes,
-        F.array(*[F.lit(0)] * 64),
+        F.array(*[F.lit(0)] * _SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
-                    for m in masks
+                    for m in _SIMHASH_MASKS
                 ]
             ),
             lambda a, v: a + v,
         ),
     )
+
+
+def votes_to_simhash(votes_col: Column) -> Column:
+    """Fold a vote vector into the 64-bit SimHash value. Keep
+    ``votes_col`` a *materialized column reference* (withColumn), not
+    the votes expression itself — inlining duplicates the whole
+    aggregate tree 64× and blows up plan serialization."""
     out = F.lit(0).cast("long")
-    for b, m in enumerate(masks):
+    for b, m in enumerate(_SIMHASH_MASKS):
         out = out.bitwiseOR(
-            F.when(F.element_at(votes, b + 1) > 0, F.lit(m).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.element_at(votes_col, b + 1) > 0, F.lit(m).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         )
     return out
+
+
+def with_simhash(df: DataFrame, token_col: Column, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over tokens (xxhash64 bit votes, sign per bit).
+    Two projections: votes materialize once, then the bit fold reads
+    the materialized column. Not DuckDB-reproducible (xxhash64) —
+    pytest covers it."""
+    return (
+        df.withColumn("_simhash_votes", simhash_votes(token_col))
+        .withColumn(out_col, votes_to_simhash(F.col("_simhash_votes")))
+        .drop("_simhash_votes")
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -181,9 +197,15 @@ def minhash_lsh_pairs(
     fraction of equal signature components >= threshold.
     """
     rows = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(text_col, shingle_k), num_hashes).alias("sig"),
+    # materialize the shingle array in its own projection: inlining it
+    # into the signature would recompute tokenization+shingling once per
+    # hash seed (12×) — CollapseProject keeps non-cheap multi-use
+    # aliases in a separate project node
+    shingled = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh")
+    )
+    sigs = shingled.select(
+        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
     )
     banded = sigs.select(
         "id", "sig", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")

@@ -183,11 +183,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     within (lang) blocks. xxhash64-based -> rows-only check; the
     truth-table behavior (identical text -> distance 0) is pytest-covered."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.col("lang"),
-        DD.simhash64(TX.tokens("text")).alias("sh"),
-    )
+    sh = DD.with_simhash(
+        docs.select(F.col("doc_id").alias("id"), "lang", "text"),
+        TX.tokens("text"),
+        "sh",
+    ).drop("text")
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(

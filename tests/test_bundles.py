@@ -1,0 +1,140 @@
+"""Bundle-core golden tests: the reference's conflict-resolution truth
+table (FIXTURES.md §4 / reference tests/unit/test_bundle_processor.py:
+280-374) plus cross-batch PUT→DELETE and empty-batch no-op."""
+
+from __future__ import annotations
+
+import pytest
+
+from fhir_to_lakehouse_spark.operators.bundles import (
+    latest_per_key,
+    prepare_stream,
+)
+from fhir_to_lakehouse_spark.streaming.pipeline import BundlePipeline, PipelineConfig
+from tests.fixtures import KAFKA_SCHEMA, delete_bundle, kafka_row, put_bundle
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    cfg = PipelineConfig(
+        warehouse_dir=str(tmp_path / "warehouse"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        upkeep_interval=50,
+    )
+    return BundlePipeline(spark, cfg)
+
+
+def batch(spark, rows):
+    return spark.createDataFrame([kafka_row(**r) for r in rows], KAFKA_SCHEMA)
+
+
+def test_prepare_stream_extracts_routing_columns(spark):
+    df = batch(
+        spark,
+        [{"value": put_bundle("Patient", "42", active=True), "offset": 0}],
+    )
+    row = prepare_stream(df).collect()[0]
+    assert row["resource_type"] == "Patient"
+    assert row["request_method"] == "PUT"
+    assert row["request_resource_id"] == "42"
+    assert row["request_url"] == "Patient/42"
+    import json
+
+    assert json.loads(row["resource"])["id"] == "42"
+
+
+def test_latest_per_key_ordering_partition_asc_offset_desc(spark):
+    # W1 tie-break: highest offset within the LOWEST partition wins
+    # (reference src/bundle_processor.py:114-128)
+    df = batch(
+        spark,
+        [
+            {"value": put_bundle("Patient", "1", active=True), "partition": 1, "offset": 99},
+            {"value": put_bundle("Patient", "1", active=False), "partition": 0, "offset": 5},
+            {"value": put_bundle("Patient", "1", active=None), "partition": 0, "offset": 3},
+        ],
+    )
+    out = latest_per_key(prepare_stream(df)).collect()
+    assert len(out) == 1
+    assert out[0]["partition"] == 0 and out[0]["offset"] == 5
+
+
+def test_truth_table_put_delete_conflicts(spark, pipeline):
+    """The reference's golden scenario: ids ['0','2'] survive, id=2 has
+    the newer body (active=false)."""
+    rows = [
+        {"value": put_bundle("Patient", "0", active=True), "partition": 0, "offset": 0},
+        {"value": put_bundle("Patient", "1", active=True), "partition": 1, "offset": 0},
+        {"value": delete_bundle("Patient", "1"), "partition": 1, "offset": 1},
+        {"value": put_bundle("Patient", "1", active=True), "partition": 1, "offset": 2},
+        {"value": delete_bundle("Patient", "1"), "partition": 1, "offset": 3},
+        {"value": put_bundle("Patient", "2", active=True), "partition": 0, "offset": 10},
+        {"value": put_bundle("Patient", "2", active=False), "partition": 0, "offset": 99},
+    ]
+    pipeline.process_batch(batch(spark, rows), batch_id=1)
+    tbl = pipeline.table("Patient").to_df()
+    ids = sorted(r["id"] for r in tbl.select("id").collect())
+    assert ids == ["0", "2"]
+    assert tbl.where("id = '2' and active = false").count() == 1
+
+
+def test_cross_batch_put_then_delete(spark, pipeline):
+    pipeline.process_batch(
+        batch(spark, [{"value": put_bundle("Patient", "9", active=True)}]), 1
+    )
+    assert pipeline.table("Patient").to_df().count() == 1
+    pipeline.process_batch(
+        batch(spark, [{"value": delete_bundle("Patient", "9"), "offset": 1}]), 2
+    )
+    assert pipeline.table("Patient").to_df().count() == 0
+
+
+def test_newer_put_overwrites_across_batches(spark, pipeline):
+    pipeline.process_batch(
+        batch(spark, [{"value": put_bundle("Patient", "7", active=True)}]), 1
+    )
+    pipeline.process_batch(
+        batch(spark, [{"value": put_bundle("Patient", "7", active=False), "offset": 1}]),
+        2,
+    )
+    tbl = pipeline.table("Patient").to_df()
+    assert tbl.count() == 1
+    assert tbl.where("active = false").count() == 1
+
+
+def test_empty_batch_noop(spark, pipeline):
+    empty = spark.createDataFrame([], KAFKA_SCHEMA)
+    pipeline.process_batch(empty, 0)  # must not raise nor create tables
+    assert not pipeline.table("Patient").exists()
+
+
+def test_multiple_resource_types_routed_to_own_tables(spark, pipeline):
+    rows = [
+        {"value": put_bundle("Patient", "1"), "offset": 0},
+        {"value": put_bundle("Condition", "c1", subject={"reference": "Patient/1"}), "offset": 1},
+        {"value": put_bundle("Observation", "o1", status="final"), "offset": 2},
+    ]
+    pipeline.process_batch(batch(spark, rows), 1)
+    assert pipeline.table("Patient").to_df().count() == 1
+    assert pipeline.table("Condition").to_df().count() == 1
+    assert pipeline.table("Observation").to_df().count() == 1
+    cond = pipeline.table("Condition").to_df().collect()[0]
+    assert cond["subject"]["reference"] == "Patient/1"
+
+
+def test_unknown_resource_type_keeps_raw_json(spark, pipeline):
+    rows = [{"value": put_bundle("Encounter", "e1", status="planned")}]
+    pipeline.process_batch(batch(spark, rows), 1)
+    import json
+
+    enc = pipeline.table("Encounter").to_df().collect()[0]
+    assert enc["id"] == "e1"
+    assert json.loads(enc["resource_json"])["status"] == "planned"
+
+
+def test_upkeep_runs_on_interval_batch(spark, pipeline):
+    # batch_id 0 triggers upkeep (reference test: batch_id=0 -> OPTIMIZE)
+    pipeline.process_batch(
+        batch(spark, [{"value": put_bundle("Patient", "1")}]), 0
+    )
+    assert pipeline.table("Patient").to_df().count() == 1
