@@ -210,6 +210,11 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "id", "sig", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")
     )
+    # the LSH self-join consumes `banded` on both sides; without a
+    # materialization Spark computes the (md5-heavy) signature pipeline
+    # twice. At warehouse scale signatures would be written to a table;
+    # in-session we persist the tiny (id, sig, bk) frame instead.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

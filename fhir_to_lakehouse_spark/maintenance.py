@@ -1,0 +1,119 @@
+"""Out-of-band table maintenance — lakehousekeeper CLI parity.
+
+Reference: /root/reference/src/lakehousekeeper.py (295 LoC): a click
+CLI with vacuum / optimize / register subcommands that discovers every
+table under a warehouse prefix and maintains each one.
+
+Differences, Spark-first:
+- table discovery walks the warehouse directory (local/posix) or uses
+  the object-store listing the reference does with boto3
+  (:59-98) — here a filesystem glob, one code path for both since
+  Spark/posix semantics cover the test environment;
+- maintenance itself goes through KeyedTable (Delta ops when the jars
+  exist, parquet fallback otherwise), mirroring the reference's dual
+  delta-rs / Spark-SQL paths (:156-182, :232-240);
+- register issues the same DDL shape as the reference
+  (:280-291) against whatever catalog the session has.
+
+Usage:
+    python -m fhir_to_lakehouse_spark.maintenance vacuum  --warehouse DIR [--retention-hours H] [--dry-run]
+    python -m fhir_to_lakehouse_spark.maintenance optimize --warehouse DIR
+    python -m fhir_to_lakehouse_spark.maintenance register --warehouse DIR --schema fhir
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import SparkSession
+
+from fhir_to_lakehouse_spark.session import delta_available, get_spark
+from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
+
+
+def discover_tables(warehouse_dir: str) -> list[str]:
+    """List table paths under the warehouse prefix (reference
+    list_tables, /root/reference/src/lakehousekeeper.py:59-98: common
+    prefixes ending in .parquet)."""
+    if not os.path.isdir(warehouse_dir):
+        return []
+    return sorted(
+        os.path.join(warehouse_dir, d)
+        for d in os.listdir(warehouse_dir)
+        if d.endswith(".parquet")
+        and os.path.isdir(os.path.join(warehouse_dir, d))
+        and ".tmp-" not in d
+    )
+
+
+def vacuum_all(
+    spark: SparkSession,
+    warehouse_dir: str,
+    retention_hours: float = 24.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """VACUUM every table (reference :169-182 incl. dry-run support)."""
+    done = []
+    for path in discover_tables(warehouse_dir):
+        if not dry_run:
+            KeyedTable(spark, path).vacuum(retention_hours)
+        done.append(path)
+    return done
+
+
+def optimize_all(spark: SparkSession, warehouse_dir: str) -> list[str]:
+    """OPTIMIZE (compaction) every table (reference :238-240)."""
+    done = []
+    for path in discover_tables(warehouse_dir):
+        KeyedTable(spark, path).optimize()
+        done.append(path)
+    return done
+
+
+def register_all(
+    spark: SparkSession, warehouse_dir: str, schema: str = "fhir"
+) -> list[str]:
+    """Register every table in the session catalog (reference
+    :280-291: CREATE SCHEMA + CREATE TABLE ... LOCATION). Uses
+    USING DELTA when Delta is present, parquet otherwise."""
+    fmt = "DELTA" if delta_available() else "PARQUET"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+    done = []
+    for path in discover_tables(warehouse_dir):
+        name = os.path.basename(path).removesuffix(".parquet")
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {schema}.`{name}` "
+            f"USING {fmt} LOCATION '{path}'"
+        )
+        done.append(f"{schema}.{name}")
+    return done
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="lakehousekeeper")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for cmd in ("vacuum", "optimize", "register"):
+        p = sub.add_parser(cmd)
+        p.add_argument("--warehouse", required=True)
+        if cmd == "vacuum":
+            p.add_argument("--retention-hours", type=float, default=24.0)
+            p.add_argument("--dry-run", action="store_true")
+        if cmd == "register":
+            p.add_argument("--schema", default="fhir")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("lakehousekeeper")
+    if args.cmd == "vacuum":
+        out = vacuum_all(spark, args.warehouse, args.retention_hours, args.dry_run)
+    elif args.cmd == "optimize":
+        out = optimize_all(spark, args.warehouse)
+    else:
+        out = register_all(spark, args.warehouse, args.schema)
+    for line in out:
+        print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,63 @@
+"""lakehousekeeper parity tests: discovery, vacuum, optimize, register,
+and the CLI wiring."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from fhir_to_lakehouse_spark import maintenance as M
+from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
+
+SCHEMA = T.StructType(
+    [T.StructField("id", T.StringType()), T.StructField("v", T.IntegerType())]
+)
+
+
+def seed(spark, tmp_path, names=("Patient", "Condition")):
+    wh = tmp_path / "wh"
+    for n in names:
+        t = KeyedTable(spark, str(wh / f"{n}.parquet"))
+        t.merge_upsert(
+            spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA).repartition(4)
+        )
+    return str(wh)
+
+
+def test_discover_tables(spark, tmp_path):
+    wh = seed(spark, tmp_path)
+    found = M.discover_tables(wh)
+    assert [p.rsplit("/", 1)[-1] for p in found] == [
+        "Condition.parquet",
+        "Patient.parquet",
+    ]
+
+
+def test_optimize_all_compacts(spark, tmp_path):
+    wh = seed(spark, tmp_path)
+    done = M.optimize_all(spark, wh)
+    assert len(done) == 2
+    for p in done:
+        assert KeyedTable(spark, p).detail()["numFiles"] == 1
+        assert KeyedTable(spark, p).to_df().count() == 2
+
+
+def test_vacuum_all_dry_run(spark, tmp_path):
+    wh = seed(spark, tmp_path)
+    assert len(M.vacuum_all(spark, wh, dry_run=True)) == 2
+    assert len(M.vacuum_all(spark, wh, retention_hours=0.0)) == 2
+
+
+def test_register_all(spark, tmp_path):
+    wh = seed(spark, tmp_path)
+    names = M.register_all(spark, wh, schema="fhir_test")
+    assert names == ["fhir_test.Condition", "fhir_test.Patient"]
+    assert spark.sql("SELECT count(*) c FROM fhir_test.Patient").collect()[0]["c"] == 2
+    # idempotent
+    assert M.register_all(spark, wh, schema="fhir_test") == names
+
+
+def test_discovery_ignores_tmp_dirs(spark, tmp_path):
+    wh = seed(spark, tmp_path)
+    (tmp_path / "wh" / "Patient.parquet.tmp-deadbeef").mkdir()
+    found = M.discover_tables(wh)
+    assert len(found) == 2
