@@ -1,0 +1,214 @@
+"""Remaining aggregate / relational families: ordered-set collection,
+arg-min/max, grouping sets, unpivot, string distance, map + bitwise
+scalar families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+
+@query(
+    "agg_collect_sorted_list",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys,
+           CAST(COUNT(*) AS BIGINT)                        AS n
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list with deterministic order (sort_array) serialized to
+    a string — the engine-portable form of array aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("order_keys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (argmin/argmax) — per customer the order ids with
+    extreme totalprice. o_totalprice values are distinct in practice;
+    ties would be engine-arbitrary."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint dimensions + grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, value FROM (
+      SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    )
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via the native unpivot operator."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+
+
+@query(
+    "string_distance_suppliers",
+    oracle="""
+    SELECT a.s_suppkey AS sk_a, b.s_suppkey AS sk_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS lev
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def string_distance_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup over entity names (the classic
+    record-linkage primitive; supplier set is tiny so the self-join is
+    broadcast — at scale block by name prefix/length first)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    a, b = supp.alias("a"), supp.alias("b")
+    lev = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(F.broadcast(b), F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .select(
+            F.col("a.s_suppkey").alias("sk_a"),
+            F.col("b.s_suppkey").alias("sk_b"),
+            lev.alias("lev"),
+        )
+        .filter(F.col("lev") <= 2)
+    )
+
+
+@query(
+    "map_and_bits_family",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k,
+           CAST(xor(event_id, user_id) AS BIGINT)                 AS ev_xor,
+           CAST(event_id & 255 AS BIGINT)                         AS ev_and,
+           CAST(event_id | 1 AS BIGINT)                           AS ev_or,
+           CAST(event_id << 2 AS BIGINT)                          AS ev_shl
+    FROM events
+    """,
+)
+def map_and_bits_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map access (from_json to map<string,long>) + bitwise scalar ops
+    (xor/and/or/shift) — the families SURVEY §2.10 lists beyond the
+    reference's own usage."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("ev_xor"),
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("ev_and"),
+        F.col("event_id").bitwiseOR(F.lit(1)).alias("ev_or"),
+        F.shiftleft("event_id", 2).alias("ev_shl"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (token), n
+    ORDER BY tfidf DESC, doc_id ASC, token ASC
+    LIMIT 100
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, spelled out in DataFrame ops (explode -> tf -> document
+    frequency -> idf join) with the smoothed idf ln((N+1)/(df+1)).
+    Top-100 weighted terms, deterministic tie-break. The MLlib
+    HashingTF/IDF pipeline gives the same shape with feature hashing —
+    kept out of the oracle path because hash buckets aren't
+    reproducible in SQL."""
+    from fhir_to_lakehouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.distinct().groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()  # scalar; documents table is the small input
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("token").asc())
+        .limit(100)
+    )

@@ -151,32 +151,32 @@ def asof_join_pandas_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_join_events_in_order_window",
     oracle="""
     SELECT o.o_orderkey, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
-    FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) o
+    FROM (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-03-01') o
     LEFT JOIN events e
-      ON e.ts >= o.o_orderdate + INTERVAL 10957 DAYS
-     AND e.ts <  o.o_orderdate + INTERVAL 10964 DAYS
+      ON e.ts >= o.o_orderdate + INTERVAL 10592 DAYS
+     AND e.ts <  o.o_orderdate + INTERVAL 10599 DAYS
     GROUP BY o.o_orderkey
     """,
 )
 def range_join_events_in_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: events within a 7-day window anchored at
-    each order date (shifted +30 years so the 1992-98 order dates
-    overlap the 2024 event stream). Executed by bucketizing the range
+    each order date (shifted +29 years so early-1995 order dates
+    overlap the Jan-2024 event stream). Executed by bucketizing the range
     key to days and equi-joining on the bucket — candidates are
     bounded per bucket instead of the broadcast-nested-loop a raw
     range predicate produces."""
     orders = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 100 == 0)
+        .filter(F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp"))
         .select(
             "o_orderkey",
             F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
         )
         .withColumn(
-            "win_start", F.timestamp_add("DAY", F.lit(10957), F.col("o_orderdate"))
+            "win_start", F.timestamp_add("DAY", F.lit(10592), F.col("o_orderdate"))
         )
         .withColumn(
-            "win_end", F.timestamp_add("DAY", F.lit(10964), F.col("o_orderdate"))
+            "win_end", F.timestamp_add("DAY", F.lit(10599), F.col("o_orderdate"))
         )
     )
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
