@@ -1,0 +1,76 @@
+"""MLlib-backed variants of the dedup/text operators (SURVEY §2.10:
+MinHashLSH from pyspark.ml.feature, HashingTF/IDF).
+
+These are the batteries-included alternatives to the hand-rolled
+Catalyst implementations in functions/dedup.py; fixed seeds make them
+deterministic, but their hash buckets aren't reproducible in SQL, so
+they carry rows-only checks + pytest agreement tests against the
+oracle-checked implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+
+def _token_vectors(spark: SparkSession, sf_dir: str, n_features: int = 1 << 14):
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    tok = Tokenizer(inputCol="text", outputCol="tokens")
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=n_features, binary=True
+    )
+    return tf.transform(tok.transform(docs))
+
+
+@query("dedup_mllib_minhash_lsh")
+def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH (pyspark.ml, seed=42) approxSimilarityJoin at Jaccard
+    distance <= 0.8 over binary HashingTF vectors. Rows-only check
+    (feature-hash buckets aren't SQL-reproducible); agreement with the
+    oracle-checked md5 MinHash is pytest-asserted."""
+    from pyspark.ml.feature import MinHashLSH
+
+    # deterministic 4% sample: the synthetic corpus shares one tiny
+    # vocabulary, so token-set Jaccard is high for almost every pair and
+    # an unbounded approxSimilarityJoin degenerates to O(n²) output;
+    # the sample keeps the demo bounded at any scale factor
+    vecs = _token_vectors(spark, sf_dir).filter(F.col("doc_id") % 25 == 0)
+    # MinHashLSH requires at least one non-zero entry
+    vecs = vecs.filter(F.size("tokens") > 0)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+    )
+
+
+@query("text_mllib_tfidf")
+def text_mllib_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashingTF + IDF pipeline: per-doc top feature weight. Rows-only
+    (hash-bucketed features); the exact TF-IDF twin is the
+    oracle-checked tfidf_top_terms."""
+    from pyspark.ml.feature import IDF
+    from pyspark.ml.functions import vector_to_array
+
+    vecs = _token_vectors(spark, sf_dir)
+    idf = IDF(inputCol="features", outputCol="tfidf")
+    scored = idf.fit(vecs).transform(vecs)
+
+    max_w = F.array_max(vector_to_array(F.col("tfidf")))
+    return scored.select(
+        "doc_id", F.round(max_w, 6).alias("max_tfidf_weight")
+    )
