@@ -27,8 +27,12 @@ HEADLINE = [
     "join_left_outer_order_counts",
     "agg_distinct_parts_per_supplier",
     "window_topk_orders_per_customer",
+    "percentile_exact_prices",
     "events_sessionize",
+    "asof_join_last_click_before_purchase",
+    "pipeline_latest_per_url",
     "text_term_frequency",
+    "tfidf_top_terms",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "similarity_brute_topk",

@@ -12,6 +12,8 @@ without Exchange).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,6 +59,16 @@ def write_bucketed(
     """Persist as a bucketed managed table: later equi-joins/aggs on
     ``bucket_key`` between tables bucketed the same way run without an
     Exchange (check .explain: no shuffle before SortMergeJoin)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # an in-memory catalog forgets tables across sessions while the
+    # warehouse dir persists; clear any orphaned location
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, table_name.lower()), ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
     if sort_key:
         writer = writer.sortBy(sort_key)
