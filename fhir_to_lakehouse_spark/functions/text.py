@@ -94,10 +94,18 @@ def fingerprint(col: Column | str) -> Column:
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-shingles as array<string> (distinct), built with
-    transform(sequence(...)) — all Catalyst, no UDF."""
+    transform(sequence(...)) — all Catalyst, no UDF.
+
+    Docs with fewer than k tokens yield an empty array: Spark's
+    ``sequence(1, stop)`` runs DESCENDING when stop < 1 (producing an
+    illegal slice start of 0), so the short-doc case must be guarded
+    explicitly."""
     toks = tokens(col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))

@@ -82,3 +82,29 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def s3_conf(
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    path_style: bool = True,
+) -> dict[str, str]:
+    """S3A object-store wiring (reference S9,
+    /root/reference/src/main.py:78-93: endpoint/creds/path-style MinIO,
+    magic committer for consistent multi-part commits). Pass the result
+    as ``extra_conf`` to :func:`get_spark`; requires the hadoop-aws jar
+    at runtime (not in this container — config construction only)."""
+    return {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    }

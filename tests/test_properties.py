@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis): the dedup/window/merge semantics
+hold for arbitrary event interleavings, not just the fixture scenarios.
+A Python model implements the spec; Spark must agree."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fhir_to_lakehouse_spark.functions import dedup as DD
+from fhir_to_lakehouse_spark.operators.bundles import latest_per_key
+from pyspark.sql import functions as F
+
+# (key, partition, offset) events; offsets unique per partition
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=3),   # kafka partition
+    ),
+    min_size=1,
+    max_size=30,
+).map(
+    lambda pairs: [
+        (k, p, off) for off, (k, p) in enumerate(pairs)
+    ]
+)
+
+
+def model_latest_per_key(rows):
+    """Spec: per key keep the row that sorts first by
+    (partition ASC, offset DESC) — reference W1."""
+    best = {}
+    for k, p, off in rows:
+        if k not in best:
+            best[k] = (p, off)
+        else:
+            bp, boff = best[k]
+            if (p, -off) < (bp, -boff):
+                best[k] = (p, off)
+    return {(k, p, off) for k, (p, off) in best.items()}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_latest_per_key_matches_model(spark, rows):
+    df = spark.createDataFrame(
+        [(str(k), p, off) for k, p, off in rows],
+        "request_url string, partition int, offset long",
+    )
+    got = {
+        (int(r["request_url"]), r["partition"], r["offset"])
+        for r in latest_per_key(df, key="request_url").collect()
+    }
+    assert got == model_latest_per_key(rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.sets(st.text(alphabet="abcde", min_size=1, max_size=3), max_size=8),
+    b=st.sets(st.text(alphabet="abcde", min_size=1, max_size=3), max_size=8),
+)
+def test_jaccard_matches_set_definition(spark, a, b):
+    df = spark.createDataFrame(
+        [(sorted(a), sorted(b))], "x array<string>, y array<string>"
+    )
+    got = df.select(DD.jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"]
+    want = len(a & b) / max(len(a | b), 1)
+    assert abs(got - want) < 1e-12
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=20), min_size=1, max_size=6
+    )
+)
+def test_minhash_similarity_bounds(spark, texts):
+    """Signature agreement fraction is 1.0 for identical shingle sets
+    and in [0,1] always; identical docs always collide in every band."""
+    from fhir_to_lakehouse_spark.functions.text import shingles
+
+    rows = [(i, t) for i, t in enumerate(texts + texts)]  # planted dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in df.select(
+            "doc_id", DD.minhash_signature(shingles("text", 2), 6).alias("sig")
+        ).collect()
+    }
+    n = len(texts)
+    for i in range(n):
+        assert sigs[i] == sigs[i + n]  # identical text -> identical signature
