@@ -63,6 +63,16 @@ def session_counts(
     )
 
 
+def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Cross-batch streaming dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps each key's state only until the
+    watermark passes — unlike the reference, whose dedup is
+    within-batch only (SURVEY §2.8) and relies on MERGE idempotency
+    across batches. Use for exactly-once-ish event feeds where the
+    same record may be redelivered within a bounded horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 RUNNING_TOTAL_OUTPUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
