@@ -160,24 +160,53 @@ def candidate_pairs_blocked(
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
+    from fhir_to_lakehouse_spark.functions.text import (
+        shingle_hashes_from_tokens,
+        tokens,
+    )
+
     block_cols = block_cols or ["lang"]
+    # hashed shingles: Jaccard only needs set sizes, and intersecting
+    # longs is far cheaper than intersecting shingle strings (the
+    # string-based oracle still validates the counts)
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        shingles(text_col, shingle_k).alias("sh"),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        "id",
+        *block_cols,
+        shingle_hashes_from_tokens(F.col("_toks"), shingle_k).alias("sh"),
     )
+    # both sides of the self-join read `base`; persist so shingling
+    # runs once (at warehouse scale this is a staged signatures table)
+    base = base.persist()
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard_sim"),
-        )
+    # stage the set sizes in their own projection: jaccard is then a
+    # cheap derived division, so a downstream filter on jaccard_sim
+    # doesn't re-run the O(|A|·|B|) intersect when Catalyst pushes the
+    # predicate through the project. inter/(|A|+|B|-inter) avoids
+    # materializing the union array entirely.
+    sized = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("_inter"),
+        F.size(F.col("a.sh")).alias("_sa"),
+        F.size(F.col("b.sh")).alias("_sb"),
+    )
+    return sized.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("_inter")
+            / F.greatest(
+                F.col("_sa") + F.col("_sb") - F.col("_inter"), F.lit(1)
+            )
+        ).alias("jaccard_sim"),
     )
 
 
@@ -197,13 +226,15 @@ def minhash_lsh_pairs(
     fraction of equal signature components >= threshold.
     """
     rows = num_hashes // bands
-    # materialize the shingle array in its own projection: inlining it
-    # into the signature would recompute tokenization+shingling once per
-    # hash seed (12×) — CollapseProject keeps non-cheap multi-use
-    # aliases in a separate project node
+    # two-stage materialization: tokens once, shingles once — inlining
+    # either into the signature would recompute them per hash seed
+    # (12×); CollapseProject keeps non-cheap multi-use aliases in
+    # separate project nodes
+    from fhir_to_lakehouse_spark.functions.text import shingles_from_tokens, tokens
+
     shingled = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh")
-    )
+        F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
+    ).select("id", shingles_from_tokens(F.col("_toks"), shingle_k).alias("sh"))
     sigs = shingled.select(
         "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
     )

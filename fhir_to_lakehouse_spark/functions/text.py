@@ -92,15 +92,18 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-shingles as array<string> (distinct), built with
-    transform(sequence(...)) — all Catalyst, no UDF.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles (distinct) from an existing token-array column.
+
+    Prefer this over :func:`shingles` in multi-stage pipelines:
+    materialize the token array once (withColumn/select) and build
+    shingles from the column reference — the convenience form embeds
+    the tokenizer expression 4× (guard, size, sequence, transform).
 
     Docs with fewer than k tokens yield an empty array: Spark's
     ``sequence(1, stop)`` runs DESCENDING when stop < 1 (producing an
     illegal slice start of 0), so the short-doc case must be guarded
     explicitly."""
-    toks = tokens(col)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - (k - 1))
     return F.when(
@@ -109,3 +112,30 @@ def shingles(col: Column | str, k: int = 3) -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as array<string> (distinct) — convenience form
+    tokenizing inline; see shingles_from_tokens for the staged form."""
+    return shingles_from_tokens(tokens(col), k)
+
+
+def shingle_hashes_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-shingles as xxhash64 values (array<long>) — skips the
+    string concatenation entirely (xxhash64 hashes the k token columns
+    directly). Set cardinalities match the string form (collisions are
+    ~2^-64), so Jaccard computed on hashes equals Jaccard on strings;
+    use for set-overlap math, not where shingle text is needed."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
