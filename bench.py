@@ -40,6 +40,38 @@ HEADLINE = [
 ]
 
 
+def bench_etl_pipeline(spark, sf_dir: str) -> float:
+    """End-to-end ETL throughput (the reference's flagship path):
+    synthesize one FHIR bundle per event row, run the full
+    parse/dedup/encode/merge pipeline into a fresh warehouse, time it.
+    The reference's e2e proxy is 100 bundles visible in ~30 s in kind
+    (BASELINE.md); this measures the same work as one micro-batch."""
+    import shutil
+    import tempfile
+
+    from fhir_to_lakehouse_spark.plans.pipeline_q import _bundle_events
+    from fhir_to_lakehouse_spark.streaming.pipeline import (
+        BundlePipeline,
+        PipelineConfig,
+    )
+
+    wh = tempfile.mkdtemp(prefix="bench-wh-")
+    try:
+        pipe = BundlePipeline(
+            spark,
+            PipelineConfig(
+                warehouse_dir=wh, checkpoint_dir=os.path.join(wh, "ck"),
+                upkeep_interval=10_000,
+            ),
+        )
+        events = _bundle_events(spark, sf_dir)
+        t0 = time.perf_counter()
+        pipe.process_batch(events, batch_id=1)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cold = os.environ.get("BENCH_COLD") == "1"
@@ -62,6 +94,8 @@ def main() -> None:
             continue
         first = run_once(name)
         timings[name] = round(first if cold else run_once(name), 4)
+
+    timings["etl_pipeline_batch"] = round(bench_etl_pipeline(spark, sf_dir), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
