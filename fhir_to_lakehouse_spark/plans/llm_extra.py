@@ -1,0 +1,148 @@
+"""Remaining named north-star operators: embedding-cosine near-dup,
+winnowing (rolling-hash) document fingerprints, BPE-ish token counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / greatest(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6)
+             AS cos_sim
+    FROM c a JOIN c b ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE list_dot_product(a.v, b.v)
+          / greatest(sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v)), 1e-12) >= 0.28
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: block by label (the
+    cheap cluster id — at scale this is the IVF cell / LSH bucket), so
+    the self-join compares within blocks only, then keep pairs with
+    cosine >= 0.28 (the synthetic clusters are loose; the threshold
+    sits at the top ~1%% of within-label pairs). Norms are staged per row so the pair comparison is
+    one dot product + one division."""
+    from fhir_to_lakehouse_spark.functions.similarity import as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .persist()  # both sides of the self-join
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / F.greatest(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(1e-12)
+    )
+    paired = a.join(
+        b, (F.col("a.vec_id") < F.col("b.vec_id")) & (F.col("a.label") == F.col("b.label"))
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cos.alias("cos_sim"),
+    )
+    return paired.filter(F.col("cos_sim") >= 0.28).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+_DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+_WINNOW_W = 4  # window size over consecutive shingle hashes
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), hashes AS (
+      -- ordered rolling k-gram hash stream (k=3 word-grams, md5 as the
+      -- portable hash)
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> md5(array_to_string(toks[i:i+2], ' '))) AS hs
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(
+             list_transform(range(1, greatest(len(hs) - {_WINNOW_W - 1}, 0) + 1),
+                            i -> list_aggregate(hs[i:i+{_WINNOW_W - 1}], 'min'))
+           )) AS INT) AS n_fingerprints
+    FROM hashes
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): the rolling
+    stream of k-gram hashes, min per sliding window of w, distinct mins
+    = the fingerprint set. Output is the fingerprint-set size per doc
+    (the set itself is what near-dup search would index). All Catalyst
+    HOFs over the ordered (non-distinct) shingle-hash stream."""
+    from fhir_to_lakehouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", tokens("text").alias("toks"))
+    n = F.size(F.col("toks"))
+    hash_stream = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, 3))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    hashed = staged.select("doc_id", hash_stream.alias("hs"))
+    m = F.size(F.col("hs"))
+    mins = F.when(
+        m >= _WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), m - (_WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return hashed.select(
+        "doc_id", F.size(F.array_distinct(mins)).alias("n_fingerprints")
+    )
+
+
+# GPT-2-style pre-tokenizer regex, simplified to the portable subset
+# (both engines use RE2/PCRE-compatible classes here)
+_BPE_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS}) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))
+                AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    pre-tokenizer regex (letter runs / digit runs / punctuation runs
+    with leading-space affinity, GPT-2 style) — the cheap proxy for
+    'how many LLM tokens is this corpus'."""
+    from fhir_to_lakehouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
+    )
