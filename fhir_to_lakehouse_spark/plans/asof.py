@@ -12,8 +12,6 @@ quadratic candidate explosion, skew bounded by per-user event counts.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

@@ -35,8 +35,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap cluster id — at scale this is the IVF cell / LSH bucket), so
     the self-join compares within blocks only, then keep pairs with
     cosine >= 0.28 (the synthetic clusters are loose; the threshold
-    sits at the top ~1%% of within-label pairs). Norms are staged per row so the pair comparison is
-    one dot product + one division."""
+    sits at the top ~1% of within-label pairs). Norms are staged per
+    row so the pair comparison is one dot product + one division."""
     from fhir_to_lakehouse_spark.functions.similarity import as_double, dot
 
     emb = load_table(spark, sf_dir, "embeddings")

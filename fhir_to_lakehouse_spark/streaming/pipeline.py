@@ -31,7 +31,6 @@ from fhir_to_lakehouse_spark.operators.bundles import (
     prepare_stream,
     split_by_method,
 )
-from fhir_to_lakehouse_spark.schemas import schema_for
 from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
 
 
