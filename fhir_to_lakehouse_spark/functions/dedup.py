@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.functions.text import fingerprint, shingles, tokens
 
+# the split-md5 minhash derives this many signature components from each
+# 32-hex seed hash (10-hex substring slots)
+SLOTS_PER_SEED = 3
+
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 12) -> Column:
     """array<string> of length num_hashes: lexicographic-min md5 per seed.
@@ -226,17 +230,46 @@ def minhash_lsh_pairs(
     fraction of equal signature components >= threshold.
     """
     rows = num_hashes // bands
-    # two-stage materialization: tokens once, shingles once — inlining
-    # either into the signature would recompute them per hash seed
-    # (12×); CollapseProject keeps non-cheap multi-use aliases in
-    # separate project nodes
+    # staged materialization: tokens once, shingles once, then one md5
+    # pass per SEED (not per component) — each 32-hex seed-hash yields
+    # SLOTS_PER_SEED signature components via substring slots, cutting
+    # md5 calls 3× versus one md5 per component. Every stage lives in
+    # its own projection: CollapseProject keeps non-cheap multi-use
+    # aliases separate, so nothing is recomputed.
     from fhir_to_lakehouse_spark.functions.text import shingles_from_tokens, tokens
+
+    slots = SLOTS_PER_SEED
+    n_seeds = (num_hashes + slots - 1) // slots
+
+    # NB: single-arg lambdas via closure factories — a two-arg lambda
+    # (even with a default) is treated by F.transform as (element, index)
+    def seed_hashes(b: int):
+        return F.transform(
+            F.col("sh"), lambda s: F.md5(F.concat_ws("#", s, F.lit(str(b))))
+        )
+
+    def slot_min(seed: int, j: int):
+        return F.coalesce(
+            F.array_min(
+                F.transform(
+                    F.col(f"_h{seed}"),
+                    lambda h: F.substring(h, j * 10 + 1, 10),
+                )
+            ),
+            F.lit("z" * 8),
+        )
 
     shingled = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("_toks")
     ).select("id", shingles_from_tokens(F.col("_toks"), shingle_k).alias("sh"))
-    sigs = shingled.select(
-        "id", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    hashed = shingled.select(
+        "id", *[seed_hashes(b).alias(f"_h{b}") for b in range(n_seeds)]
+    )
+    sigs = hashed.select(
+        "id",
+        F.array(
+            *[slot_min(c // slots, c % slots) for c in range(num_hashes)]
+        ).alias("sig"),
     )
     banded = sigs.select(
         "id", "sig", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")

@@ -76,18 +76,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_sig() -> str:
+_SLOTS = 3  # must match functions/dedup.py SLOTS_PER_SEED
+_N_SEEDS = (_MINHASH_K + _SLOTS - 1) // _SLOTS
+
+
+def _duck_sig_comps() -> str:
     comps = ", ".join(
-        f"coalesce(list_aggregate(list_transform({_DUCK_SHINGLES},"
-        f" s -> md5(s || '#' || '{i}')), 'min'), 'zzzzzzzz')"
-        for i in range(_MINHASH_K)
+        "coalesce(list_aggregate(list_transform("
+        f"h{c // _SLOTS}, x -> substr(x, {(c % _SLOTS) * 10 + 1}, 10)"
+        "), 'min'), 'zzzzzzzz')"
+        for c in range(_MINHASH_K)
     )
     return f"[{comps}]"
 
 
 _MINHASH_ORACLE = f"""
-    WITH sigs AS (
-      SELECT doc_id AS id, {_duck_sig()} AS sig FROM documents
+    WITH hashed AS (
+      SELECT doc_id AS id,
+             {", ".join(f"list_transform({_DUCK_SHINGLES}, s -> md5(s || '#' || '{b}')) AS h{b}" for b in range(_N_SEEDS))}
+      FROM documents
+    ), sigs AS (
+      SELECT id, {_duck_sig_comps()} AS sig FROM hashed
     ), banded AS (
       SELECT id, sig, unnest([
         {", ".join(f"'{b}:' || md5(array_to_string(sig[{b * _MINHASH_ROWS + 1}:{b * _MINHASH_ROWS + _MINHASH_ROWS}], '|'))" for b in range(_MINHASH_BANDS))}
