@@ -1,0 +1,85 @@
+"""Connected components over candidate-pair edges — the clustering
+step that turns near-duplicate PAIRS into duplicate GROUPS (each doc
+labeled with the minimum doc-id of its component, the canonical
+representative).
+
+Iterative label propagation: every node's label becomes the minimum
+label in its neighborhood; repeat until no label changes. Each
+iteration is one shuffle (groupBy node); convergence takes at most the
+graph diameter, and near-dup graphs are shallow (clusters are cliques
+or near-cliques from LSH bands), so it converges in 2-4 rounds. Not
+SQL-expressible (iteration) -> rows-only check + pytest goldens.
+
+At 100 TB scale: checkpoint labels every few iterations (lineage would
+otherwise grow unboundedly), or switch to the large-star/small-star
+algorithm (Kiveris et al.) whose round count is O(log n) on adversarial
+diameters; for dedup graphs the simple propagation is the right cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min
+    node id reachable. Iterates until labels stop changing (checked
+    with one count per iteration) or max_iterations."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    # undirected adjacency, both directions
+    adj = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .persist()
+    )
+    for _ in range(max_iterations):
+        nbr_labels = (
+            adj.join(labels, adj.nbr == labels.node)
+            .select(adj.node.alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Final dedup: given near-dup pairs, keep one doc per component
+    (the minimum id) plus every unpaired doc."""
+    comps = connected_components(pairs)
+    labeled = docs.join(
+        comps, docs[id_col] == comps.node, "left"
+    )
+    return labeled.filter(
+        F.col("component").isNull() | (F.col(id_col) == F.col("component"))
+    ).drop("node", "component")

@@ -186,6 +186,29 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_cluster_components")
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters via iterative connected
+    components (label propagation, min-id canonical). The step that
+    turns pairwise LSH output into 'keep one per group'. Iterative ->
+    not SQL-expressible -> rows-only check; cluster goldens in pytest."""
+    from fhir_to_lakehouse_spark.functions.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs,
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        threshold=0.25,
+        shingle_k=3,
+    )
+    comps = connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("canonical_id"),
+    )
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 per document + near-dup pairs at Hamming distance <= 8

@@ -1,0 +1,43 @@
+"""Connected-components goldens: known graphs -> known clusters."""
+
+from __future__ import annotations
+
+from fhir_to_lakehouse_spark.functions.graph import (
+    connected_components,
+    dedup_keep_canonical,
+)
+
+
+def comps(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_two_disjoint_components(spark):
+    got = comps(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_converges_to_min(spark):
+    # a 6-node path: propagation needs multiple iterations
+    got = comps(spark, [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0)])
+    assert got == {i: 0 for i in range(6)}
+
+
+def test_cycle_and_bridge(spark):
+    got = comps(spark, [(1, 2), (2, 3), (3, 1), (3, 7), (8, 9)])
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 8: 8, 9: 8}
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 2)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect()
+    )
+    # components {0,3,5}->0 and {1,2}->1; 4 unpaired
+    assert kept == [0, 1, 4]
