@@ -132,6 +132,28 @@ def test_unknown_resource_type_keeps_raw_json(spark, pipeline):
     assert json.loads(enc["resource_json"])["status"] == "planned"
 
 
+def test_reprocessing_same_batch_is_idempotent(spark, pipeline):
+    """foreachBatch may redeliver a batch after a crash-restart; MERGE
+    semantics must make reprocessing a no-op (the reference's
+    cross-batch correctness rests on this same idempotency)."""
+    rows = [
+        {"value": put_bundle("Patient", "1", active=True), "offset": 0},
+        {"value": delete_bundle("Patient", "2"), "offset": 1},
+        {"value": put_bundle("Patient", "3", active=False), "offset": 2},
+    ]
+    pipeline.process_batch(batch(spark, rows), 1)
+    first = sorted(
+        (r["id"], r["active"])
+        for r in pipeline.table("Patient").to_df().collect()
+    )
+    pipeline.process_batch(batch(spark, rows), 1)  # redelivery
+    second = sorted(
+        (r["id"], r["active"])
+        for r in pipeline.table("Patient").to_df().collect()
+    )
+    assert first == second == [("1", True), ("3", False)]
+
+
 def test_upkeep_runs_on_interval_batch(spark, pipeline):
     # batch_id 0 triggers upkeep (reference test: batch_id=0 -> OPTIMIZE)
     pipeline.process_batch(

@@ -83,6 +83,29 @@ def test_jaccard_matches_set_definition(spark, a, b):
 )
 @given(
     texts=st.lists(
+        st.text(alphabet="abc .,!123\n\t", min_size=0, max_size=40),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quality_score_bounded(spark, texts):
+    """quality_score stays in [0, 1] for arbitrary text, including
+    empty/whitespace/punctuation-only documents."""
+    from fhir_to_lakehouse_spark.functions.text import quality_score
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for r in df.select(quality_score("text").alias("q")).collect():
+        assert r["q"] is not None
+        assert 0.0 <= r["q"] <= 1.0 + 1e-9
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
         st.text(alphabet="ab cd", min_size=0, max_size=20), min_size=1, max_size=6
     )
 )
