@@ -132,6 +132,67 @@ def test_unknown_resource_type_keeps_raw_json(spark, pipeline):
     assert json.loads(enc["resource_json"])["status"] == "planned"
 
 
+def test_multi_entry_bundle_explodes_to_all_entries(spark, pipeline):
+    """One transaction Bundle carrying several entries of mixed types
+    and methods — the 1:N explode path (reference P3). All entries
+    share the Kafka offset; cross-type routing still applies."""
+    import json
+
+    bundle = json.dumps(
+        {
+            "resourceType": "Bundle",
+            "type": "transaction",
+            "entry": [
+                {
+                    "resource": {"resourceType": "Patient", "id": "p1", "active": True},
+                    "request": {"method": "PUT", "url": "Patient/p1"},
+                },
+                {
+                    "resource": {"resourceType": "Condition", "id": "c1"},
+                    "request": {"method": "PUT", "url": "Condition/c1"},
+                },
+                {"request": {"method": "DELETE", "url": "Patient/p0"}},
+                {
+                    "resource": {"resourceType": "Patient", "id": "p2", "active": False},
+                    "request": {"method": "PUT", "url": "Patient/p2"},
+                },
+            ],
+        }
+    )
+    pipeline.process_batch(batch(spark, [{"value": bundle}]), 1)
+    patients = pipeline.table("Patient").to_df()
+    assert sorted(r["id"] for r in patients.collect()) == ["p1", "p2"]
+    assert pipeline.table("Condition").to_df().count() == 1
+
+
+def test_unknown_fields_do_not_break_encoding(spark, pipeline):
+    """Incoming resources with fields outside the curated schema merge
+    fine (schema evolution disabled like the reference,
+    /root/reference/src/main.py:72); extras survive in resource_json."""
+    import json
+
+    pipeline.process_batch(
+        batch(
+            spark,
+            [
+                {
+                    "value": put_bundle(
+                        "Patient",
+                        "x1",
+                        active=True,
+                        futureField={"nested": [1, 2, 3]},
+                        anotherUnknown="y",
+                    )
+                }
+            ],
+        ),
+        1,
+    )
+    row = pipeline.table("Patient").to_df().collect()[0]
+    assert row["id"] == "x1" and row["active"] is True
+    assert json.loads(row["resource_json"])["futureField"]["nested"] == [1, 2, 3]
+
+
 def test_reprocessing_same_batch_is_idempotent(spark, pipeline):
     """foreachBatch may redeliver a batch after a crash-restart; MERGE
     semantics must make reprocessing a no-op (the reference's
