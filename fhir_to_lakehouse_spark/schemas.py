@@ -16,6 +16,23 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+# --- Kafka record shape (string variant used by file/test sources) ------
+# The real Kafka source emits key/value as BINARY; the engine's first
+# step casts value to string (P1), so a string-typed source is
+# pipeline-equivalent (reference test fixtures do the same,
+# /root/reference/tests/unit/test_bundle_processor.py:100-105).
+
+KAFKA_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("topic", T.StringType()),
+    ]
+)
+
 # --- bundle envelope (partial parse: routing fields only) ----------------
 
 BUNDLE_SCHEMA = T.StructType(

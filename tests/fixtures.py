@@ -11,18 +11,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 
-from pyspark.sql import types as T
-
-KAFKA_SCHEMA = T.StructType(
-    [
-        T.StructField("key", T.StringType()),
-        T.StructField("value", T.StringType()),
-        T.StructField("timestamp", T.TimestampType()),
-        T.StructField("partition", T.IntegerType()),
-        T.StructField("offset", T.LongType()),
-        T.StructField("topic", T.StringType()),
-    ]
-)
+from fhir_to_lakehouse_spark.schemas import KAFKA_RECORD_SCHEMA as KAFKA_SCHEMA
 
 
 def put_bundle(resource_type: str, rid: str, **fields) -> str:
