@@ -215,6 +215,87 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders    ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated existence — the supplier is
+    the ONLY one whose lineitem was returned on a multi-supplier order.
+    EXISTS -> aggregated per-order supplier stats joined back (one
+    lineitem aggregation serves both the EXISTS and the NOT EXISTS:
+    n_supp > 1 ∧ n_flagged_supp = 1 ∧ this supplier flagged)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_flagged_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(per_order), l1.l_orderkey == F.col("po_key"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_flagged_supp") == 1))
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "profile_table_columns",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                        AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)     AS null_custkey,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)       AS nd_custkey,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)   AS nd_status,
+           ROUND(MIN(o_totalprice), 2)                     AS min_price,
+           ROUND(MAX(o_totalprice), 2)                     AS max_price,
+           CAST(MIN(o_orderdate) AS DATE)                  AS min_date,
+           CAST(MAX(o_orderdate) AS DATE)                  AS max_date
+    FROM orders
+    """,
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (null counts, distinct counts, ranges) —
+    the describe-style data-quality sweep, all partial-aggregatable in
+    a single scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = F.count(F.lit(1))
+    return orders.agg(
+        cnt.alias("n_rows"),
+        (cnt - F.count("o_custkey")).alias("null_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+    )
+
+
+@query(
     "q20_part_supply_candidates",
     oracle="""
     SELECT DISTINCT s_suppkey, s_name
