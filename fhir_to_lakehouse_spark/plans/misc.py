@@ -48,6 +48,53 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_distribution_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist distribution window functions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT)               AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() markers distinguishing rollup subtotal levels from
+    genuine NULL group values."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+
+
+@query(
     "array_family",
     oracle=r"""
     WITH t AS (
