@@ -47,8 +47,13 @@ def get_spark(
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = _cpus()
+    # local mode runs everything in the driver JVM, so driver memory is
+    # the only heap knob that matters (guide: size it to the machine);
+    # must be set before the JVM launches — no effect on reused sessions
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
