@@ -50,6 +50,10 @@ class PipelineConfig:
         }
     )
     log_batch_stats: bool = False
+    # reference settings: log_resource_count_by_source_topic
+    log_topic_counts: bool = False
+    # reference: register tables in the catalog when metastore configured
+    register_schema: str | None = None
 
 
 class BundlePipeline:
@@ -107,15 +111,26 @@ class BundlePipeline:
         upsert FIRST, then deletes, like the reference at
         /root/reference/src/bundle_processor.py:221-234)."""
         deduped = latest_per_key(df)  # W1: partition asc, offset desc
+        if self.cfg.log_topic_counts:
+            # reference log_resource_count_by_source_topic
+            # (/root/reference/src/bundle_processor.py:131)
+            deduped.groupBy("topic").count().show(truncate=False)
         puts, deletes = split_by_method(deduped)
 
         tbl = self.table(resource_type)
         encoded = encode_resources(puts, resource_type)
+        # table creation is unconditional once a type appears — the
+        # reference creates the (possibly empty) table before merging,
+        # so a DELETE-only first batch still materializes the table
+        # (/root/reference/src/bundle_processor.py:172-204); the curated
+        # schema is static, so no rows are needed to derive it
+        tbl.create_if_not_exists(
+            encoded.schema,
+            cluster_by=self.cfg.clustering_columns.get(resource_type),
+        )
+        if self.cfg.register_schema:
+            self._register(resource_type)
         if not encoded.isEmpty():
-            tbl.create_if_not_exists(
-                encoded.schema,
-                cluster_by=self.cfg.clustering_columns.get(resource_type),
-            )
             tbl.merge_upsert(encoded)
 
         delete_ids = deletes.select(
@@ -123,6 +138,21 @@ class BundlePipeline:
         )
         if not delete_ids.isEmpty():
             tbl.merge_delete(delete_ids)
+
+    def _register(self, resource_type: str) -> None:
+        """Catalog registration at table-create time (reference
+        _register_table_in_metastore,
+        /root/reference/src/bundle_processor.py:330-357)."""
+        from fhir_to_lakehouse_spark.session import delta_available
+
+        schema = self.cfg.register_schema
+        fmt = "DELTA" if delta_available() else "PARQUET"
+        path = self.table(resource_type).path
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {schema}.`{resource_type}` "
+            f"USING {fmt} LOCATION '{path}'"
+        )
 
     # -- maintenance (reference :236-238 + lakehousekeeper) --------------
 

@@ -132,6 +132,36 @@ def test_unknown_resource_type_keeps_raw_json(spark, pipeline):
     assert json.loads(enc["resource_json"])["status"] == "planned"
 
 
+def test_delete_only_first_batch_creates_empty_table(spark, pipeline):
+    """Reference parity: the table is created before merging, so a
+    DELETE for a never-seen type still materializes an empty table
+    (reference creates from encoder schema unconditionally)."""
+    pipeline.process_batch(
+        batch(spark, [{"value": delete_bundle("Patient", "ghost")}]), 1
+    )
+    assert pipeline.table("Patient").exists()
+    assert pipeline.table("Patient").to_df().count() == 0
+
+
+def test_pipeline_registers_tables_when_configured(spark, tmp_path):
+    from fhir_to_lakehouse_spark.streaming.pipeline import (
+        BundlePipeline,
+        PipelineConfig,
+    )
+
+    cfg = PipelineConfig(
+        warehouse_dir=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        register_schema="fhir_stream",
+    )
+    pipe = BundlePipeline(spark, cfg)
+    pipe.process_batch(
+        batch(spark, [{"value": put_bundle("Patient", "r1", active=True)}]), 1
+    )
+    got = spark.sql("SELECT id FROM fhir_stream.Patient").collect()
+    assert [r["id"] for r in got] == ["r1"]
+
+
 def test_multi_entry_bundle_explodes_to_all_entries(spark, pipeline):
     """One transaction Bundle carrying several entries of mixed types
     and methods — the 1:N explode path (reference P3). All entries
