@@ -165,11 +165,21 @@ class BundlePipeline:
 
     # -- streaming shell -------------------------------------------------
 
-    def start_stream(self, source_df: DataFrame, query_name: str = "bundles"):
+    def start_stream(
+        self,
+        source_df: DataFrame,
+        query_name: str = "bundles",
+        available_now: bool = False,
+    ):
         """Single streaming query over the whole source (fixes the
         reference's per-type fan-out, /root/reference/src/main.py:157-188
-        — one Kafka read, per-type routing inside the batch)."""
-        return (
+        — one Kafka read, per-type routing inside the batch).
+
+        ``available_now=True`` switches to the bounded-backfill trigger:
+        process everything currently in the source (rate limits still
+        apply per batch), then stop — the pattern for catch-up runs and
+        scheduled incremental jobs."""
+        writer = (
             source_df.writeStream.outputMode("append")
             .option(
                 "checkpointLocation",
@@ -177,6 +187,9 @@ class BundlePipeline:
             )
             .queryName(query_name)
             .foreachBatch(self.process_batch)
-            .trigger(processingTime="0 seconds")  # reference settings.py:40
-            .start()
         )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="0 seconds")  # settings.py:40
+        return writer.start()
