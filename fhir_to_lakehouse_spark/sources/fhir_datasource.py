@@ -1,0 +1,102 @@
+"""Custom Python DataSource (Spark 4 DataSource API): read NDJSON files
+of FHIR transaction Bundles as Kafka-shaped records.
+
+``spark.read.format("fhir_bundles").load(dir)`` emits the same
+(key, value, timestamp, partition, offset, topic) rows the Kafka source
+produces, so the whole pipeline (prepare_stream -> W1 -> merge) runs
+unchanged over files — the batch twin of the reference's Synthea
+NDJSON corpus ingestion (reference data/bundles.ndjson is produced and
+fed through Kafka; here it is a first-class source).
+
+Partitioning: one InputPartition per file; within a file, ``offset`` is
+the line number and ``partition`` a stable hash of the file name — so
+W1's (partition ASC, offset DESC) ordering is file-order, matching
+Kafka's per-partition offset order. Scale: files are read fully
+parallel, no driver-side I/O; at 100 TB the file listing itself should
+come from a manifest table, which the `paths` option supports.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA_DDL = (
+    "key string, value string, timestamp timestamp, "
+    "partition int, offset long, topic string"
+)
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+    partition_id: int
+
+
+def _list_bundle_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith((".ndjson", ".json", ".jsonl"))
+    )
+
+
+class FhirBundleReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fhir_bundles source requires a path")
+        self.topic = options.get("topic", "fhir.file")
+
+    def partitions(self):
+        return [
+            _FilePartition(
+                p,
+                int.from_bytes(
+                    hashlib.md5(os.path.basename(p).encode()).digest()[:2], "big"
+                ),
+            )
+            for p in _list_bundle_files(self.path)
+        ]
+
+    def read(self, partition: _FilePartition):
+        mtime = dt.datetime.fromtimestamp(
+            os.path.getmtime(partition.path), tz=dt.timezone.utc
+        ).replace(tzinfo=None)
+        with open(partition.path, encoding="utf-8") as f:
+            for offset, line in enumerate(f):
+                line = line.strip()
+                if not line:
+                    continue
+                yield (
+                    None,  # key (producer key unavailable for files)
+                    line,
+                    mtime,
+                    partition.partition_id,
+                    offset,
+                    self.topic,
+                )
+
+
+class FhirBundleDataSource(DataSource):
+    """format name: fhir_bundles"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fhir_bundles"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> FhirBundleReader:
+        return FhirBundleReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(FhirBundleDataSource)
