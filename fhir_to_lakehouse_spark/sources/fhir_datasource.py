@@ -23,7 +23,12 @@ import hashlib
 import os
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA_DDL = (
     "key string, value string, timestamp timestamp, "
@@ -84,8 +89,49 @@ class FhirBundleReader(DataSourceReader):
                 )
 
 
+class FhirBundleStreamReader(SimpleDataSourceStreamReader):
+    """Incremental micro-batch reader: the stream offset is the sorted
+    list of files already consumed; each poll reads files that appeared
+    since. Files are immutable-once-written (the standard landing-zone
+    contract), so replays from a checkpointed offset are deterministic.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fhir_bundles source requires a path")
+        self.topic = options.get("topic", "fhir.file")
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"seen": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        files = _list_bundle_files(self.path)
+        new = [f for f in files if f not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        # the simple-reader API prefetches on the driver and pickles the
+        # result for executors: it must be an ITERATOR (next() is called)
+        # that is also PICKLABLE — a list_iterator is both; a generator
+        # pickles not at all and a bare list is not an iterator
+        return iter(list(self._rows(new))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        # deterministic replay for recovery: the delta between offsets
+        new = [f for f in end.get("seen", []) if f not in set(start.get("seen", []))]
+        return iter(list(self._rows(new)))
+
+    def _rows(self, files: list[str]):
+        batch_reader = FhirBundleReader({"path": self.path, "topic": self.topic})
+        for f in files:
+            pid = int.from_bytes(
+                hashlib.md5(os.path.basename(f).encode()).digest()[:2], "big"
+            )
+            yield from batch_reader.read(_FilePartition(f, pid))
+
+
 class FhirBundleDataSource(DataSource):
-    """format name: fhir_bundles"""
+    """format name: fhir_bundles (batch + streaming reads)"""
 
     @classmethod
     def name(cls) -> str:
@@ -96,6 +142,9 @@ class FhirBundleDataSource(DataSource):
 
     def reader(self, schema) -> FhirBundleReader:
         return FhirBundleReader(self.options)
+
+    def simpleStreamReader(self, schema) -> FhirBundleStreamReader:  # noqa: N802
+        return FhirBundleStreamReader(self.options)
 
 
 def register(spark) -> None:

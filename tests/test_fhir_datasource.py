@@ -29,6 +29,38 @@ def test_fhir_bundles_source_reads_ndjson(spark, tmp_path):
     assert len({r["partition"] for r in rows}) == 2
 
 
+def test_fhir_bundles_streaming_incremental(spark, tmp_path):
+    """Streaming read: files appearing between micro-batches are picked
+    up incrementally; the full pipeline consumes the stream."""
+    register(spark)
+    src = tmp_path / "stream_bundles"
+    src.mkdir()
+    (src / "0001.ndjson").write_text(put_bundle("Patient", "s1", active=True) + "\n")
+
+    cfg = PipelineConfig(
+        warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ck")
+    )
+    pipe = BundlePipeline(spark, cfg)
+    stream = spark.readStream.format("fhir_bundles").load(str(src))
+    q = pipe.start_stream(stream, query_name="ds_stream")
+    try:
+        q.processAllAvailable()
+        assert pipe.table("Patient").to_df().count() == 1
+        # second file arrives mid-stream
+        (src / "0002.ndjson").write_text(
+            put_bundle("Patient", "s2", active=False)
+            + "\n"
+            + delete_bundle("Patient", "s1")
+            + "\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(
+        r["id"] for r in pipe.table("Patient").to_df().collect()
+    ) == ["s2"]
+
+
 def test_fhir_bundles_source_through_pipeline(spark, tmp_path):
     register(spark)
     src = tmp_path / "bundles"
