@@ -58,6 +58,12 @@ def env_config() -> tuple[KafkaSourceConfig, PipelineConfig]:
 def build_source(spark, args, kafka_cfg: KafkaSourceConfig):
     if args.source == "kafka":
         return kafka_reader(spark, kafka_cfg).load()
+    if args.source == "fhir_files":
+        # custom Python DataSource: NDJSON bundle files, incremental
+        from fhir_to_lakehouse_spark.sources.fhir_datasource import register
+
+        register(spark)
+        return spark.readStream.format("fhir_bundles").load(args.input)
     from fhir_to_lakehouse_spark.schemas import KAFKA_RECORD_SCHEMA
 
     return (
@@ -69,8 +75,14 @@ def build_source(spark, args, kafka_cfg: KafkaSourceConfig):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fhir_to_lakehouse_spark")
-    ap.add_argument("--source", choices=["kafka", "file"], default="kafka")
-    ap.add_argument("--input", help="dir of Kafka-shaped JSON rows (file source)")
+    ap.add_argument(
+        "--source", choices=["kafka", "file", "fhir_files"], default="kafka"
+    )
+    ap.add_argument(
+        "--input",
+        help="file source: dir of Kafka-shaped JSON rows; "
+        "fhir_files source: dir of FHIR bundle NDJSON",
+    )
     ap.add_argument(
         "--once",
         action="store_true",
