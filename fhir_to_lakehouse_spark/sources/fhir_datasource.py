@@ -23,11 +23,15 @@ import hashlib
 import os
 from dataclasses import dataclass
 
+import uuid
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA_DDL = (
@@ -130,8 +134,53 @@ class FhirBundleStreamReader(SimpleDataSourceStreamReader):
             yield from batch_reader.read(_FilePartition(f, pid))
 
 
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+    n_rows: int
+
+
+class FhirBundleWriter(DataSourceWriter):
+    """Executor-side writer: each partition streams its ``value`` column
+    (one bundle JSON per row) into a temp NDJSON file; the driver's
+    commit renames temp files into place (write-then-rename = readers
+    never observe partial files, and an aborted job leaves no visible
+    output). The export twin of the reader: a keyed table serialized
+    back into the landing-zone format."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fhir_bundles sink requires a path")
+
+    def write(self, iterator) -> _WroteFile:
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.ndjson"
+        tmp = os.path.join(self.path, f".{name}.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(row["value"])
+                f.write("\n")
+                n += 1
+        return _WroteFile(tmp, os.path.join(self.path, name), n)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            if m.n_rows > 0:
+                os.rename(m.tmp_path, m.final_path)
+            else:
+                os.remove(m.tmp_path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class FhirBundleDataSource(DataSource):
-    """format name: fhir_bundles (batch + streaming reads)"""
+    """format name: fhir_bundles (batch + streaming reads, batch write)"""
 
     @classmethod
     def name(cls) -> str:
@@ -145,6 +194,11 @@ class FhirBundleDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> FhirBundleStreamReader:  # noqa: N802
         return FhirBundleStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> FhirBundleWriter:
+        if overwrite:
+            raise ValueError("fhir_bundles sink is append-only")
+        return FhirBundleWriter(self.options)
 
 
 def register(spark) -> None:

@@ -61,6 +61,54 @@ def test_fhir_bundles_streaming_incremental(spark, tmp_path):
     ) == ["s2"]
 
 
+def test_fhir_bundles_writer_roundtrip(spark, tmp_path):
+    """Export a table back to bundle NDJSON through the writer, then
+    re-read it through the reader: lossless round-trip."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    out = tmp_path / "export"
+    # build PUT bundles from rows, write via the custom sink
+    rows = spark.createDataFrame(
+        [("p%d" % i, i % 2 == 0) for i in range(20)], "id string, active boolean"
+    )
+    bundles = rows.select(
+        F.to_json(
+            F.struct(
+                F.lit("Bundle").alias("resourceType"),
+                F.lit("transaction").alias("type"),
+                F.array(
+                    F.struct(
+                        F.to_json(
+                            F.struct(
+                                F.lit("Patient").alias("resourceType"),
+                                F.col("id"),
+                                F.col("active"),
+                            )
+                        ).alias("resource"),
+                        F.struct(
+                            F.lit("PUT").alias("method"),
+                            F.concat(F.lit("Patient/"), F.col("id")).alias("url"),
+                        ).alias("request"),
+                    )
+                ).alias("entry"),
+            )
+        ).alias("value")
+    )
+    bundles.write.format("fhir_bundles").mode("append").save(str(out))
+
+    back = spark.read.format("fhir_bundles").load(str(out))
+    assert back.count() == 20
+    from fhir_to_lakehouse_spark.operators.bundles import prepare_stream
+
+    ids = sorted(
+        r["request_resource_id"] for r in prepare_stream(back).collect()
+    )
+    assert ids == sorted("p%d" % i for i in range(20))
+    # no stray temp files after commit
+    assert not [f for f in out.iterdir() if f.name.startswith(".")]
+
+
 def test_fhir_bundles_source_through_pipeline(spark, tmp_path):
     register(spark)
     src = tmp_path / "bundles"
