@@ -62,10 +62,20 @@ def retry(attempts: int = 5, base_s: float = 0.05, cap_s: float = 30.0):
 class KeyedTable:
     """A mutable table keyed on ``key`` at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "id"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "id",
+        sort_on_write: bool = True,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
+        # fallback-path analog of Delta optimizeWrite/liquid clustering:
+        # sorting by key within partitions tightens per-file min/max
+        # statistics, so later key lookups and merge joins skip files
+        self.sort_on_write = sort_on_write
         self._delta = delta_available() and not os.environ.get("FORCE_PARQUET_SINK")
 
     # -- existence / read ------------------------------------------------
@@ -223,6 +233,8 @@ class KeyedTable:
         """Copy-on-write with atomic directory swap (crash-safe: readers
         see the old or the new table, never a partial write)."""
         tmp = f"{self.path.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
+        if self.sort_on_write and self.key in df.columns:
+            df = df.sortWithinPartitions(self.key)
         df.write.mode("overwrite").parquet(tmp)
         old = f"{self.path.rstrip('/')}.tmp-old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):

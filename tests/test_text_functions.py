@@ -1,0 +1,54 @@
+"""Text-function goldens on crafted inputs (the synthetic corpus can't
+exercise these edges)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.functions import text as TX
+
+
+def one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("x")).collect()[0]["x"]
+
+
+def test_fingerprint_invariant_to_case_and_whitespace(spark):
+    a = one(spark, "Hello   World\tfoo", TX.fingerprint("text"))
+    b = one(spark, "hello world foo", TX.fingerprint("text"))
+    c = one(spark, "hello world bar", TX.fingerprint("text"))
+    assert a == b != c
+
+
+def test_token_count_edges(spark):
+    assert one(spark, "", TX.token_count("text")) == 0
+    assert one(spark, "   \t  ", TX.token_count("text")) == 0
+    assert one(spark, "one", TX.token_count("text")) == 1
+    assert one(spark, "a  b\tc\nd", TX.token_count("text")) == 4
+
+
+def test_shingles_short_docs_empty(spark):
+    assert one(spark, "a b", TX.shingles("text", 3)) == []
+    assert one(spark, "a b c", TX.shingles("text", 3)) == ["a b c"]
+    assert sorted(one(spark, "a b c d", TX.shingles("text", 3))) == [
+        "a b c",
+        "b c d",
+    ]
+
+
+def test_lang_scores_pick_marker_language(spark):
+    scores = TX.lang_scores("text")
+    df = spark.createDataFrame(
+        [("der hund und die katze ist das",)], "text string"
+    )
+    row = df.select(
+        *[scores[lang].alias(lang) for lang in sorted(TX.LANG_MARKERS)]
+    ).collect()[0]
+    assert row["de"] > row["en"]
+    assert row["de"] > row["fr"]
+
+
+def test_punct_and_digit_ratios(spark):
+    assert abs(one(spark, "ab,.", TX.punct_ratio("text")) - 0.5) < 1e-12
+    assert abs(one(spark, "a1b2", TX.digit_ratio("text")) - 0.5) < 1e-12
+    assert one(spark, "", TX.punct_ratio("text")) == 0.0
