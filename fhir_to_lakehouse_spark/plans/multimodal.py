@@ -61,6 +61,50 @@ def media_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media).select("media_id", "n_bytes", "sha256")
 
 
+@query(
+    "media_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ), idx AS (
+      SELECT media_id, unnest(range(0, CAST(n_bytes // 64 AS BIGINT), 4)) AS frame_idx
+      FROM m
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(64 AS INT) AS frame_len
+    FROM idx
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video plumbing): payload split into 64-byte
+    'frames', every 4th emitted as a row — a 1:N mapInPandas explode.
+    The oracle derives the expected (media_id, frame_idx) set from byte
+    lengths; frame content is covered by the determinism test."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    frames = MM.sample_frames(media, frame_bytes=64, every_k=4)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame").cast("int").alias("frame_len")
+    )
+
+
+@query("media_resize")
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (STUB decode — deterministic byte-buffer
+    downsample standing in for PIL resize): 4x4 'thumbnail' per media
+    row. Rows-only check; determinism asserted in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    resized = MM.resize_images(media, 4, 4)
+    return resized.select(
+        "media_id",
+        "out_w",
+        "out_h",
+        F.round(F.element_at("pixels", 1), 4).alias("p0"),
+    )
+
+
 @query("media_features")
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction with the STUB decoder (deterministic fake —

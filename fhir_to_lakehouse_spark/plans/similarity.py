@@ -118,6 +118,39 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_hyperplane_lsh_topk")
+def similarity_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 4-bit deterministic sign buckets;
+    queries search only their own bucket. The third ANN strategy
+    alongside IVF (partition pruning) and matmul (Arrow) — rows-only
+    (approximate); recall vs brute force asserted in pytest."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        SIM.as_double(F.col("embedding")).alias("v"),
+    ).withColumn("bucket", SIM.hyperplane_bucket(F.col("v"), n_planes=4))
+    q = base.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket"),
+    )
+    scored = (
+        base.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos_sim", F.round(SIM.cosine(F.col("qv"), F.col("v")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 @query(
     "embedding_norm_stats",
     oracle="""

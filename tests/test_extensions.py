@@ -81,6 +81,43 @@ def test_matmul_topk_matches_brute_force(spark, sf_dir):
         assert abs(b[k][1] - f[k][1]) < 1e-9
 
 
+def test_hyperplane_lsh_recall_and_determinism(spark, sf_dir):
+    from fhir_to_lakehouse_spark.plans.similarity import (
+        similarity_brute_topk,
+        similarity_hyperplane_lsh_topk,
+    )
+
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity_brute_topk(spark, sf_dir).collect()
+    }
+    lsh1 = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity_hyperplane_lsh_topk(spark, sf_dir).collect()
+    }
+    lsh2 = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity_hyperplane_lsh_topk(spark, sf_dir).collect()
+    }
+    assert lsh1 == lsh2  # deterministic planes -> stable result
+    recall = len(brute & lsh1) / len(brute)
+    assert recall >= 0.2, f"hyperplane LSH recall too low: {recall}"
+
+
+def test_media_resize_and_frames_deterministic(spark, sf_dir):
+    from fhir_to_lakehouse_spark.functions import multimodal as MM2
+    from fhir_to_lakehouse_spark.sources.tables import load_table as lt
+
+    media = MM2.documents_as_media(lt(spark, sf_dir, "documents").limit(10))
+    r1 = {r["media_id"]: r["pixels"] for r in MM2.resize_images(media).collect()}
+    r2 = {r["media_id"]: r["pixels"] for r in MM2.resize_images(media).collect()}
+    assert r1 == r2
+    assert all(len(v) == 16 for v in r1.values())
+    frames = MM2.sample_frames(media, frame_bytes=32, every_k=2).collect()
+    assert all(len(f["frame"]) == 32 for f in frames)
+    assert all(f["frame_idx"] % 2 == 0 for f in frames)
+
+
 def test_ivf_recall_reasonable(spark, sf_dir):
     """IVF with 2-of-8 probes should recover a decent share of the true
     top-5 (synthetic clustered embeddings)."""
