@@ -63,6 +63,43 @@ def session_counts(
     )
 
 
+def stream_stream_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: purchases match
+    clicks by the same user within ``within`` BEFORE the purchase.
+    Both sides carry watermarks, and the time-range condition bounds
+    the join state — without it a stream-stream join buffers forever
+    (the state-retention contract of Structured Streaming joins)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.expr(f"purchase_ts - {within}"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "purchase_value",
+    )
+
+
 def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
     """Cross-batch streaming dedup with bounded state:
     dropDuplicatesWithinWatermark keeps each key's state only until the
