@@ -83,10 +83,26 @@ class BundlePipeline:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Reference process_batch parity
-        (/root/reference/src/bundle_processor.py:79-155), single-pass.
+        (/root/reference/src/bundle_processor.py:79-155), single-pass,
+        plus dead-lettering: rows whose payload fails the envelope parse
+        (malformed JSON / not a bundle) are appended to a ``_corrupt``
+        table with provenance instead of vanishing — silent drops are
+        how streaming pipelines lose data unnoticed.
         """
-        prepared = prepare_stream(batch_df)
-        prepared = prepared.persist()
+        from fhir_to_lakehouse_spark.operators.bundles import parse_bundles
+
+        parsed = parse_bundles(batch_df).persist()
+        try:
+            corrupt = parsed.filter(
+                F.col("parsed_bundle").isNull()
+                | F.col("parsed_bundle.entry").isNull()
+            )
+            if not corrupt.isEmpty():
+                self._dead_letter(corrupt, batch_id)
+            prepared = prepare_stream(batch_df)
+            prepared = prepared.persist()
+        finally:
+            parsed.unpersist()
         try:
             if prepared.isEmpty():
                 return
@@ -138,6 +154,24 @@ class BundlePipeline:
         )
         if not delete_ids.isEmpty():
             tbl.merge_delete(delete_ids)
+
+    def _dead_letter(self, corrupt: DataFrame, batch_id: int) -> None:
+        """Append unparseable records (raw payload + Kafka provenance +
+        batch id) to the corrupt-records table."""
+        out = corrupt.select(
+            F.col("bundle").alias("raw_value"),
+            "partition",
+            "offset",
+            "topic",
+            "timestamp",
+            F.lit(batch_id).alias("batch_id"),
+        )
+        path = os.path.join(self.cfg.warehouse_dir, "_corrupt.parquet")
+        out.write.mode("append").parquet(path)
+
+    def corrupt_records(self) -> DataFrame:
+        path = os.path.join(self.cfg.warehouse_dir, "_corrupt.parquet")
+        return self.spark.read.parquet(path)
 
     def _register(self, resource_type: str) -> None:
         """Catalog registration at table-create time (reference

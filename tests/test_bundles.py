@@ -132,6 +132,23 @@ def test_unknown_resource_type_keeps_raw_json(spark, pipeline):
     assert json.loads(enc["resource_json"])["status"] == "planned"
 
 
+def test_malformed_bundles_go_to_dead_letter_table(spark, pipeline):
+    """Unparseable payloads land in the _corrupt table with provenance;
+    valid rows in the same batch process normally."""
+    rows = [
+        {"value": put_bundle("Patient", "ok1", active=True), "offset": 0},
+        {"value": "this is not json {{{", "offset": 1},
+        {"value": '{"resourceType": "Bundle", "no_entry": true}', "offset": 2},
+    ]
+    pipeline.process_batch(batch(spark, rows), batch_id=7)
+    assert pipeline.table("Patient").to_df().count() == 1
+    corrupt = pipeline.corrupt_records().collect()
+    assert len(corrupt) == 2
+    assert {r["offset"] for r in corrupt} == {1, 2}
+    assert all(r["batch_id"] == 7 for r in corrupt)
+    assert any("not json" in r["raw_value"] for r in corrupt)
+
+
 def test_delete_only_first_batch_creates_empty_table(spark, pipeline):
     """Reference parity: the table is created before merging, so a
     DELETE for a never-seen type still materializes an empty table
