@@ -132,6 +132,31 @@ def test_unknown_resource_type_keeps_raw_json(spark, pipeline):
     assert json.loads(enc["resource_json"])["status"] == "planned"
 
 
+def test_observation_decimal_encoding(spark, pipeline):
+    """FHIR decimals encode as DecimalType (Pathling parity, SURVEY
+    §7.3): Observation.valueQuantity.value survives with exact decimal
+    semantics, not float."""
+    import decimal
+
+    rows = [
+        {
+            "value": put_bundle(
+                "Observation",
+                "obs1",
+                status="final",
+                valueQuantity={"value": 98.6, "unit": "degF", "code": "[degF]"},
+            )
+        }
+    ]
+    pipeline.process_batch(batch(spark, rows), 1)
+    obs = pipeline.table("Observation").to_df()
+    field = dict(obs.select("valueQuantity.value").dtypes)["value"]
+    assert field.startswith("decimal")
+    row = obs.collect()[0]
+    assert row["valueQuantity"]["value"] == decimal.Decimal("98.6")
+    assert row["valueQuantity"]["unit"] == "degF"
+
+
 def test_malformed_bundles_go_to_dead_letter_table(spark, pipeline):
     """Unparseable payloads land in the _corrupt table with provenance;
     valid rows in the same batch process normally."""
