@@ -21,6 +21,7 @@ from fhir_to_lakehouse_spark.plans import pipeline_q  # noqa: F401
 from fhir_to_lakehouse_spark.plans import scale  # noqa: F401
 from fhir_to_lakehouse_spark.plans import mllib_ops  # noqa: F401
 from fhir_to_lakehouse_spark.plans import tpch_extra  # noqa: F401
+from fhir_to_lakehouse_spark.plans import tpch_rest  # noqa: F401
 from fhir_to_lakehouse_spark.plans import misc  # noqa: F401
 from fhir_to_lakehouse_spark.plans import llm_extra  # noqa: F401
 from fhir_to_lakehouse_spark.plans import corpus  # noqa: F401
