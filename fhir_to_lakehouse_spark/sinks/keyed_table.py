@@ -176,6 +176,23 @@ class KeyedTable:
         )
         self._swap_write(keep)
 
+    @retry()
+    def merge_scd2(
+        self, batch: DataFrame, ts_col: str, tracked: list[str]
+    ) -> None:
+        """History-keeping upsert (SCD Type 2): closes the previous
+        version of each changed key and inserts the new one, instead of
+        updating in place like :meth:`merge_upsert`. See operators/scd.py
+        for semantics. On Delta this would be two data-skipping MERGEs
+        (close + insert); the fallback rewrites via the same atomic swap.
+        """
+        from fhir_to_lakehouse_spark.operators.scd import apply_scd2
+
+        existing = self.to_df() if self.exists() else None
+        self._swap_write(
+            apply_scd2(existing, batch, self.key, ts_col, tracked)
+        )
+
     # -- maintenance (reference S13/S14, lakehousekeeper parity) ---------
 
     def optimize(self, target_files: int | None = None) -> None:
