@@ -1,0 +1,99 @@
+"""Arbitrary keyed state via transformWithStateInPandas (Spark 4 API).
+
+The reference's only cross-batch state is MERGE idempotency (SURVEY
+§2.8: no stateful operators). This module adds the engine's custom
+stateful face using the Spark 4 StatefulProcessor API — successor to
+``applyInPandasWithState`` (streaming/windows.py::running_user_totals)
+with named per-key state variables on the RocksDB state store.
+
+Operator: streaming SCD2 changelog. State per key = the current
+tracked value + its valid_from (two fields — bounded, RocksDB-backed,
+shuffle key = the dimension key). Each change emits one changelog row
+closing the previous version; downstream, ``KeyedTable.merge_scd2``
+or a plain append materializes the versioned dimension — the streaming
+twin of operators/scd.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+SCD2_CHANGE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("prev_type", T.StringType()),
+        T.StructField("prev_from", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_value", T.StringType()),
+        T.StructField("cur_from", T.TimestampType()),
+    ]
+)
+
+
+class Scd2ChangeProcessor(StatefulProcessor):
+    """Emit one row per change of ``event_type`` per key, carrying the
+    closed previous version (None for the first)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._current = handle.getValueState("current", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows), ignore_index=True)
+        # event-time order within the batch; ties broken by event_id for
+        # determinism (same contract as operators/scd.py)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        state = self._current.get() if self._current.exists() else None
+        cur_value, cur_from = state if state else (None, None)
+        out: dict[str, list] = {c: [] for c in SCD2_CHANGE_OUTPUT.names}
+        for value, ts in zip(batch["event_type"], batch["ts"]):
+            if cur_value is not None and value == cur_value:
+                continue
+            out["user_id"].append(key[0])
+            out["event_type"].append(value)
+            out["valid_from"].append(ts)
+            out["prev_type"].append(cur_value)
+            out["prev_from"].append(cur_from)
+            cur_value, cur_from = value, ts
+        self._current.update((cur_value, cur_from))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def scd2_changelog(stream: DataFrame) -> DataFrame:
+    """Streaming SCD2 changelog over an events stream (``user_id``,
+    ``event_type``, ``ts``, ``event_id`` columns). Requires the RocksDB
+    state store provider (set by session.py); TimeMode None = state
+    lives until explicitly cleared, matching a dimension whose keys
+    never expire."""
+    # transformWithState requires the RocksDB state store; runtime conf,
+    # read at query start (the default HDFS-backed provider lacks the
+    # column-family support the new API needs)
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        Scd2ChangeProcessor(),
+        outputStructType=SCD2_CHANGE_OUTPUT,
+        outputMode="append",
+        timeMode="None",
+    )
