@@ -68,6 +68,7 @@ class KeyedTable:
         path: str,
         key: str = "id",
         sort_on_write: bool = True,
+        changelog: bool = False,
     ):
         self.spark = spark
         self.path = path
@@ -76,6 +77,10 @@ class KeyedTable:
         # sorting by key within partitions tightens per-file min/max
         # statistics, so later key lookups and merge joins skip files
         self.sort_on_write = sort_on_write
+        # Change Data Feed analog (delta.enableChangeDataFeed): every
+        # merge also appends its row-level changes (_change_type +
+        # commit_version) to <path>.changelog for incremental consumers
+        self.changelog = changelog
         self._delta = delta_available() and not os.environ.get("FORCE_PARQUET_SINK")
 
     # -- existence / read ------------------------------------------------
@@ -131,6 +136,8 @@ class KeyedTable:
         if self._delta:
             from delta.tables import DeltaTable
 
+            # Delta path: CDF comes from delta.enableChangeDataFeed +
+            # table_changes(), not from this class
             (
                 DeltaTable.forPath(self.spark, self.path)
                 .alias("t")
@@ -141,9 +148,29 @@ class KeyedTable:
             )
             return
         if not self.exists():
+            if self.changelog:
+                self._append_changes(src.withColumn("_change_type", F.lit("insert")))
             self._swap_write(src)
             return
         existing = self.to_df()
+        if self.changelog:
+            matched_keys = src.select(self.key).distinct()
+            pre = existing.join(matched_keys, on=self.key, how="left_semi")
+            post = src.join(
+                existing.select(self.key).distinct(), on=self.key, how="left_semi"
+            )
+            ins = src.join(existing.select(self.key), on=self.key, how="left_anti")
+            self._append_changes(
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    post.withColumn("_change_type", F.lit("update_postimage")),
+                    allowMissingColumns=True,
+                )
+                .unionByName(
+                    ins.withColumn("_change_type", F.lit("insert")),
+                    allowMissingColumns=True,
+                )
+            )
         keep = existing.join(
             src.select(self.key), on=self.key, how="left_anti"
         )
@@ -169,6 +196,15 @@ class KeyedTable:
         if not self.exists():
             return
         existing = self.to_df()
+        if self.changelog:
+            deleted = existing.join(
+                ids.select(F.col(id_col).alias(self.key)),
+                on=self.key,
+                how="left_semi",
+            )
+            self._append_changes(
+                deleted.withColumn("_change_type", F.lit("delete"))
+            )
         keep = existing.join(
             ids.select(F.col(id_col).alias(self.key)),
             on=self.key,
@@ -243,6 +279,45 @@ class KeyedTable:
             else 0
         )
         return {"location": self.path, "numFiles": n_files, "format": "parquet"}
+
+    # -- change data feed (fallback analog of Delta CDF) -----------------
+
+    @property
+    def _changelog_path(self) -> str:
+        return f"{self.path.rstrip('/')}.changelog"
+
+    def changelog_version(self) -> int:
+        """Latest committed change version, -1 if none."""
+        base = self._changelog_path
+        if not os.path.isdir(base):
+            return -1
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("commit_version=")
+        ]
+        return max(versions, default=-1)
+
+    def table_changes(self, starting_version: int = 0) -> DataFrame:
+        """Row-level changes since ``starting_version`` (inclusive) —
+        the ``table_changes('t', n)`` TVF analog. Each row carries
+        ``_change_type`` (insert | update_preimage | update_postimage |
+        delete) and the partition column ``commit_version``, so an
+        incremental consumer reads only the new version directories
+        (partition pruning on commit_version)."""
+        df = self.spark.read.option("basePath", self._changelog_path).parquet(
+            self._changelog_path
+        )
+        return df.filter(F.col("commit_version") >= starting_version)
+
+    def _append_changes(self, changes: DataFrame) -> None:
+        """Materialize one commit's changes under a new
+        commit_version=N directory. Must run BEFORE the table swap:
+        the change rows are computed against the pre-merge state."""
+        version = self.changelog_version() + 1
+        changes.write.mode("errorifexists").parquet(
+            f"{self._changelog_path}/commit_version={version}"
+        )
 
     # -- internals -------------------------------------------------------
 
