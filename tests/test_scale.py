@@ -92,3 +92,41 @@ def test_salted_join_rejects_outer(spark):
     df = spark.range(1).withColumnRenamed("id", "k")
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="full")
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """When the dimension side can't broadcast, AQE's runtime Bloom
+    filter (semi-join reduction) must land on the fact-side scan:
+    might_contain(<bloom of s_suppkey>) filters lineitem BEFORE the
+    shuffle, so at 100 TB the exchange carries only plausibly-matching
+    rows. (Thresholds forced here because local testdata is tiny.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 4500)
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = li.join(supp, li.l_suppkey == supp.s_suppkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # and the reduction must not change results
+        n_plain = li.join(supp.hint("broadcast"), li.l_suppkey == supp.s_suppkey).count()
+        assert j.count() == n_plain
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
