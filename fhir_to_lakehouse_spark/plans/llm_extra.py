@@ -146,3 +146,52 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).alias("n_ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
     )
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH starts AS (
+      SELECT doc_id, n_chars, UNNEST(generate_series(0, GREATEST(n_chars - 1, 0), 150))
+               AS chunk_start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_start AS BIGINT)                   AS chunk_start,
+           SUBSTR(text, chunk_start + 1, 200)            AS chunk_text,
+           CAST(LEAST(200, n_chars - chunk_start) AS BIGINT) AS chunk_len
+    FROM starts JOIN documents USING (doc_id, n_chars)
+    WHERE n_chars > 0
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training pipelines: split each
+    document into 200-char windows with 50-char overlap (stride 150) —
+    pure Catalyst ``sequence``/``explode``/``substring``, no Python in
+    the path, so chunking 100 TB is scan-bound. Start offsets come from
+    a generated per-row sequence (no join, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("n_chars") - 1, F.lit(0)),
+                    F.lit(150),
+                )
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.substring(
+                F.col("text"), F.col("chunk_start").cast("int") + 1, 200
+            ).alias("chunk_text"),
+            F.least(F.lit(200), F.col("n_chars") - F.col("chunk_start"))
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
