@@ -89,9 +89,16 @@ class BundlePipeline:
         table with provenance instead of vanishing — silent drops are
         how streaming pipelines lose data unnoticed.
         """
-        from fhir_to_lakehouse_spark.operators.bundles import parse_bundles
+        from fhir_to_lakehouse_spark.operators.bundles import (
+            explode_entries,
+            parse_bundles,
+        )
 
+        # one JSON parse for the whole batch: the corrupt probe and the
+        # explode chain both read the cached parse (re-deriving prepared
+        # from the raw frame would from_json the batch a second time)
         parsed = parse_bundles(batch_df).persist()
+        prepared = explode_entries(parsed).persist()
         try:
             corrupt = parsed.filter(
                 F.col("parsed_bundle").isNull()
@@ -99,30 +106,40 @@ class BundlePipeline:
             )
             if not corrupt.isEmpty():
                 self._dead_letter(corrupt, batch_id)
-            prepared = prepare_stream(batch_df)
-            prepared = prepared.persist()
-        finally:
-            parsed.unpersist()
-        try:
-            if prepared.isEmpty():
+            # ONE action answers batch emptiness, the type list, and the
+            # per-type PUT/DELETE presence — instead of distinct() +
+            # 2 isEmpty() probes per type (2N+1 jobs -> 1)
+            counts = {
+                (r["resource_type"], r["request_method"]): r["count"]
+                for r in prepared.groupBy("resource_type", "request_method")
+                .count()
+                .collect()
+            }
+            types = sorted({rt for rt, _ in counts if rt})
+            if not types:
                 return
-            types = [
-                r["resource_type"]
-                for r in prepared.select("resource_type").distinct().collect()
-                if r["resource_type"]
-            ]
             if self.cfg.log_batch_stats:
                 prepared.groupBy("resource_type").count().show(truncate=False)
-            for rt in sorted(types):
+            for rt in types:
                 self._process_single_type(
-                    prepared.filter(F.col("resource_type") == rt), rt
+                    prepared.filter(F.col("resource_type") == rt),
+                    rt,
+                    has_puts=counts.get((rt, "PUT"), 0) > 0,
+                    has_deletes=counts.get((rt, "DELETE"), 0) > 0,
                 )
             if batch_id % self.cfg.upkeep_interval == 0:
-                self.upkeep(sorted(types))
+                self.upkeep(types)
         finally:
+            parsed.unpersist()
             prepared.unpersist()
 
-    def _process_single_type(self, df: DataFrame, resource_type: str) -> None:
+    def _process_single_type(
+        self,
+        df: DataFrame,
+        resource_type: str,
+        has_puts: bool = True,
+        has_deletes: bool = True,
+    ) -> None:
         """Dedup -> encode PUTs -> upsert -> delete (order matters:
         upsert FIRST, then deletes, like the reference at
         /root/reference/src/bundle_processor.py:221-234)."""
@@ -146,14 +163,19 @@ class BundlePipeline:
         )
         if self.cfg.register_schema:
             self._register(resource_type)
-        if not encoded.isEmpty():
+        # counts are pre-dedup: when only one method appears for the
+        # type they are exact; when both appear, W1 races can empty
+        # either side, so fall back to the cheap probe on the loser-able
+        # frame (the common single-method batch pays zero extra jobs)
+        if has_puts and (not has_deletes or not encoded.isEmpty()):
             tbl.merge_upsert(encoded)
 
-        delete_ids = deletes.select(
-            F.col("request_resource_id").alias("id")
-        )
-        if not delete_ids.isEmpty():
-            tbl.merge_delete(delete_ids)
+        if has_deletes:
+            delete_ids = deletes.select(
+                F.col("request_resource_id").alias("id")
+            )
+            if not has_puts or not delete_ids.isEmpty():
+                tbl.merge_delete(delete_ids)
 
     def _dead_letter(self, corrupt: DataFrame, batch_id: int) -> None:
         """Append unparseable records (raw payload + Kafka provenance +
