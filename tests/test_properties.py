@@ -125,3 +125,82 @@ def test_minhash_similarity_bounds(spark, texts):
     n = len(texts)
     for i in range(n):
         assert sigs[i] == sigs[i + n]  # identical text -> identical signature
+
+
+# --- SCD2: arbitrary keyed update sequences -------------------------------
+
+# sequence of (key, value, day) records with strictly increasing days,
+# split into 1-3 batches at arbitrary points
+scd_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=2),    # tracked value
+    ),
+    min_size=1,
+    max_size=16,
+).map(lambda pairs: [(k, v, day + 1) for day, (k, v) in enumerate(pairs)])
+
+
+def _model_scd2(records):
+    """Spec: per key, consecutive-distinct values form versions;
+    each version spans [its day, next version's day)."""
+    by_key: dict = {}
+    for k, v, day in records:
+        chain = by_key.setdefault(k, [])
+        if not chain or chain[-1][0] != v:
+            chain.append((v, day))
+    out = set()
+    for k, chain in by_key.items():
+        for (v, day), nxt in zip(chain, chain[1:] + [None]):
+            out.add((k, v, day, nxt[1] if nxt else None))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(records=scd_strategy, n_batches=st.integers(min_value=1, max_value=3))
+def test_scd2_matches_model_for_any_batching(spark, records, n_batches):
+    """apply_scd2 must produce the model's version set regardless of
+    how the record sequence is split into incremental batches — the
+    incremental path and a one-shot rebuild agree."""
+    import datetime as dt
+
+    from fhir_to_lakehouse_spark.operators.scd import apply_scd2
+
+    def to_df(batch):
+        return spark.createDataFrame(
+            [
+                (str(k), str(v), dt.datetime(2024, 1, day))
+                for k, v, day in batch
+            ],
+            "id STRING, status STRING, ts TIMESTAMP",
+        )
+
+    size = max(1, -(-len(records) // n_batches))
+    state = None
+    for i in range(0, len(records), size):
+        state = apply_scd2(
+            state, to_df(records[i : i + size]),
+            key="id", ts_col="ts", tracked=["status"],
+        )
+    got = {
+        (
+            int(r["id"]),
+            int(r["status"]),
+            r["valid_from"].day,
+            r["valid_to"].day if r["valid_to"] else None,
+        )
+        for r in state.collect()
+    }
+    assert got == _model_scd2(records)
+    # interval invariants: exactly one open version per key
+    rows = state.collect()
+    open_per_key: dict = {}
+    for r in rows:
+        if r["valid_to"] is None:
+            open_per_key[r["id"]] = open_per_key.get(r["id"], 0) + 1
+        assert r["is_current"] == (r["valid_to"] is None)
+    assert all(n == 1 for n in open_per_key.values())
