@@ -1,0 +1,57 @@
+"""Whole-library physical-plan audit: build (don't run) every declared
+query's plan at sf0.001 and reject scale-hostile operators.
+
+CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside the
+whitelisted intentional-tiny-broadcast sites, would be a 100 TB
+incident hiding behind a passing correctness check — this is the
+regression net for all of them (SCALING.md "Plan audit").
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fhir_to_lakehouse_spark.plans import QUERIES
+
+# intentional BroadcastNestedLoopJoin sites (tiny broadcast side by
+# design — see SCALING.md):
+BNLJ_ALLOWED = {
+    "similarity_brute_topk",    # broadcast query set x corpus scan
+    "similarity_ivf_topk",      # broadcast centroids (non-equi argmin)
+    "similarity_hyperplane_lsh_topk",
+    "similarity_matmul_topk",
+    "string_distance_suppliers",  # 10-row dim self-pair, blocked
+    "subquery_above_avg_orders",  # 1-row scalar-subquery broadcast
+    "q11_important_parts",        # 1-row grand-total threshold broadcast
+    "q22_global_sales_opportunity",  # 1-row avg-balance broadcast
+    "scd2_point_in_time",
+    "dedup_embedding_cosine",     # bounded block self-join
+}
+
+_SKIP = {
+    # queries that execute work at plan-build time or need special IO
+    "media_resize",
+    "media_features",
+    "media_frame_sample",
+}
+
+
+def _plan_of(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_or_rogue_nested_loop(spark, sf_dir, name):
+    if name in _SKIP:
+        pytest.skip("plan-build executes decode/IO work")
+    try:
+        df = QUERIES[name](spark, sf_dir)
+    except Exception as e:  # pragma: no cover
+        pytest.fail(f"{name} failed to build: {e}")
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_ALLOWED, (
+            f"{name} plans BroadcastNestedLoopJoin but is not whitelisted"
+        )
