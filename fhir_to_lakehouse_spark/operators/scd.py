@@ -41,6 +41,15 @@ def apply_scd2(
     event-time column ``ts_col``. Within a batch, multiple versions per
     key are chained in ``ts_col`` order; consecutive versions with
     identical tracked attributes collapse (no spurious versions).
+
+    Ordering contract (standard CDC assumption): batches must arrive in
+    per-key event-time order. A record older than a key's *current*
+    ``valid_from`` still chains correctly (the window re-sorts current ∪
+    batch), but one that lands inside an already-CLOSED interval cannot
+    reopen it — and a record collapsed as a no-change dup is gone, so a
+    later batch filling the gap between it and its predecessor would
+    diverge from a one-shot rebuild. Feed time-ordered batches (Kafka
+    per-partition order, availableNow backfills of time-bucketed files).
     """
     incoming = batch.select(
         key, *tracked, F.col(ts_col).alias("valid_from")
