@@ -167,10 +167,79 @@ OBSERVATION_SCHEMA = T.StructType(
     ]
 )
 
+# Encounter / Procedure: the remaining reference "hot" resource types
+# (/root/reference/src/settings.py:69-75 processes Patient, Observation,
+# Encounter, Condition, Procedure in parallel); representative FHIR R4
+# fields incl. the period/performed timestamps a clustering config
+# would target.
+
+ENCOUNTER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField(
+            "class",
+            T.StructType(
+                [
+                    T.StructField("system", T.StringType()),
+                    T.StructField("code", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("type", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("serviceProvider", _REFERENCE),
+        T.StructField(
+            "period",
+            T.StructType(
+                [
+                    T.StructField("start", T.StringType()),
+                    T.StructField("end", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "participant",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", T.ArrayType(_CODEABLE_CONCEPT)),
+                        T.StructField("individual", _REFERENCE),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("reasonCode", T.ArrayType(_CODEABLE_CONCEPT)),
+    ]
+)
+
+PROCEDURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("performedDateTime", T.StringType()),
+        T.StructField(
+            "performedPeriod",
+            T.StructType(
+                [
+                    T.StructField("start", T.StringType()),
+                    T.StructField("end", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("reasonCode", T.ArrayType(_CODEABLE_CONCEPT)),
+    ]
+)
+
 RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "Patient": PATIENT_SCHEMA,
     "Condition": CONDITION_SCHEMA,
     "Observation": OBSERVATION_SCHEMA,
+    "Encounter": ENCOUNTER_SCHEMA,
+    "Procedure": PROCEDURE_SCHEMA,
 }
 
 # Fallback for resource types without a curated schema: id only (the

@@ -123,13 +123,50 @@ def test_multiple_resource_types_routed_to_own_tables(spark, pipeline):
 
 
 def test_unknown_resource_type_keeps_raw_json(spark, pipeline):
-    rows = [{"value": put_bundle("Encounter", "e1", status="planned")}]
+    rows = [{"value": put_bundle("Medication", "m1", status="active")}]
     pipeline.process_batch(batch(spark, rows), 1)
     import json
 
+    med = pipeline.table("Medication").to_df().collect()[0]
+    assert med["id"] == "m1"
+    assert json.loads(med["resource_json"])["status"] == "active"
+
+
+def test_encounter_and_procedure_encode_typed(spark, pipeline):
+    """The remaining reference hot types (settings.py:69-75) get
+    curated schemas: period/performed fields come out typed, not only
+    as raw JSON."""
+    rows = [
+        {
+            "value": put_bundle(
+                "Encounter",
+                "e1",
+                status="finished",
+                period={"start": "2024-01-01T10:00:00Z", "end": "2024-01-01T11:00:00Z"},
+                subject={"reference": "Patient/1"},
+            ),
+            "offset": 0,
+        },
+        {
+            "value": put_bundle(
+                "Procedure",
+                "pr1",
+                status="completed",
+                code={"text": "appendectomy"},
+                performedDateTime="2024-01-01T10:30:00Z",
+            ),
+            "offset": 1,
+        },
+    ]
+    pipeline.process_batch(batch(spark, rows), 1)
     enc = pipeline.table("Encounter").to_df().collect()[0]
-    assert enc["id"] == "e1"
-    assert json.loads(enc["resource_json"])["status"] == "planned"
+    assert enc["status"] == "finished"
+    assert enc["period"]["start"] == "2024-01-01T10:00:00Z"
+    assert enc["subject"]["reference"] == "Patient/1"
+    pr = pipeline.table("Procedure").to_df().collect()[0]
+    assert pr["status"] == "completed"
+    assert pr["code"]["text"] == "appendectomy"
+    assert pr["performedDateTime"] == "2024-01-01T10:30:00Z"
 
 
 def test_observation_decimal_encoding(spark, pipeline):
