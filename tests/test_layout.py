@@ -64,3 +64,49 @@ def test_morton_rejects_overflow():
 
     with pytest.raises(ValueError):
         morton_key(["a", "b", "c", "d"], 16)
+
+
+def test_zorder_write_skips_files_on_nonleading_dimension(spark, sf_dir, tmp_path):
+    """Write the same data (a) sorted by bx only and (b) sorted by the
+    Morton key of (bx, by), 16 files each; a by-range predicate must
+    touch every file of the linear layout but only a fraction of the
+    Z-ordered one — min/max file stats are what Delta/parquet skipping
+    consumes, so fewer overlapping files = fewer files read at 100 TB."""
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    # orderkey/partkey both spread over the full bucket range at every
+    # sf (suppkey at sf0.001 has ~10 values — useless as a dimension)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 256).cast("int").alias("bx"),
+        (F.col("l_partkey") % 256).cast("int").alias("by"),
+        "l_quantity",
+    )
+
+    linear = str(tmp_path / "linear")
+    li.repartitionByRange(16, "bx").sortWithinPartitions("bx").write.parquet(linear)
+    zpath = str(tmp_path / "zorder")
+    z = morton_key(["bx", "by"], 8)
+    (
+        li.withColumn("z", z)
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.parquet(zpath)
+    )
+
+    def files_touched(path, lo, hi):
+        stats = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(F.min("by").alias("mn"), F.max("by").alias("mx"))
+            .collect()
+        )
+        return sum(1 for r in stats if r.mn <= hi and r.mx >= lo), len(stats)
+
+    lin_touched, lin_total = files_touched(linear, 0, 31)
+    z_touched, z_total = files_touched(zpath, 0, 31)
+    # linear-by-bx layout: every file spans all of by
+    assert lin_touched == lin_total
+    # Z-order: a 1/8th by-slice overlaps only a fraction of the files
+    assert z_touched <= z_total // 2, (z_touched, z_total)
