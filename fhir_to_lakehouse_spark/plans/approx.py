@@ -117,3 +117,26 @@ def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("l_suppkey").asc())
         .limit(5)
     )
+
+
+@query("approx_distinct_hll_union")
+def approx_distinct_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (rows-only: Datasketches HLL
+    binary layout is Spark-specific, no DuckDB twin): per-nation
+    customer sketches are built once, then UNIONED into a global
+    estimate WITHOUT touching the raw data again — the reaggregation
+    property that lets 100 TB pipelines keep pre-computed per-partition
+    sketches and answer rollups from kilobytes. Accuracy is
+    pytest-bounded in tests/test_extensions.py."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_nation.agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("long")
+        .alias("approx_total_customers"),
+        F.sum("n_rows").alias("exact_total_rows"),
+    )

@@ -160,3 +160,19 @@ def test_exact_dedup_finds_planted_duplicates(spark):
     dup = groups.filter(F.col("n_docs") > 1).collect()
     assert len(dup) == 1
     assert dup[0]["canonical_id"] == 1 and dup[0]["n_docs"] == 2
+
+
+def test_hll_union_estimate_within_bounds(spark, sf_dir):
+    """Merged per-nation HLL sketches must estimate the global distinct
+    customer count within 5% of exact (rows-only query contract)."""
+    from fhir_to_lakehouse_spark.plans import QUERIES
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    row = QUERIES["approx_distinct_hll_union"](spark, sf_dir).first()
+    exact = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .distinct()
+        .count()
+    )
+    assert abs(row["approx_total_customers"] - exact) / exact < 0.05
