@@ -5,7 +5,7 @@ scalar families.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.plans.registry import query
@@ -211,4 +211,94 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tfidf").desc(), F.col("doc_id").asc(), F.col("token").asc())
         .limit(100)
+    )
+
+
+@query(
+    "histogram_equidepth",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT)            AS n,
+           ROUND(MIN(o_totalprice), 2)         AS lo,
+           ROUND(MAX(o_totalprice), 2)         AS hi
+    FROM ranked
+    GROUP BY bucket
+    """,
+)
+def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram via ntile (the optimizer-statistics shape:
+    every bucket holds ~n/10 rows, bucket edges are the data's own
+    quantiles). Tie-broken by o_orderkey so bucket assignment is
+    deterministic cross-engine. Complement of the fixed-width
+    histogram_order_values."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "ratio_to_parent_revenue",
+    oracle="""
+    WITH nation_rev AS (
+      SELECT r_name, n_name,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+             AS share_of_region,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+             AS share_of_total
+    FROM nation_rev
+    """,
+)
+def ratio_to_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent (BI staple): each nation's revenue share within
+    its region and globally — aggregate once, then two window sums over
+    the tiny aggregate (25 rows), never a second scan. Shares divide
+    exact DECIMAL sums so both engines compute identical operands."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation_rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return nation_rev.select(
+        "r_name",
+        "n_name",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w_region).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w_all).cast("double"), 6
+        ).alias("share_of_total"),
     )
