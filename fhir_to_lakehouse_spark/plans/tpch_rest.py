@@ -311,7 +311,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey, l_suppkey
     )
     SELECT p_partkey, s_suppkey, s_name, n_name,
-           ROUND(cost, 4) AS min_cost
+           FLOOR(cost * 10000) / 10000 AS min_cost
     FROM unit_cost
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -331,7 +331,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correlated-min subquery, decorrelated as a per-part window MIN
     (supply cost modeled as min observed unit price per part+supplier).
     MIN over per-row IEEE divisions is order-independent, so the raw
-    doubles match across engines; rounding is display-only."""
+    doubles match across engines bit-for-bit; the display rounding is
+    a truncation (floor of scaled value) because decimal ROUND of a
+    double differs between engines exactly on half-way ties."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     supp = load_table(spark, sf_dir, "supplier")
@@ -356,7 +358,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "s_name",
             "n_name",
-            F.round("cost", 4).alias("min_cost"),
+            (F.floor(F.col("cost") * 10000) / 10000).alias("min_cost"),
         )
     )
 
