@@ -28,6 +28,7 @@ from fhir_to_lakehouse_spark.plans import corpus  # noqa: F401
 from fhir_to_lakehouse_spark.plans import semistructured  # noqa: F401
 from fhir_to_lakehouse_spark.plans import scd  # noqa: F401
 from fhir_to_lakehouse_spark.plans import layout  # noqa: F401
+from fhir_to_lakehouse_spark.plans import curation  # noqa: F401
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

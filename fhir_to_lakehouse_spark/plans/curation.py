@@ -1,0 +1,197 @@
+"""Corpus-curation queries a large-scale training-data pipeline needs
+beyond dedup/similarity: repetition-based quality filtering (Gopher-style
+signals), benchmark decontamination (n-gram overlap against a held-out
+eval set), and token-budget shard packing (distributed prefix sum).
+
+No reference analog (the reference pipeline stops at dedup + merge,
+src/bundle_processor.py:114-128); these extend §2.10 per the north star.
+Every oracle mirrors the Catalyst expression digit-for-digit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.functions import text as TX
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+_DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+
+# DuckDB bigram list (non-distinct): pairs (toks[i], toks[i+1]), i = 1..n-1
+_DUCK_BIGRAMS = (
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+)
+
+# DuckDB distinct word-3-shingles (same fragment as text_shingle_stats)
+_DUCK_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),"
+    " i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+
+@query(
+    "text_repetition_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS bg FROM t),
+    c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY doc_id, bg)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT)                         AS n_bigrams,
+           COUNT(*)                                         AS n_distinct_bigrams,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_bigram_frac,
+           ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6)    AS top_bigram_frac
+    FROM c
+    GROUP BY doc_id
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    word bigrams that are duplicates, and the mass of the single most
+    frequent bigram. High values flag boilerplate / spam for corpus
+    filtering.
+
+    Shape: explode bigrams -> two-level aggregation, so the heavy
+    per-(doc, bigram) count is a map-side-combinable hash aggregate
+    keyed by doc_id — partial aggregation collapses each document's
+    bigrams locally before the shuffle, and the second agg reuses the
+    doc_id partitioning (no extra Exchange). Per-row quadratic HOF
+    scans are deliberately avoided. Docs with < 2 tokens have no
+    bigrams and drop out (both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 1)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    per_bigram = (
+        docs.select("doc_id", bigrams.alias("bgs"))
+        .select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.sum("cnt")
+    return per_bigram.groupBy("doc_id").agg(
+        total.alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.round(1.0 - F.count("*") / total.cast("double"), 6).alias(
+            "dup_bigram_frac"
+        ),
+        F.round(F.max("cnt") / total.cast("double"), 6).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {_DUCK_SHINGLES3} AS sh FROM t),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id % 50 <> 0)
+    SELECT train.doc_id,
+           COUNT(*)                                        AS n_shingles,
+           COUNT(bench.s)                                  AS n_overlap,
+           ROUND(COUNT(bench.s) / CAST(COUNT(*) AS DOUBLE), 6) AS overlap_frac,
+           COUNT(bench.s) / CAST(COUNT(*) AS DOUBLE) >= 0.2    AS contaminated
+    FROM train LEFT JOIN bench ON train.s = bench.s
+    GROUP BY train.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    fraction of its distinct word-3-shingles that also appear in a
+    held-out benchmark set (modeled as doc_id % 50 == 0); docs at or
+    above 20% overlap are flagged contaminated.
+
+    Scale shape: the benchmark side (an eval set — thousands of docs,
+    not billions) collapses to a distinct shingle set and is
+    BROADCAST, so the 100-TB training side never shuffles — each task
+    probes the in-memory hash set and aggregates locally by doc_id.
+    Shingles per doc are pre-deduped, so the left join cannot fan out
+    rows. Docs with < 3 tokens have no shingles and drop out."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", TX.shingles_from_tokens(TX.tokens("text"), 3).alias("sh")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    joined = train.join(F.broadcast(bench), "s", "left")
+    n_overlap = F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+    frac = n_overlap / F.count("*").cast("double")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        n_overlap.alias("n_overlap"),
+        F.round(frac, 6).alias("overlap_frac"),
+        (frac >= 0.2).alias("contaminated"),
+    )
+
+
+@query(
+    "corpus_pack_token_shards",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM t)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(FLOOR((cum_tokens - n_tokens) / 10000.0) AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def corpus_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign documents (in doc_id order)
+    to training shards of ~10k tokens by global prefix sum — the
+    sequence-packing step before tokenized-example writing.
+
+    Implemented as a DISTRIBUTED prefix sum, not a single global
+    window (a global ORDER BY window is a one-partition bottleneck at
+    100 TB): docs are range-bucketed on doc_id, each bucket computes
+    its local running total in parallel, bucket totals (one row per
+    bucket) are prefix-summed on a single tiny partition, and the
+    per-bucket offsets are broadcast back. cum = bucket_offset +
+    local_cum reproduces the exact global running sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        (F.col("doc_id") / 100).cast("long").alias("bucket"),
+    )
+    local_w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn("local_cum", F.sum("n_tokens").over(local_w))
+    bucket_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        t.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "offset", F.sum("bucket_total").over(bucket_w) - F.col("bucket_total")
+        )
+        .select("bucket", "offset")
+    )
+    cum = F.col("offset") + F.col("local_cum")
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            cum.alias("cum_tokens"),
+            F.floor((cum - F.col("n_tokens")) / 10000.0).alias("shard_id"),
+        )
+    )

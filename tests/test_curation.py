@@ -1,0 +1,98 @@
+"""Curation-operator tests: hand-computed repetition fractions,
+decontamination flagging on planted overlap, and the distributed
+prefix-sum's equivalence to a naive global running sum."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from fhir_to_lakehouse_spark.plans.curation import (
+    corpus_pack_token_shards,
+    decontaminate_ngram_overlap,
+    text_repetition_quality,
+)
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_repetition_fractions_hand_computed(spark, tmp_path):
+    # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> 5 total, 2
+    # distinct, dup frac 3/5, top ("a b" x3) 3/5.
+    d = _docs(
+        spark,
+        [
+            (1, "a b a b a b", "en", "t", 11),
+            (2, "w x y z", "en", "t", 7),  # 3 bigrams, all unique
+            (3, "solo", "en", "t", 4),  # <2 tokens: no row
+        ],
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in text_repetition_quality(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["n_distinct_bigrams"] == 2
+    assert out[1]["dup_bigram_frac"] == 0.6
+    assert out[1]["top_bigram_frac"] == 0.6
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+
+
+def test_decontamination_flags_planted_copy(spark, tmp_path):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    d = _docs(
+        spark,
+        [
+            (0, bench_text, "en", "t", len(bench_text)),  # benchmark (id%50==0)
+            (1, bench_text, "en", "t", len(bench_text)),  # verbatim leak
+            (2, "one two three four five six seven eight", "en", "t", 39),
+        ],
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_ngram_overlap(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2}  # benchmark doc itself excluded
+    assert out[1]["overlap_frac"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["n_overlap"] == 0 and not out[2]["contaminated"]
+
+
+def test_pack_shards_matches_global_window(spark, sf_dir):
+    out = corpus_pack_token_shards(spark, sf_dir)
+    naive = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"))
+        .withColumn(
+            "cum",
+            F.sum("n").over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    got = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+    want = {r["doc_id"]: r["cum"] for r in naive.collect()}
+    assert got == want
+    # shards are contiguous in doc order and each starts under the budget
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    shards = [r["shard_id"] for r in rows]
+    assert shards == sorted(shards)
+    for r in rows:
+        assert (r["cum_tokens"] - r["n_tokens"]) // 10000 == r["shard_id"]
+
+
+def test_decontamination_plan_broadcasts_benchmark(spark, sf_dir):
+    plan = decontaminate_ngram_overlap(spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
