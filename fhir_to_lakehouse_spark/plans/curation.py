@@ -137,6 +137,83 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_bottomk_mergeable",
+    oracle="""
+    SELECT lang, doc_id, CAST(rn AS INT) AS rn
+    FROM (SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 8
+    """,
+)
+def sample_bottomk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable uniform sampling: per language, keep the 8 docs with
+    the lexicographically smallest md5(doc_id) — a bottom-k sketch.
+
+    Because membership depends only on each doc's own hash rank,
+    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)): partitions
+    sample independently and the driver merges k-sized sketches, so a
+    100-TB uniform sample never shuffles full data — the same
+    mergeability the HLL sketches (plans/approx.py) exploit. The
+    window here computes the same result as a per-partition top-k +
+    merge; partial TakeOrdered pushes the k-filter map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select("lang", "doc_id", "rn")
+    )
+
+
+@query(
+    "sample_domain_mixing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::UBIGINT / 4294967296.0 AS mix_u,
+             (1 + CAST(substr(source, 4) AS INT) % 10) / 10.0 AS weight
+      FROM documents)
+    SELECT doc_id, source, mix_u, weight
+    FROM t WHERE mix_u < weight
+    """,
+)
+def sample_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: accept each document with a
+    per-source target rate (weight = (1 + src_num % 10)/10 models the
+    up/down-weighting table of a real mixture spec), decided by a
+    deterministic per-doc uniform draw u = md5('mix#'||doc_id)[:8] /
+    2^32.
+
+    Hash-derived acceptance needs no RNG state, is reproducible across
+    retries/re-runs (a cluster requirement — tasks may re-execute),
+    and filters map-side with zero shuffle. u and weight are exact
+    doubles (a 32-bit integer and small-int ratios are both
+    representable), so the oracle hash-matches without rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    weight = (1 + F.substring("source", 4, 10).cast("int") % 10) / F.lit(10.0)
+    return (
+        docs.select(
+            "doc_id", "source", u.alias("mix_u"), weight.alias("weight")
+        )
+        .filter(F.col("mix_u") < F.col("weight"))
+    )
+
+
+@query(
     "corpus_pack_token_shards",
     oracle=f"""
     WITH t AS (SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents),

@@ -91,6 +91,46 @@ def test_pack_shards_matches_global_window(spark, sf_dir):
         assert (r["cum_tokens"] - r["n_tokens"]) // 10000 == r["shard_id"]
 
 
+def test_bottomk_sample_is_mergeable(spark, sf_dir):
+    # bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)): the
+    # property that lets partitions sample independently at 100 TB.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+
+    def bottomk(df, k=8):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    direct = {tuple(r) for r in bottomk(docs).collect()}
+    merged = {tuple(r) for r in bottomk(bottomk(half_a).union(bottomk(half_b))).collect()}
+    assert direct == merged and len(direct) > 0
+
+
+def test_domain_mixing_rates_track_weights(spark, sf_dir):
+    from fhir_to_lakehouse_spark.plans.curation import sample_domain_mixing
+
+    kept = sample_domain_mixing(spark, sf_dir)
+    # deterministic: two runs produce the identical set
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in sample_domain_mixing(spark, sf_dir).collect()}
+    assert a == b
+    # every kept row satisfies its own acceptance predicate
+    assert kept.filter(F.col("mix_u") >= F.col("weight")).count() == 0
+    # weight 1.0 sources (src9, src19, ...) keep every document
+    total = load_table(spark, sf_dir, "documents").filter(
+        F.substring("source", 4, 10).cast("int") % 10 == 9
+    )
+    kept9 = kept.filter(F.substring("source", 4, 10).cast("int") % 10 == 9)
+    assert total.count() == kept9.count()
+
+
 def test_decontamination_plan_broadcasts_benchmark(spark, sf_dir):
     plan = decontaminate_ngram_overlap(spark, sf_dir)._jdf.queryExecution(
     ).executedPlan().toString()
