@@ -137,6 +137,55 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_new_docs",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents),
+    hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+    incoming AS (
+      SELECT doc_id, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fp WHERE doc_id % 2 = 1)
+    SELECT doc_id, fp
+    FROM incoming
+    WHERE rn = 1 AND fp NOT IN (SELECT fp FROM hist)
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-growth dedup: admit only incoming documents
+    (modeled as odd doc_ids) whose content fingerprint is neither in
+    the already-ingested corpus (even doc_ids) nor earlier in the same
+    batch — the daily-ingest path that avoids re-deduplicating the
+    whole corpus.
+
+    Scale shape: both the in-batch first-occurrence window and the
+    anti join hash-partition on the md5 fingerprint — a uniformly
+    distributed key, so no skew — and the historical side is an index
+    of fingerprints (32 bytes/doc), not documents. At 100 TB the
+    anti join is further pre-pruned by a runtime Bloom filter
+    (verified in tests/test_scale.py); batch work stays O(batch ×
+    log(index)), never O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    hist = fp.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    incoming_first = (
+        fp.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return incoming_first.join(hist, "fp", "left_anti").select("doc_id", "fp")
+
+
+@query(
     "sample_bottomk_mergeable",
     oracle="""
     SELECT lang, doc_id, CAST(rn AS INT) AS rn

@@ -91,6 +91,25 @@ def test_pack_shards_matches_global_window(spark, sf_dir):
         assert (r["cum_tokens"] - r["n_tokens"]) // 10000 == r["shard_id"]
 
 
+def test_incremental_dedup_drops_historical_and_batch_dups(spark, tmp_path):
+    from fhir_to_lakehouse_spark.plans.curation import dedup_incremental_new_docs
+
+    d = _docs(
+        spark,
+        [
+            (0, "historical doc one", "en", "t", 18),   # historical (even)
+            (2, "historical doc two", "en", "t", 18),
+            (1, "Historical  DOC one ", "en", "t", 20),  # dup of 0 after normalize
+            (3, "a brand new document", "en", "t", 20),  # genuinely new
+            (5, "repeated incoming text", "en", "t", 22),  # first in batch
+            (7, "repeated incoming text", "en", "t", 22),  # in-batch dup of 5
+        ],
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    kept = {r["doc_id"] for r in dedup_incremental_new_docs(spark, str(tmp_path)).collect()}
+    assert kept == {3, 5}
+
+
 def test_bottomk_sample_is_mergeable(spark, sf_dir):
     # bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)): the
     # property that lets partitions sample independently at 100 TB.
