@@ -139,6 +139,46 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+_SIMHASH32_BITS = 32
+
+
+def with_simhash_md5(
+    df: DataFrame, token_col: Column, out_col: str = "simhash32"
+) -> DataFrame:
+    """32-bit SimHash over md5 token hashes — the oracle-reproducible
+    twin of :func:`with_simhash` (same pairing as minhash's md5/xxhash
+    split). Bit i of a token's hash = high bit of hex nibble i of
+    md5(token) (nibble >= '8'); the document bit is set when the
+    majority of token hashes set it. md5 is bit-for-bit identical in
+    DuckDB, so the whole pipeline has an exact SQL oracle.
+
+    Token hashes materialize once (`_md5s` column); the 32 per-bit
+    majority counts read that column — one projection, no re-hashing.
+    """
+    # NB: closure factory, not `lambda h, i=i:` — F.filter treats any
+    # two-arg lambda (defaults included) as (element, index)
+    def bit_pred(i: int):
+        return lambda h: F.substring(h, i + 1, 1) >= F.lit("8")
+
+    bits = []
+    n = F.size(F.col("_md5s"))
+    for i in range(_SIMHASH32_BITS):
+        votes_set = F.size(F.filter(F.col("_md5s"), bit_pred(i)))
+        bits.append(
+            F.when(votes_set * 2 > n, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return (
+        df.withColumn("_md5s", F.transform(token_col, lambda t: F.md5(t)))
+        .withColumn(out_col, out)
+        .drop("_md5s")
+    )
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical (normalized) docs: fingerprint -> canonical min id
     + duplicate count. One shuffle on the 16-byte fingerprint."""

@@ -90,8 +90,9 @@ def _duck_sig_comps() -> str:
     return f"[{comps}]"
 
 
-_MINHASH_ORACLE = f"""
-    WITH hashed AS (
+# CTE body shared by the pair oracle and the connected-components oracle
+_MINHASH_CTES = f"""
+    hashed AS (
       SELECT doc_id AS id,
              {", ".join(f"list_transform({_DUCK_SHINGLES}, s -> md5(s || '#' || '{b}')) AS h{b}" for b in range(_N_SEEDS))}
       FROM documents
@@ -105,14 +106,20 @@ _MINHASH_ORACLE = f"""
     ), cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
       FROM banded a JOIN banded b ON a.bk = b.bk AND a.id < b.id
+    ), pairs AS (
+      SELECT id_a, id_b,
+             ROUND(len(list_filter(range(1, {_MINHASH_K} + 1),
+                                   i -> sig_a[i] = sig_b[i]))
+                   / {float(_MINHASH_K)}, 6) AS est_sim
+      FROM cand
+      WHERE len(list_filter(range(1, {_MINHASH_K} + 1), i -> sig_a[i] = sig_b[i]))
+            / {float(_MINHASH_K)} >= 0.25
     )
-    SELECT id_a, id_b,
-           ROUND(len(list_filter(range(1, {_MINHASH_K} + 1),
-                                 i -> sig_a[i] = sig_b[i]))
-                 / {float(_MINHASH_K)}, 6) AS est_sim
-    FROM cand
-    WHERE len(list_filter(range(1, {_MINHASH_K} + 1), i -> sig_a[i] = sig_b[i]))
-          / {float(_MINHASH_K)} >= 0.25
+"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_CTES}
+    SELECT id_a, id_b, est_sim FROM pairs
 """
 
 
@@ -186,12 +193,36 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_cluster_components")
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(node)                AS canonical_id
+    FROM comp GROUP BY component
+    """,
+)
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> duplicate clusters via iterative connected
     components (label propagation, min-id canonical). The step that
-    turns pairwise LSH output into 'keep one per group'. Iterative ->
-    not SQL-expressible -> rows-only check; cluster goldens in pytest."""
+    turns pairwise LSH output into 'keep one per group'. The DuckDB
+    oracle computes the same components with a recursive CTE
+    (transitive closure of reachable nodes, component = min reachable
+    id) over the identical md5-minhash pair list."""
     from fhir_to_lakehouse_spark.functions.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -206,6 +237,59 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("canonical_id"),
+    )
+
+
+_DUCK_SIMHASH32 = " + ".join(
+    f"CASE WHEN 2 * len(list_filter(hs, h -> substr(h, {i + 1}, 1) >= '8')) "
+    f"> len(hs) THEN {1 << i} ELSE 0 END"
+    for i in range(32)
+)
+
+
+@query(
+    "dedup_simhash_md5",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id AS id, lang,
+             list_transform({_DUCK_TOKS}, t -> md5(t)) AS hs
+      FROM documents
+    ), s AS (
+      SELECT id, lang, CAST({_DUCK_SIMHASH32} AS BIGINT) AS sh FROM h
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.lang = b.lang AND a.id < b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 4
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin of dedup_simhash: 32-bit md5-nibble SimHash + pairs
+    at Hamming distance <= 4 within (lang) blocks. Same majority-vote
+    semantics as the xxhash64 production path, but every hash is md5 so
+    DuckDB reproduces the signature bit-for-bit (mirrors the
+    minhash md5/xxhash pairing). Scale shape is identical: signatures
+    are one 64-bit value per doc; the pair join is blocked, and at
+    warehouse scale the verify join keys on simhash band prefixes
+    instead of lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = DD.with_simhash_md5(
+        docs.select(F.col("doc_id").alias("id"), "lang", "text"),
+        TX.tokens("text"),
+        "sh",
+    ).drop("text")
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            DD.hamming64(F.col("a.sh"), F.col("b.sh")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 4)
     )
 
 
