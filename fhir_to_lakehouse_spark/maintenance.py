@@ -5,10 +5,11 @@ CLI with vacuum / optimize / register subcommands that discovers every
 table under a warehouse prefix and maintains each one.
 
 Differences, Spark-first:
-- table discovery walks the warehouse directory (local/posix) or uses
-  the object-store listing the reference does with boto3
-  (:59-98) — here a filesystem glob, one code path for both since
-  Spark/posix semantics cover the test environment;
+- table discovery walks the warehouse directory (local/posix paths)
+  or lists via the Hadoop FileSystem API for scheme'd URIs
+  (s3a://, hdfs://, file://) — the Spark-side twin of the reference's
+  boto3 common-prefix listing (:59-98), using the same fs.s3a.*
+  session configs the write path uses (no second credential system);
 - maintenance itself goes through KeyedTable (Delta ops when the jars
   exist, parquet fallback otherwise), mirroring the reference's dual
   delta-rs / Spark-SQL paths (:156-182, :232-240);
@@ -32,19 +33,47 @@ from fhir_to_lakehouse_spark.session import delta_available, get_spark
 from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
 
 
-def discover_tables(warehouse_dir: str) -> list[str]:
+def discover_tables(
+    warehouse_dir: str, spark: SparkSession | None = None
+) -> list[str]:
     """List table paths under the warehouse prefix (reference
     list_tables, /root/reference/src/lakehousekeeper.py:59-98: common
-    prefixes ending in .parquet)."""
-    if not os.path.isdir(warehouse_dir):
+    prefixes ending in .parquet).
+
+    Plain local paths use a directory listing. Any URI with a scheme
+    (``s3a://bucket/prefix``, ``hdfs://...``, ``file:///...``) goes
+    through the Hadoop FileSystem API of the session JVM — the engine
+    twin of the reference's boto3 common-prefix listing, working
+    against whatever object store the session's ``fs.*`` configs wire
+    up (S9). Requires ``spark`` for the JVM gateway."""
+    if "://" not in warehouse_dir:
+        if not os.path.isdir(warehouse_dir):
+            return []
+        return sorted(
+            os.path.join(warehouse_dir, d)
+            for d in os.listdir(warehouse_dir)
+            if d.endswith(".parquet")
+            and os.path.isdir(os.path.join(warehouse_dir, d))
+            and ".tmp-" not in d
+        )
+    if spark is None:
+        raise ValueError(
+            "discover_tables needs the SparkSession for scheme'd URIs "
+            "(Hadoop FileSystem listing runs in the session JVM)"
+        )
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(warehouse_dir)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
         return []
-    return sorted(
-        os.path.join(warehouse_dir, d)
-        for d in os.listdir(warehouse_dir)
-        if d.endswith(".parquet")
-        and os.path.isdir(os.path.join(warehouse_dir, d))
-        and ".tmp-" not in d
-    )
+    out = []
+    for status in fs.listStatus(hpath):
+        p = status.getPath()
+        name = p.getName()
+        if status.isDirectory() and name.endswith(".parquet") and ".tmp-" not in name:
+            out.append(p.toString())
+    return sorted(out)
 
 
 def vacuum_all(
@@ -55,7 +84,7 @@ def vacuum_all(
 ) -> list[str]:
     """VACUUM every table (reference :169-182 incl. dry-run support)."""
     done = []
-    for path in discover_tables(warehouse_dir):
+    for path in discover_tables(warehouse_dir, spark):
         if not dry_run:
             KeyedTable(spark, path).vacuum(retention_hours)
         done.append(path)
@@ -65,7 +94,7 @@ def vacuum_all(
 def optimize_all(spark: SparkSession, warehouse_dir: str) -> list[str]:
     """OPTIMIZE (compaction) every table (reference :238-240)."""
     done = []
-    for path in discover_tables(warehouse_dir):
+    for path in discover_tables(warehouse_dir, spark):
         KeyedTable(spark, path).optimize()
         done.append(path)
     return done
@@ -80,7 +109,7 @@ def register_all(
     fmt = "DELTA" if delta_available() else "PARQUET"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
     done = []
-    for path in discover_tables(warehouse_dir):
+    for path in discover_tables(warehouse_dir, spark):
         name = os.path.basename(path).removesuffix(".parquet")
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {schema}.`{name}` "

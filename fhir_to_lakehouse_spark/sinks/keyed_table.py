@@ -36,10 +36,36 @@ from pyspark.sql import functions as F
 from fhir_to_lakehouse_spark.session import delta_available
 
 
+class DuplicateKeySourceError(ValueError):
+    """Source of a merge has multiple rows per key. Delta MERGE raises
+    when several source rows match one target row; the fallback raises
+    up front for ANY duplicated key so both backends reject ambiguous
+    sources instead of silently keeping both rows (strictly stronger:
+    Delta tolerates duplicate keys that match no target row and inserts
+    both — rows the next merge would then fail on)."""
+
+
+def _non_retryable(exc: Exception) -> bool:
+    """Deterministic failures that retrying cannot fix — re-running an
+    AnalysisException (missing column/table, type mismatch) or a
+    validation error 5x with sleeps only delays the real traceback.
+    Everything else (Delta concurrent-commit conflicts, transient IO)
+    stays retryable, like the reference's tenacity policy."""
+    try:
+        from pyspark.errors import AnalysisException, IllegalArgumentException
+
+        if isinstance(exc, (AnalysisException, IllegalArgumentException)):
+            return True
+    except ImportError:
+        pass
+    return isinstance(exc, (ValueError, TypeError))
+
+
 def retry(attempts: int = 5, base_s: float = 0.05, cap_s: float = 30.0):
     """Exponential-backoff retry — thin replacement for the reference's
     tenacity decorators (/root/reference/src/bundle_processor.py:240-244,
-    backoff 5-30 s, 5 attempts; shorter base locally)."""
+    backoff 5-30 s, 5 attempts; shorter base locally). Deterministic
+    errors (analysis/validation) are raised immediately."""
 
     def deco(fn):
         @functools.wraps(fn)
@@ -48,8 +74,8 @@ def retry(attempts: int = 5, base_s: float = 0.05, cap_s: float = 30.0):
             for i in range(attempts):
                 try:
                     return fn(*args, **kwargs)
-                except Exception:
-                    if i == attempts - 1:
+                except Exception as exc:
+                    if i == attempts - 1 or _non_retryable(exc):
                         raise
                     time.sleep(min(delay, cap_s))
                     delay *= 2
@@ -69,10 +95,23 @@ class KeyedTable:
         key: str = "id",
         sort_on_write: bool = True,
         changelog: bool = False,
+        verify_unique_source: bool = True,
     ):
         self.spark = spark
         self.path = path
+        # the fallback's directory swaps/sweeps run through os.*, which
+        # needs a plain filesystem path; Spark reads/writes accept the
+        # URI form unchanged. Hadoop renders local URIs as both
+        # file:///p and file:/p — strip either. Other schemes (s3a://)
+        # have no parquet fallback — they require the Delta backend.
+        self._os_path = path
+        if path.startswith("file:"):
+            self._os_path = "/" + path.removeprefix("file:").lstrip("/")
         self.key = key
+        # fallback merge guard: reject duplicate-key sources like Delta
+        # MERGE would. Callers that provably dedup first (the pipeline's
+        # latest_per_key) may disable to skip the probe job.
+        self.verify_unique_source = verify_unique_source
         # fallback-path analog of Delta optimizeWrite/liquid clustering:
         # sorting by key within partitions tightens per-file min/max
         # statistics, so later key lookups and merge joins skip files
@@ -90,7 +129,31 @@ class KeyedTable:
             from delta.tables import DeltaTable
 
             return DeltaTable.isDeltaTable(self.spark, self.path)
-        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+        self._recover_stranded()
+        return os.path.exists(os.path.join(self._os_path, "_SUCCESS"))
+
+    def _recover_stranded(self) -> None:
+        """Crash recovery for the fallback swap: a failure between
+        rename(path -> old) and rename(tmp -> path) leaves no table at
+        ``path`` while the pre-swap data sits in a ``.tmp-old-*``
+        sibling. Without recovery, exists() would report False and the
+        next merge would silently discard every pre-existing row.
+        Restore the newest complete stranded copy before answering any
+        existence/read question."""
+        if os.path.exists(self._os_path):
+            return
+        parent, base = os.path.split(self._os_path.rstrip("/"))
+        if not os.path.isdir(parent):
+            return
+        stranded = [
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith(f"{base}.tmp-old-")
+            and os.path.exists(os.path.join(parent, d, "_SUCCESS"))
+        ]
+        if stranded:
+            newest = max(stranded, key=os.path.getmtime)
+            os.rename(newest, self._os_path)
 
     def to_df(self) -> DataFrame:
         """Read back (reference S8: DeltaTable.forPath(...).toDF())."""
@@ -130,6 +193,23 @@ class KeyedTable:
 
     # -- MERGE -----------------------------------------------------------
 
+    def _check_unique_source(self, src: DataFrame) -> None:
+        if not self.verify_unique_source:
+            return
+        dup = (
+            src.groupBy(self.key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise DuplicateKeySourceError(
+                f"merge source has multiple rows for key "
+                f"{self.key}={dup[0][self.key]!r}; dedup the source "
+                f"(e.g. latest_per_key) before merging"
+            )
+
     @retry()
     def merge_upsert(self, src: DataFrame) -> None:
         """J1: upsert rows of ``src`` by key (latest batch row wins)."""
@@ -147,6 +227,7 @@ class KeyedTable:
                 .execute()
             )
             return
+        self._check_unique_source(src)
         if not self.exists():
             if self.changelog:
                 self._append_changes(src.withColumn("_change_type", F.lit("insert")))
@@ -252,7 +333,10 @@ class KeyedTable:
 
             DeltaTable.forPath(self.spark, self.path).vacuum(retention_hours)
             return
-        parent, base = os.path.split(self.path.rstrip("/"))
+        # recover before sweeping: if the table path is missing, the
+        # newest .tmp-old-* sibling IS the table, not garbage
+        self._recover_stranded()
+        parent, base = os.path.split(self._os_path.rstrip("/"))
         if not os.path.isdir(parent):
             return
         cutoff = time.time() - retention_hours * 3600
@@ -274,7 +358,7 @@ class KeyedTable:
                 .collect()[0]
             )
         n_files = (
-            len([f for f in os.listdir(self.path) if f.endswith(".parquet")])
+            len([f for f in os.listdir(self._os_path) if f.endswith(".parquet")])
             if self.exists()
             else 0
         )
@@ -288,7 +372,7 @@ class KeyedTable:
 
     def changelog_version(self) -> int:
         """Latest committed change version, -1 if none."""
-        base = self._changelog_path
+        base = f"{self._os_path.rstrip('/')}.changelog"
         if not os.path.isdir(base):
             return -1
         versions = [
@@ -322,14 +406,21 @@ class KeyedTable:
     # -- internals -------------------------------------------------------
 
     def _swap_write(self, df: DataFrame) -> None:
-        """Copy-on-write with atomic directory swap (crash-safe: readers
-        see the old or the new table, never a partial write)."""
-        tmp = f"{self.path.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
+        """Copy-on-write directory swap. Readers see the old or the new
+        table, never a partial write. The swap itself is two renames,
+        so a crash between them can leave ``path`` momentarily absent —
+        :meth:`_recover_stranded` (run by exists()/vacuum()) restores
+        the pre-swap directory in that window, so no committed rows are
+        ever lost."""
+        suffix = f".tmp-{uuid.uuid4().hex[:8]}"
         if self.sort_on_write and self.key in df.columns:
             df = df.sortWithinPartitions(self.key)
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path.rstrip('/')}.tmp-old-{uuid.uuid4().hex[:8]}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
+        # Spark writes via the URI form; the renames below are plain
+        # filesystem moves on the local equivalent
+        df.write.mode("overwrite").parquet(f"{self.path.rstrip('/')}{suffix}")
+        tmp_os = f"{self._os_path.rstrip('/')}{suffix}"
+        old = f"{self._os_path.rstrip('/')}.tmp-old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self._os_path):
+            os.rename(self._os_path, old)
+        os.rename(tmp_os, self._os_path)
         shutil.rmtree(old, ignore_errors=True)

@@ -76,6 +76,10 @@ class BundlePipeline:
                     self.cfg.warehouse_dir, f"{resource_type}.parquet"
                 ),
                 key="id",
+                # W1 dedup (latest_per_key) runs before every merge, so
+                # the source is key-unique by construction — skip the
+                # fallback's duplicate-key probe job
+                verify_unique_source=False,
             )
         return self._tables[resource_type]
 

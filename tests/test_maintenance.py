@@ -61,3 +61,32 @@ def test_discovery_ignores_tmp_dirs(spark, tmp_path):
     (tmp_path / "wh" / "Patient.parquet.tmp-deadbeef").mkdir()
     found = M.discover_tables(wh)
     assert len(found) == 2
+
+
+def test_discover_tables_hadoop_fs_uri(spark, tmp_path):
+    """Scheme'd URIs route through the Hadoop FileSystem API (the s3a://
+    code path, exercised here via file:// which uses the same listing)."""
+    import pytest
+
+    wh = seed(spark, tmp_path)
+    found = M.discover_tables(f"file://{wh}", spark)
+    assert [p.rsplit("/", 1)[-1] for p in found] == [
+        "Condition.parquet",
+        "Patient.parquet",
+    ]
+    assert all(p.startswith("file:") for p in found)
+    assert M.discover_tables(f"file://{wh}/nope", spark) == []
+    with pytest.raises(ValueError):
+        M.discover_tables("s3a://bucket/prefix")  # no session given
+
+
+def test_maintenance_over_hadoop_fs_uri(spark, tmp_path):
+    """vacuum/optimize/register work end-to-end when discovery returns
+    scheme'd paths (KeyedTable fallback ops read/write through Spark,
+    which resolves file:// like any Hadoop path)."""
+    wh = seed(spark, tmp_path, names=("Patient",))
+    done = M.optimize_all(spark, f"file://{wh}")
+    assert len(done) == 1
+    t = KeyedTable(spark, done[0])
+    assert t.to_df().count() == 2
+    assert t.detail()["numFiles"] == 1  # compaction actually ran

@@ -64,3 +64,82 @@ def test_vacuum_noop_without_garbage(spark, tmp_path):
     t.merge_upsert(df(spark, [("a", 1)]))
     t.vacuum(0.0)
     assert t.to_df().count() == 1
+
+
+def test_duplicate_key_source_rejected(spark, tmp_path):
+    """Both backends reject ambiguous merge sources: Delta MERGE errors
+    on multiple source matches; the fallback raises up front."""
+    import pytest
+
+    from fhir_to_lakehouse_spark.sinks.keyed_table import DuplicateKeySourceError
+
+    t = make(spark, tmp_path)
+    t.merge_upsert(df(spark, [("a", 1)]))
+    with pytest.raises(DuplicateKeySourceError):
+        t.merge_upsert(df(spark, [("a", 2), ("a", 3)]))
+    # table untouched by the failed merge
+    assert {r["id"]: r["v"] for r in t.to_df().collect()} == {"a": 1}
+
+
+def test_duplicate_key_probe_can_be_disabled(spark, tmp_path):
+    t = KeyedTable(
+        spark,
+        str(tmp_path / "t.parquet"),
+        key="id",
+        verify_unique_source=False,
+    )
+    t.merge_upsert(df(spark, [("a", 2), ("a", 3)]))
+    assert t.to_df().count() == 2  # documented: caller owns uniqueness
+
+
+def test_swap_crash_window_recovers_stranded_table(spark, tmp_path):
+    """Simulate a crash between the two swap renames: path missing,
+    pre-swap data stranded in .tmp-old-*. exists()/reads must restore
+    it instead of treating the table as absent (which would make the
+    next merge silently drop all pre-existing rows)."""
+    import os
+
+    t = make(spark, tmp_path)
+    t.merge_upsert(df(spark, [("a", 1), ("b", 2)]))
+    # crash simulation: rename path -> .tmp-old-xyz and stop there
+    stranded = f"{t.path}.tmp-old-deadbeef"
+    os.rename(t.path, stranded)
+    assert not os.path.exists(t.path)
+    assert t.exists()  # recovery ran
+    assert {r["id"]: r["v"] for r in t.to_df().collect()} == {"a": 1, "b": 2}
+    # and a merge after recovery keeps the pre-existing rows
+    t.merge_upsert(df(spark, [("c", 3)]))
+    assert t.to_df().count() == 3
+
+
+def test_vacuum_does_not_sweep_stranded_table(spark, tmp_path):
+    import os
+
+    t = make(spark, tmp_path)
+    t.merge_upsert(df(spark, [("a", 1)]))
+    os.rename(t.path, f"{t.path}.tmp-old-cafe0000")
+    t.vacuum(0.0)  # must recover, not delete, the stranded copy
+    assert t.to_df().count() == 1
+
+
+def test_retry_skips_deterministic_errors(spark, tmp_path):
+    """AnalysisException/validation errors must fail fast, not burn the
+    5-attempt backoff re-running a deterministic failure."""
+    import time as _time
+
+    from fhir_to_lakehouse_spark.sinks.keyed_table import retry
+
+    calls = {"n": 0}
+
+    @retry(attempts=5, base_s=0.2)
+    def bad():
+        calls["n"] += 1
+        raise ValueError("deterministic")
+
+    t0 = _time.monotonic()
+    try:
+        bad()
+    except ValueError:
+        pass
+    assert calls["n"] == 1
+    assert _time.monotonic() - t0 < 0.2
