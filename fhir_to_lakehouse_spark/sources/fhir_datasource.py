@@ -8,18 +8,34 @@ unchanged over files — the batch twin of the reference's Synthea
 NDJSON corpus ingestion (reference data/bundles.ndjson is produced and
 fed through Kafka; here it is a first-class source).
 
-Partitioning: one InputPartition per file; within a file, ``offset`` is
-the line number and ``partition`` a stable hash of the file name — so
-W1's (partition ASC, offset DESC) ordering is file-order, matching
-Kafka's per-partition offset order. Scale: files are read fully
-parallel, no driver-side I/O; at 100 TB the file listing itself should
-come from a manifest table, which the `paths` option supports.
+Offset semantics (chosen so W1's ``partition ASC, offset DESC``
+ordering is *correct recency*, exactly as it is on Kafka):
+
+- the whole directory is ONE logical partition (``partition`` = 0), so
+  a resource key always lives in "its" partition like a Kafka key does;
+- ``offset`` is a single monotone long: ``file_seq << 32 | line``,
+  where ``file_seq`` is the file's position in the recency order —
+  lexicographic filename order for batch reads (landing zones name
+  files monotonically: timestamps, ULIDs), arrival order for streaming
+  reads (checkpointed, stable across replays).
+
+So a key that spans files resolves to the newest file's newest line —
+deterministic and collision-free. (The earlier design hashed the file
+NAME into a 16-bit partition id: two files could collide at ~300 files
+and the winner was decided by hash order, not recency.)
+
+The ``partition`` COLUMN being constant does not serialize the read:
+physical parallelism comes from one InputPartition per file, and
+downstream W1 shuffles on ``request_url``, not on ``partition``.
+
+Scale: files are read fully parallel, no driver-side I/O; at 100 TB
+the file listing itself should come from a manifest table, which the
+`paths` option supports.
 """
 
 from __future__ import annotations
 
 import datetime as dt
-import hashlib
 import os
 from dataclasses import dataclass
 
@@ -39,11 +55,24 @@ SCHEMA_DDL = (
     "partition int, offset long, topic string"
 )
 
+# offset = file_seq << FILE_SEQ_SHIFT | line_number
+FILE_SEQ_SHIFT = 32
+
+
+def file_seq_of(offset: int) -> int:
+    """Recover the file sequence number from a composite offset."""
+    return offset >> FILE_SEQ_SHIFT
+
+
+def line_of(offset: int) -> int:
+    """Recover the line number from a composite offset."""
+    return offset & ((1 << FILE_SEQ_SHIFT) - 1)
+
 
 @dataclass
 class _FilePartition(InputPartition):
     path: str
-    partition_id: int
+    file_seq: int
 
 
 def _list_bundle_files(path: str) -> list[str]:
@@ -56,6 +85,27 @@ def _list_bundle_files(path: str) -> list[str]:
     )
 
 
+def _read_file(path: str, file_seq: int, topic: str):
+    """Yield Kafka-shaped rows for one file; offset encodes (file, line)."""
+    mtime = dt.datetime.fromtimestamp(
+        os.path.getmtime(path), tz=dt.timezone.utc
+    ).replace(tzinfo=None)
+    base = file_seq << FILE_SEQ_SHIFT
+    with open(path, encoding="utf-8") as f:
+        for line_no, line in enumerate(f):
+            line = line.strip()
+            if not line:
+                continue
+            yield (
+                None,  # key (producer key unavailable for files)
+                line,
+                mtime,
+                0,  # single logical partition — see module docstring
+                base | line_no,
+                topic,
+            )
+
+
 class FhirBundleReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -64,40 +114,36 @@ class FhirBundleReader(DataSourceReader):
         self.topic = options.get("topic", "fhir.file")
 
     def partitions(self):
+        # file_seq = index in the sorted listing: collision-free, and
+        # lexicographically-later files win W1 ties (recency contract)
         return [
-            _FilePartition(
-                p,
-                int.from_bytes(
-                    hashlib.md5(os.path.basename(p).encode()).digest()[:2], "big"
-                ),
-            )
-            for p in _list_bundle_files(self.path)
+            _FilePartition(p, seq)
+            for seq, p in enumerate(_list_bundle_files(self.path))
         ]
 
     def read(self, partition: _FilePartition):
-        mtime = dt.datetime.fromtimestamp(
-            os.path.getmtime(partition.path), tz=dt.timezone.utc
-        ).replace(tzinfo=None)
-        with open(partition.path, encoding="utf-8") as f:
-            for offset, line in enumerate(f):
-                line = line.strip()
-                if not line:
-                    continue
-                yield (
-                    None,  # key (producer key unavailable for files)
-                    line,
-                    mtime,
-                    partition.partition_id,
-                    offset,
-                    self.topic,
-                )
+        yield from _read_file(partition.path, partition.file_seq, self.topic)
 
 
 class FhirBundleStreamReader(SimpleDataSourceStreamReader):
-    """Incremental micro-batch reader: the stream offset is the sorted
-    list of files already consumed; each poll reads files that appeared
-    since. Files are immutable-once-written (the standard landing-zone
-    contract), so replays from a checkpointed offset are deterministic.
+    """Incremental micro-batch reader with a BOUNDED checkpoint offset.
+
+    The offset is ``{"base": n_compacted, "watermark": mtime,
+    "files": [arrival-ordered names not yet compacted]}``. A file's
+    sequence number is ``base + index`` — stable across replays because
+    the arrival order itself is what the checkpoint records.
+
+    Compaction keeps the offset O(recent files) instead of O(all files
+    ever seen): once the tracked list exceeds ``compact_threshold``,
+    the prefix of files older than ``max(mtime) - lateness_margin`` is
+    dropped and the watermark advances; files older than the watermark
+    are treated as already-consumed without being listed.
+
+    Contract (the standard landing-zone one): files are immutable once
+    written, and a NEW file never arrives with an mtime more than
+    ``lateness_margin`` seconds behind the newest file already present
+    (default 10 min — covers copy/clock skew). Replays only span recent
+    offsets, which compaction never touches.
     """
 
     def __init__(self, options: dict):
@@ -105,33 +151,60 @@ class FhirBundleStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("fhir_bundles source requires a path")
         self.topic = options.get("topic", "fhir.file")
+        self.compact_threshold = int(options.get("compactThreshold", 1000))
+        self.lateness_margin = float(options.get("latenessMargin", 600.0))
 
     def initialOffset(self) -> dict:  # noqa: N802
-        return {"seen": []}
+        return {"base": 0, "watermark": 0.0, "files": []}
 
     def read(self, start: dict):
-        seen = set(start.get("seen", []))
-        files = _list_bundle_files(self.path)
-        new = [f for f in files if f not in seen]
-        end = {"seen": sorted(seen | set(new))}
+        base = int(start.get("base", 0))
+        watermark = float(start.get("watermark", 0.0))
+        tracked = list(start.get("files", []))
+        seen = set(tracked)
+        # watermark is inclusive-consumed: every compacted file has
+        # mtime <= watermark, so only strictly-newer unseen files are new
+        new = [
+            f
+            for f in _list_bundle_files(self.path)
+            if f not in seen and os.path.getmtime(f) > watermark
+        ]
+        rows = []
+        for j, f in enumerate(new):
+            rows.extend(_read_file(f, base + len(tracked) + j, self.topic))
+        files = tracked + new
+        # compact: drop the oldest arrival-prefix that is safely older
+        # than everything still arriving; base += k keeps every retained
+        # file's seq (= base + index) unchanged
+        if len(files) > self.compact_threshold:
+            mtimes = [os.path.getmtime(f) for f in files]
+            cut = max(mtimes) - self.lateness_margin
+            k = 0
+            while k < len(files) and mtimes[k] < cut:
+                k += 1
+            if k:
+                watermark = max(watermark, max(mtimes[:k]))
+                base += k
+                files = files[k:]
+        end = {"base": base, "watermark": watermark, "files": files}
         # the simple-reader API prefetches on the driver and pickles the
         # result for executors: it must be an ITERATOR (next() is called)
         # that is also PICKLABLE — a list_iterator is both; a generator
         # pickles not at all and a bare list is not an iterator
-        return iter(list(self._rows(new))), end
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        # deterministic replay for recovery: the delta between offsets
-        new = [f for f in end.get("seen", []) if f not in set(start.get("seen", []))]
-        return iter(list(self._rows(new)))
-
-    def _rows(self, files: list[str]):
-        batch_reader = FhirBundleReader({"path": self.path, "topic": self.topic})
-        for f in files:
-            pid = int.from_bytes(
-                hashlib.md5(os.path.basename(f).encode()).digest()[:2], "big"
-            )
-            yield from batch_reader.read(_FilePartition(f, pid))
+        # deterministic replay for recovery: files whose seq falls in
+        # [start's next seq, end's last seq] — no mtime consultation, the
+        # checkpointed arrival order alone decides
+        next_seq = int(start.get("base", 0)) + len(start.get("files", []))
+        end_base = int(end.get("base", 0))
+        rows = []
+        for i, f in enumerate(end.get("files", [])):
+            seq = end_base + i
+            if seq >= next_seq:
+                rows.extend(_read_file(f, seq, self.topic))
+        return iter(rows)
 
 
 @dataclass

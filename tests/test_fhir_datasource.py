@@ -23,10 +23,36 @@ def test_fhir_bundles_source_reads_ndjson(spark, tmp_path):
     df = spark.read.format("fhir_bundles").load(str(src))
     rows = df.collect()
     assert len(rows) == 3
-    assert {r["offset"] for r in rows} == {0, 1}
+    # one logical partition; offset = file_seq << 32 | line, file_seq
+    # from the sorted listing (a.ndjson=0, b.ndjson=1)
+    assert all(r["partition"] == 0 for r in rows)
+    assert {r["offset"] for r in rows} == {0, 1, 1 << 32}
     assert all(r["topic"] == "fhir.file" for r in rows)
-    # per-file stable partition ids; two files -> two ids
-    assert len({r["partition"] for r in rows}) == 2
+
+
+def test_fhir_bundles_cross_file_last_writer_wins(spark, tmp_path):
+    """A key that spans files resolves to the lexicographically-later
+    file under W1's (partition ASC, offset DESC) — recency by file
+    order, not by a hash of the file name."""
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        latest_per_key,
+        prepare_stream,
+    )
+
+    register(spark)
+    src = tmp_path / "bundles"
+    src.mkdir()
+    (src / "2024-01-01.ndjson").write_text(
+        put_bundle("Patient", "x", active=True) + "\n"
+    )
+    (src / "2024-01-02.ndjson").write_text(
+        put_bundle("Patient", "x", active=False) + "\n"
+    )
+    df = spark.read.format("fhir_bundles").load(str(src))
+    [winner] = latest_per_key(prepare_stream(df)).collect()
+    assert '"active": false' in winner["resource"].replace(
+        '"active":false', '"active": false'
+    )
 
 
 def test_fhir_bundles_streaming_incremental(spark, tmp_path):
@@ -132,3 +158,63 @@ def test_fhir_bundles_source_through_pipeline(spark, tmp_path):
     assert sorted(
         r["id"] for r in pipe.table("Patient").to_df().collect()
     ) == ["p2"]
+
+
+def test_stream_offset_compaction_stays_bounded(tmp_path):
+    """The checkpointed offset must not grow O(total files ever seen):
+    old files compact away behind the watermark, sequence numbers stay
+    stable, and replay between offsets never re-reads compacted files."""
+    import os
+
+    from fhir_to_lakehouse_spark.sources.fhir_datasource import (
+        FhirBundleStreamReader,
+        file_seq_of,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    reader = FhirBundleStreamReader(
+        {"path": str(src), "compactThreshold": "4", "latenessMargin": "5"}
+    )
+    offset = reader.initialOffset()
+    seen_seqs = []
+    # 12 files arriving over "time" (mtimes spaced 10s apart, well past
+    # the 5s lateness margin, so compaction is allowed to advance)
+    t0 = 1_700_000_000
+    for i in range(12):
+        f = src / f"f{i:04d}.ndjson"
+        f.write_text(put_bundle("Patient", f"p{i}", active=True) + "\n")
+        os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+        rows, offset = reader.read(offset)
+        rows = list(rows)
+        assert len(rows) == 1
+        seen_seqs.append(file_seq_of(rows[0][4]))
+        # bounded: tracked list never exceeds the threshold + one batch
+        assert len(offset["files"]) <= 5
+    # sequence numbers are the arrival order, never reused or shifted
+    assert seen_seqs == list(range(12))
+    # no file is ever re-read after compaction
+    rows, offset2 = reader.read(offset)
+    assert list(rows) == []
+    assert offset2["files"] == offset["files"]
+
+
+def test_stream_replay_between_offsets_is_deterministic(tmp_path):
+    import os
+
+    from fhir_to_lakehouse_spark.sources.fhir_datasource import (
+        FhirBundleStreamReader,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    reader = FhirBundleStreamReader({"path": str(src)})
+    start = reader.initialOffset()
+    (src / "a.ndjson").write_text(put_bundle("Patient", "r1", active=True) + "\n")
+    rows1, mid = reader.read(start)
+    (src / "b.ndjson").write_text(put_bundle("Patient", "r2", active=True) + "\n")
+    rows2, end = reader.read(mid)
+    # replay of the second delta returns exactly the second batch's rows
+    replay = list(reader.readBetweenOffsets(mid, end))
+    assert [r[1] for r in replay] == [r[1] for r in list(rows2)]
+    assert [r[4] for r in replay] == [1 << 32]
