@@ -37,6 +37,10 @@ KAFKA_RECORD_SCHEMA = T.StructType(
 
 BUNDLE_SCHEMA = T.StructType(
     [
+        # resourceType distinguishes "valid Bundle with no entries"
+        # (produces no rows, not an error) from "JSON that parsed but
+        # isn't a Bundle" (dead-lettered) in the corrupt probe
+        T.StructField("resourceType", T.StringType()),
         T.StructField(
             "entry",
             T.ArrayType(

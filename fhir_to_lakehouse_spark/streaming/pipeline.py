@@ -104,9 +104,16 @@ class BundlePipeline:
         parsed = parse_bundles(batch_df).persist()
         prepared = explode_entries(parsed).persist()
         try:
+            # corrupt = the JSON failed to parse entirely, or parsed to
+            # something that is not a Bundle. A syntactically valid
+            # Bundle with no entry array (e.g. an empty transaction) is
+            # NOT corrupt — like the reference, it just yields no rows.
             corrupt = parsed.filter(
                 F.col("parsed_bundle").isNull()
-                | F.col("parsed_bundle.entry").isNull()
+                | (
+                    F.col("parsed_bundle.entry").isNull()
+                    & ~F.col("parsed_bundle.resourceType").eqNullSafe("Bundle")
+                )
             )
             if not corrupt.isEmpty():
                 self._dead_letter(corrupt, batch_id)

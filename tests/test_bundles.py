@@ -195,12 +195,16 @@ def test_observation_decimal_encoding(spark, pipeline):
 
 
 def test_malformed_bundles_go_to_dead_letter_table(spark, pipeline):
-    """Unparseable payloads land in the _corrupt table with provenance;
-    valid rows in the same batch process normally."""
+    """Unparseable or non-Bundle payloads land in the _corrupt table
+    with provenance; valid rows in the same batch process normally.
+    A syntactically valid Bundle with no entries is NOT corrupt — it
+    just produces no rows (the reference silently emits nothing for
+    these; dead-lettering them would flag healthy empty transactions)."""
     rows = [
         {"value": put_bundle("Patient", "ok1", active=True), "offset": 0},
         {"value": "this is not json {{{", "offset": 1},
-        {"value": '{"resourceType": "Bundle", "no_entry": true}', "offset": 2},
+        {"value": '{"resourceType": "Patient", "id": "naked"}', "offset": 2},
+        {"value": '{"resourceType": "Bundle", "type": "transaction"}', "offset": 3},
     ]
     pipeline.process_batch(batch(spark, rows), batch_id=7)
     assert pipeline.table("Patient").to_df().count() == 1
