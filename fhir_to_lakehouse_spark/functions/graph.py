@@ -18,8 +18,17 @@ diameters; for dedup graphs the simple propagation is the right cost.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class UnconvergedComponentsError(RuntimeError):
+    """Label propagation hit max_iterations with labels still changing:
+    some component spans more hops than the iteration budget (e.g. a
+    chain A~B~C~... longer than max_iterations), so the returned labels
+    would split one true component into several."""
 
 
 def connected_components(
@@ -27,10 +36,17 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 10,
+    on_unconverged: str = "raise",
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Iterates until labels stop changing (checked
-    with one count per iteration) or max_iterations."""
+    with one count per iteration) or max_iterations.
+
+    ``on_unconverged`` decides what happens when the iteration cap is
+    hit before convergence (labels would be WRONG, silently splitting
+    chain-shaped components): ``"raise"`` (default) raises
+    :class:`UnconvergedComponentsError`, ``"warn"`` emits a warning and
+    returns the partial labels anyway."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -44,7 +60,9 @@ def connected_components(
         .distinct()
         .persist()
     )
-    for _ in range(max_iterations):
+    changed = 0
+    prev_persisted = None
+    for i in range(max_iterations):
         nbr_labels = (
             adj.join(labels, adj.nbr == labels.node)
             .select(adj.node.alias("node"), F.col("label"))
@@ -54,8 +72,13 @@ def connected_components(
             .union(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
         )
+        # break lineage every few rounds: without this, iteration k's
+        # plan nests k joins deep and the optimizer/driver cost grows
+        # superlinearly on long-running jobs
+        if i % 4 == 3:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -63,9 +86,24 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the compare above was the last reader of the previous round's
+        # cache — release executor memory before the next shuffle
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = labels = new_labels
         if changed == 0:
             break
+    adj.unpersist()
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — a component's hop-diameter exceeds the budget "
+            "and the labels would split it; raise max_iterations "
+            "(near-dup graphs normally converge in 2-4 rounds)"
+        )
+        if on_unconverged == "raise":
+            raise UnconvergedComponentsError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("node", F.col("label").alias("component"))
 
 

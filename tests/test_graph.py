@@ -41,3 +41,28 @@ def test_dedup_keep_canonical(spark):
     )
     # components {0,3,5}->0 and {1,2}->1; 4 unpaired
     assert kept == [0, 1, 4]
+
+
+def test_unconverged_chain_raises_not_silently_wrong(spark):
+    """A chain longer than the iteration budget must not return split
+    components as if they were the truth (ADVICE: silent unconvergence)."""
+    import pytest
+
+    from fhir_to_lakehouse_spark.functions.graph import (
+        UnconvergedComponentsError,
+        connected_components,
+    )
+
+    # path graph 0-1-2-3-4: min-label travels one hop per round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a int, id_b int"
+    )
+    with pytest.raises(UnconvergedComponentsError):
+        connected_components(edges, max_iterations=2)
+    with pytest.warns(RuntimeWarning):
+        connected_components(
+            edges, max_iterations=2, on_unconverged="warn"
+        ).collect()
+    # with budget, the same chain converges to one component
+    comps = connected_components(edges, max_iterations=6).collect()
+    assert {r["component"] for r in comps} == {0}
