@@ -1,12 +1,18 @@
 """Streaming observability — reference metrics.py parity.
 
 The reference (/root/reference/src/metrics.py:37-127) registers a
-StreamingQueryListener that exports processedRowsPerSecond and Kafka
-start/end/latest offsets per topic/partition as Prometheus gauges.
-OpenTelemetry/Prometheus clients aren't in this container, so the
-listener keeps the same measurements in-process (inspectable dict +
-optional callback); the export hook is the one seam a deployment
-plugs its metrics client into.
+StreamingQueryListener that exports two OpenTelemetry gauges:
+
+- ``spark-streaming-query-processed-rows-per-second`` labeled by
+  query_name;
+- ``spark-streaming-query-kafka-offset`` labeled by (type ∈
+  start/end/latest, query_name, topic, partition).
+
+This module keeps the exact same gauge model in-process: a
+:class:`GaugeSnapshot` of {(metric, labels): value} that any exporter
+can scrape, an optional per-sample callback, and a gated
+prometheus_client bridge (the client isn't in this container; when it
+is installed, the same snapshot becomes real Prometheus gauges).
 """
 
 from __future__ import annotations
@@ -17,16 +23,51 @@ from typing import Callable
 
 from pyspark.sql.streaming import StreamingQueryListener
 
+ROWS_PER_SECOND = "spark_streaming_query_processed_rows_per_second"
+SOURCE_OFFSET = "spark_streaming_query_source_offset"
+
+# labels: a tuple of (key, value) pairs, sorted — hashable + stable
+Labels = tuple[tuple[str, str], ...]
+
+
+def _labels(**kv: str) -> Labels:
+    return tuple(sorted((k, str(v)) for k, v in kv.items()))
+
+
+class GaugeSnapshot:
+    """Last-value-wins gauge store, the in-process stand-in for the
+    reference's OTel meter. ``get(metric, **labels)`` reads one gauge;
+    ``items()`` iterates for export."""
+
+    def __init__(self):
+        self._values: dict[tuple[str, Labels], float] = {}
+
+    def set(self, metric: str, value: float, **labels: str) -> None:
+        self._values[(metric, _labels(**labels))] = value
+
+    def get(self, metric: str, **labels: str) -> float | None:
+        return self._values.get((metric, _labels(**labels)))
+
+    def items(self):
+        return self._values.items()
+
+    def with_metric(self, metric: str) -> dict[Labels, float]:
+        return {
+            labels: v for (m, labels), v in self._values.items() if m == metric
+        }
+
 
 class ThroughputListener(StreamingQueryListener):
-    """Tracks per-query throughput + source offsets (reference
-    QueryProgressListener, /root/reference/src/metrics.py:70-127)."""
+    """Tracks per-query throughput + per-topic/partition source offsets
+    (reference QueryProgressListener,
+    /root/reference/src/metrics.py:70-127)."""
 
     def __init__(self, export: Callable[[str, str, float], None] | None = None):
         self.rows_per_second: dict[str, float] = {}
         self.input_rows: dict[str, int] = defaultdict(int)
         self.batches: dict[str, int] = defaultdict(int)
         self.offsets: dict[str, dict] = {}
+        self.gauges = GaugeSnapshot()
         self._export = export or (lambda name, metric, value: None)
 
     # -- listener API ----------------------------------------------------
@@ -40,23 +81,84 @@ class ThroughputListener(StreamingQueryListener):
         self.rows_per_second[name] = p.processedRowsPerSecond or 0.0
         self.input_rows[name] += int(p.numInputRows or 0)
         self.batches[name] += 1
+        self.gauges.set(
+            ROWS_PER_SECOND, self.rows_per_second[name], query_name=name
+        )
         self._export(name, "processedRowsPerSecond", self.rows_per_second[name])
-        # source offsets (Kafka: {"topic":{"0":offset,...}}; file sources
-        # expose logOffset) — keep raw like the reference exports per
-        # topic/partition gauges (/root/reference/src/metrics.py:100-127)
+        # source offsets: Kafka's are {"topic": {"partition": offset}};
+        # other sources expose scalars or custom dicts. Kafka-shaped
+        # offsets become per-topic/partition gauges exactly like the
+        # reference (/root/reference/src/metrics.py:100-127); anything
+        # else is kept raw in self.offsets for inspection.
         for i, src in enumerate(p.sources or []):
-            for kind in ("startOffset", "endOffset", "latestOffset"):
+            for kind, label in (
+                ("startOffset", "start"),
+                ("endOffset", "end"),
+                ("latestOffset", "latest"),
+            ):
                 raw = getattr(src, kind, None)
-                if raw is None:
+                if raw is None or raw == "None":
                     continue
                 try:
                     parsed = json.loads(raw) if isinstance(raw, str) else raw
                 except (TypeError, ValueError):
                     parsed = raw
                 self.offsets[f"{name}/src{i}/{kind}"] = parsed
+                self._gauge_offsets(name, label, parsed)
+
+    def _gauge_offsets(self, query_name: str, kind: str, parsed) -> None:
+        if not isinstance(parsed, dict):
+            return
+        for topic, partitions in parsed.items():
+            if not isinstance(partitions, dict):
+                continue
+            for partition, offset in partitions.items():
+                if isinstance(offset, (int, float)):
+                    self.gauges.set(
+                        SOURCE_OFFSET,
+                        float(offset),
+                        type=kind,
+                        query_name=query_name,
+                        topic=topic,
+                        partition=partition,
+                    )
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass
+
+
+class PrometheusBridge:
+    """Optional Prometheus exporter over a GaugeSnapshot. Gated on
+    prometheus_client being installed (it is not in this container);
+    construction raises ImportError otherwise, so callers opt in with
+    a try/except, never pay for it silently.
+
+    Reference parity: start_http_server + the two gauges the reference
+    registers at /root/reference/src/metrics.py:39-49 & main.py.
+    """
+
+    def __init__(self, snapshot: GaugeSnapshot, port: int = 8000,
+                 addr: str = "127.0.0.1"):
+        import prometheus_client  # gated import
+
+        self._client = prometheus_client
+        self._snapshot = snapshot
+        self._gauges: dict[tuple[str, tuple[str, ...]], object] = {}
+        prometheus_client.start_http_server(port, addr)
+
+    def push(self) -> None:
+        """Publish every snapshot gauge to the Prometheus registry."""
+        for (metric, labels), value in self._snapshot.items():
+            names = tuple(k for k, _ in labels)
+            key = (metric, names)
+            if key not in self._gauges:
+                self._gauges[key] = self._client.Gauge(
+                    metric, metric.replace("_", " "), names
+                )
+            gauge = self._gauges[key]
+            if names:
+                gauge = gauge.labels(*(v for _, v in labels))
+            gauge.set(value)
