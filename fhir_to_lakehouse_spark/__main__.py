@@ -10,49 +10,33 @@ query with the foreachBatch engine core, registers the throughput
 listener, and blocks on termination like the reference
 (/root/reference/src/main.py:194 awaitAnyTermination).
 
-Configuration comes from environment variables with the reference's
-defaults (see env_config): FHIR_KAFKA_BOOTSTRAP, FHIR_TOPICS,
-FHIR_MAX_OFFSETS, FHIR_WAREHOUSE_DIR, FHIR_CHECKPOINT_DIR,
-FHIR_UPKEEP_INTERVAL, ...
+Configuration is the layered settings tree (fhir_to_lakehouse_spark.
+settings — reference src/settings.py parity): dataclass defaults,
+overridden by an optional --config TOML file, overridden by FHIR_*
+environment variables (FHIR_KAFKA_BOOTSTRAP_SERVERS, FHIR_KAFKA_TOPICS,
+FHIR_SPARK_WAREHOUSE_DIR, FHIR_VACUUM_RETENTION_HOURS, ...).
 """
 
 from __future__ import annotations
 
 import argparse
-import os
 
 from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.session import get_spark
+from fhir_to_lakehouse_spark.settings import load_settings
 from fhir_to_lakehouse_spark.sources.kafka import KafkaSourceConfig, kafka_reader
 from fhir_to_lakehouse_spark.streaming.metrics import ThroughputListener
 from fhir_to_lakehouse_spark.streaming.pipeline import BundlePipeline, PipelineConfig
 
 
-def env_config() -> tuple[KafkaSourceConfig, PipelineConfig]:
-    """Typed config from env vars (reference settings.py parity:
-    typed-settings tree with the same defaults)."""
-    env = os.environ
-    kafka = KafkaSourceConfig(
-        bootstrap_servers=env.get("FHIR_KAFKA_BOOTSTRAP", "localhost:9092"),
-        topics=env.get("FHIR_TOPICS", "fhir.all").split(","),
-        max_offsets_per_trigger=int(env.get("FHIR_MAX_OFFSETS", "10000")),
-        min_offsets_per_trigger=int(env.get("FHIR_MIN_OFFSETS", "1")),
-        max_trigger_delay=env.get("FHIR_MAX_TRIGGER_DELAY", "15m"),
-        ssl_enabled=env.get("FHIR_KAFKA_SSL", "") == "true",
-        ssl_truststore_location=env.get("FHIR_SSL_TRUSTSTORE"),
-        ssl_truststore_password=env.get("FHIR_SSL_TRUSTSTORE_PASSWORD"),
-        ssl_keystore_location=env.get("FHIR_SSL_KEYSTORE"),
-        ssl_keystore_password=env.get("FHIR_SSL_KEYSTORE_PASSWORD"),
-    )
-    pipeline = PipelineConfig(
-        warehouse_dir=env.get("FHIR_WAREHOUSE_DIR", "/tmp/fhir-warehouse"),
-        checkpoint_dir=env.get("FHIR_CHECKPOINT_DIR", "/tmp/fhir-checkpoints"),
-        upkeep_interval=int(env.get("FHIR_UPKEEP_INTERVAL", "50")),
-        vacuum_retention_hours=float(env.get("FHIR_VACUUM_RETENTION_H", "24")),
-        log_batch_stats=env.get("FHIR_LOG_BATCH_STATS", "") == "true",
-    )
-    return kafka, pipeline
+def env_config(
+    toml_path: str | None = None,
+) -> tuple[KafkaSourceConfig, PipelineConfig]:
+    """Runtime configs off the layered settings tree (defaults < TOML <
+    environment — reference settings.py loads the same way)."""
+    settings = load_settings(toml_path=toml_path)
+    return settings.to_kafka_config(), settings.to_pipeline_config()
 
 
 def build_source(spark, args, kafka_cfg: KafkaSourceConfig):
@@ -88,9 +72,10 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="process available data then exit (file-source testing)",
     )
+    ap.add_argument("--config", help="optional TOML settings file")
     args = ap.parse_args(argv)
 
-    kafka_cfg, pipe_cfg = env_config()
+    kafka_cfg, pipe_cfg = env_config(args.config)
     spark = get_spark("fhir-to-lakehouse")
     listener = ThroughputListener()
     spark.streams.addListener(listener)

@@ -25,9 +25,9 @@ def test_app_file_source_once(spark, tmp_path, monkeypatch):
             f.write(json.dumps(d) + "\n")
 
     wh = tmp_path / "wh"
-    monkeypatch.setenv("FHIR_WAREHOUSE_DIR", str(wh))
-    monkeypatch.setenv("FHIR_CHECKPOINT_DIR", str(tmp_path / "ck"))
-    monkeypatch.setenv("FHIR_UPKEEP_INTERVAL", "1000")
+    monkeypatch.setenv("FHIR_SPARK_WAREHOUSE_DIR", str(wh))
+    monkeypatch.setenv("FHIR_SPARK_CHECKPOINT_DIR", str(tmp_path / "ck"))
+    monkeypatch.setenv("FHIR_SPARK_UPKEEP_INTERVAL", "1000")
 
     rc = main(["--source", "file", "--input", str(src), "--once"])
     assert rc == 0
@@ -36,11 +36,76 @@ def test_app_file_source_once(spark, tmp_path, monkeypatch):
 
 
 def test_env_config_defaults_and_overrides(monkeypatch):
-    monkeypatch.setenv("FHIR_TOPICS", "t1,t2")
-    monkeypatch.setenv("FHIR_MAX_OFFSETS", "500")
+    monkeypatch.setenv("FHIR_KAFKA_TOPICS", "t1,t2")
+    monkeypatch.setenv("FHIR_KAFKA_MAX_OFFSETS_PER_TRIGGER", "500")
     kafka, pipe = env_config()
     assert kafka.topics == ["t1", "t2"]
     assert kafka.max_offsets_per_trigger == 500
     assert kafka.min_offsets_per_trigger == 1  # reference default
     assert kafka.max_trigger_delay == "15m"  # reference default
     assert pipe.upkeep_interval in (50, 1000)  # default unless test env
+
+
+def test_settings_tree_layering_toml_under_env(tmp_path, monkeypatch):
+    """defaults < TOML < env, with nested sections and typed fields
+    (reference settings.py loads the same tree via typed-settings)."""
+    from fhir_to_lakehouse_spark.settings import load_settings
+
+    cfg = tmp_path / "settings.toml"
+    cfg.write_text(
+        """
+vacuum_retention_hours = 12.5
+metastore_schema = "lakehouse"
+
+[kafka]
+bootstrap_servers = "broker:9092"
+topics = ["a", "b"]
+fail_on_data_loss = true
+
+[kafka.ssl]
+enabled = true
+truststore_password = "from-toml"
+
+[spark]
+upkeep_interval = 7
+
+[delta]
+clustering_columns_by_resource_type = { Patient = ["id", "birthDate"] }
+"""
+    )
+    monkeypatch.setenv("FHIR_KAFKA_SSL_TRUSTSTORE_PASSWORD", "from-env")
+    monkeypatch.setenv("FHIR_SPARK_UPKEEP_INTERVAL", "9")
+    s = load_settings(toml_path=str(cfg))
+    # TOML wins over defaults
+    assert s.vacuum_retention_hours == 12.5
+    assert s.kafka.bootstrap_servers == "broker:9092"
+    assert s.kafka.topics == ["a", "b"]
+    assert s.kafka.fail_on_data_loss is True
+    assert s.kafka.ssl.enabled is True
+    # env wins over TOML
+    assert s.kafka.ssl.truststore_password == "from-env"
+    assert s.spark.upkeep_interval == 9
+    # adapters thread everything onto the runtime configs
+    kafka = s.to_kafka_config()
+    assert kafka.ssl_enabled and kafka.ssl_truststore_password == "from-env"
+    pipe = s.to_pipeline_config()
+    assert pipe.upkeep_interval == 9
+    assert pipe.register_schema == "lakehouse"
+    assert pipe.clustering_columns == {"Patient": ["id", "birthDate"]}
+
+
+def test_settings_env_type_conversions(monkeypatch):
+    from fhir_to_lakehouse_spark.settings import load_settings
+
+    monkeypatch.setenv("FHIR_LOG_BATCH_STATS", "yes")
+    monkeypatch.setenv("FHIR_METRICS_PORT", "9100")
+    monkeypatch.setenv(
+        "FHIR_DELTA_CLUSTERING_COLUMNS_BY_RESOURCE_TYPE",
+        '{"Observation": ["id", "effectiveDateTime"]}',
+    )
+    s = load_settings()
+    assert s.log_batch_stats is True
+    assert s.metrics_port == 9100
+    assert s.delta.clustering_columns_by_resource_type == {
+        "Observation": ["id", "effectiveDateTime"]
+    }
