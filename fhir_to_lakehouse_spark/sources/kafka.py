@@ -5,11 +5,14 @@ earliest offsets, headers, rate limits (maxOffsetsPerTrigger /
 minOffsetsPerTrigger / maxTriggerDelay), failOnDataLoss, optional SSL
 (PKCS12 truststore/keystore).
 
-The spark-sql-kafka connector jar is not in this container, so the
-builder only *constructs* the reader — ``.load()`` is the caller's
-decision and will raise without the jar. Tests drive the same pipeline
-through the file/memory sources instead (the engine core is
-stream/batch agnostic).
+The spark-sql-kafka connector jar is not in this container (searched
+~/.ivy2 and ~/.m2 — absent; installs are out of scope here), so with
+the default ``fmt="kafka"`` the builder only *constructs* the reader —
+``.load()`` is the caller's decision and will raise without the jar.
+``fmt="kafka_double"`` routes the IDENTICAL option set through
+:mod:`fhir_to_lakehouse_spark.sources.kafka_double`, a Python
+DataSource implementing the connector's offset/rate-limit semantics,
+so the wiring is executable end-to-end in tests.
 """
 
 from __future__ import annotations
@@ -38,11 +41,14 @@ class KafkaSourceConfig:
     ssl_keystore_password: str | None = None
 
 
-def kafka_reader(spark: SparkSession, cfg: KafkaSourceConfig) -> DataStreamReader:
+def kafka_reader(
+    spark: SparkSession, cfg: KafkaSourceConfig, fmt: str = "kafka"
+) -> DataStreamReader:
     """Build the configured Kafka DataStreamReader (call .load() where
-    the connector jar is available)."""
+    the connector jar is available; ``fmt="kafka_double"`` for the
+    semantics double, same options)."""
     reader = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(fmt)
         .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
         .option("subscribe", ",".join(cfg.topics))
         .option("startingOffsets", cfg.starting_offsets)

@@ -73,3 +73,162 @@ def test_available_now_backfill(spark, tmp_path):
     q = pipe.start_stream(stream, query_name="an", available_now=True)
     q.awaitTermination(120)  # availableNow stops by itself
     assert pipe.table("Patient").to_df().count() == 1
+
+
+# -- kafka_double: the connector's semantics, executable ------------------
+
+
+def _double_stream(spark, broker, **overrides):
+    from fhir_to_lakehouse_spark.sources import kafka_double
+
+    kafka_double.register(spark)
+    cfg = KafkaSourceConfig(
+        bootstrap_servers=str(broker),
+        topics=overrides.pop("topics", ["fhir.msg"]),
+        **overrides,
+    )
+    return kafka_reader(spark, cfg, fmt="kafka_double").load()
+
+
+def test_kafka_reader_load_executes_through_double(spark, tmp_path):
+    """VERDICT #3: kafka_reader(...).load() runs — the real builder's
+    option set drives an executable source with Kafka semantics, and the
+    whole pipeline consumes it."""
+    from fhir_to_lakehouse_spark.sources.kafka_double import produce
+
+    broker = tmp_path / "broker"
+    produce(
+        str(broker),
+        "fhir.msg",
+        [
+            {"key": "a", "value": put_bundle("Patient", "a", active=True),
+             "timestamp": 1000.0, "headers": {"src": "double"}},
+            {"key": "b", "value": put_bundle("Patient", "b", active=True),
+             "timestamp": 1001.0},
+        ],
+        partition=0,
+    )
+    stream = _double_stream(spark, broker)
+    cfg = PipelineConfig(
+        warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ck")
+    )
+    pipe = BundlePipeline(spark, cfg)
+    q = pipe.start_stream(stream, query_name="kd_e2e")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(
+        r["id"] for r in pipe.table("Patient").to_df().collect()
+    ) == ["a", "b"]
+
+
+def test_double_rate_limit_max_offsets_per_trigger(spark, tmp_path):
+    """maxOffsetsPerTrigger caps each micro-batch's total rows across
+    partitions, exactly like the connector's admission control."""
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.sources.kafka_double import produce
+
+    broker = tmp_path / "broker"
+    for p in (0, 1):
+        produce(
+            str(broker),
+            "fhir.msg",
+            [{"value": f"m{p}-{i}", "timestamp": 100.0 + i} for i in range(5)],
+            partition=p,
+        )
+    stream = _double_stream(spark, broker, max_offsets_per_trigger=3)
+    batch_sizes = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .foreachBatch(lambda df, _id: batch_sizes.append(df.count()))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sizes = [s for s in batch_sizes if s]
+    assert sum(sizes) == 10
+    assert max(sizes) <= 3
+    assert len(sizes) >= 4
+
+
+def test_double_starting_offsets_latest_and_json(spark, tmp_path):
+    from fhir_to_lakehouse_spark.sources.kafka_double import produce
+
+    broker = tmp_path / "broker"
+    produce(
+        str(broker),
+        "fhir.msg",
+        [{"value": f"old{i}", "timestamp": 1.0} for i in range(3)],
+    )
+    # latest: pre-existing records are skipped, new ones picked up
+    stream = _double_stream(spark, broker, starting_offsets="latest")
+    seen = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .foreachBatch(
+            lambda df, _id: seen.extend(
+                r["value"].decode() for r in df.select("value").collect()
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert seen == []
+        produce(str(broker), "fhir.msg", [{"value": "new0", "timestamp": 2.0}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen == ["new0"]
+    # per-partition JSON grammar: start mid-log
+    stream2 = _double_stream(
+        spark, broker, starting_offsets='{"fhir.msg": {"0": 2}}'
+    )
+    seen2 = []
+    q2 = (
+        stream2.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .foreachBatch(
+            lambda df, _id: seen2.extend(
+                r["value"].decode() for r in df.select("value").collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert sorted(seen2) == ["new0", "old2"]
+
+
+def test_double_headers_and_batch_read(spark, tmp_path):
+    from fhir_to_lakehouse_spark.sources import kafka_double
+    from fhir_to_lakehouse_spark.sources.kafka_double import produce
+
+    broker = tmp_path / "broker"
+    produce(
+        str(broker),
+        "t.a",
+        [{"key": "k", "value": "v", "timestamp": 5.0,
+          "headers": {"h1": "x", "h2": "y"}}],
+    )
+    kafka_double.register(spark)
+    df = (
+        spark.read.format("kafka_double")
+        .option("kafka.bootstrap.servers", str(broker))
+        .option("subscribe", "t.a")
+        .option("startingOffsets", "earliest")
+        .option("includeHeaders", "true")
+        .load()
+    )
+    [row] = df.collect()
+    assert row["key"] == b"k" and row["value"] == b"v"
+    assert row["topic"] == "t.a" and row["offset"] == 0
+    assert {h["key"]: h["value"] for h in row["headers"]} == {
+        "h1": b"x", "h2": b"y"
+    }
