@@ -39,6 +39,14 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def bag_of_words_signature(col: Column | str) -> Column:
+    """16-byte signature of the token MULTISET (sorted token sequence):
+    equal for any word-order permutation of the same tokens, so it
+    catches shuffled/templated boilerplate exact-hash dedup misses.
+    DuckDB twin: md5(array_to_string(list_sort(toks), ' '))."""
+    return F.md5(F.concat_ws(" ", F.sort_array(tokens(col))).cast("binary"))
+
+
 def punct_ratio(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))

@@ -29,6 +29,7 @@ from fhir_to_lakehouse_spark.plans import semistructured  # noqa: F401
 from fhir_to_lakehouse_spark.plans import scd  # noqa: F401
 from fhir_to_lakehouse_spark.plans import layout  # noqa: F401
 from fhir_to_lakehouse_spark.plans import curation  # noqa: F401
+from fhir_to_lakehouse_spark.plans import scrub  # noqa: F401
 
 def _interleave_families() -> None:
     """Reorder the registry round-robin across operator families.

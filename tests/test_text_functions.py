@@ -52,3 +52,27 @@ def test_punct_and_digit_ratios(spark):
     assert abs(one(spark, "ab,.", TX.punct_ratio("text")) - 0.5) < 1e-12
     assert abs(one(spark, "a1b2", TX.digit_ratio("text")) - 0.5) < 1e-12
     assert one(spark, "", TX.punct_ratio("text")) == 0.0
+
+
+def test_bag_of_words_signature_detects_shuffled_duplicates(spark):
+    """Reordered token sequences share a signature; different multisets
+    (even same set, different multiplicities) do not."""
+    from fhir_to_lakehouse_spark.functions.text import bag_of_words_signature
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "fox brown THE quick"),      # permutation (case-folded) -> dup
+            (2, "the the quick brown fox"),  # extra multiplicity -> distinct
+            (3, "the  quick\tbrown fox"),    # whitespace runs ignored -> dup
+        ],
+        "doc_id int, text string",
+    )
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", bag_of_words_signature("text").alias("s")
+        ).collect()
+    }
+    assert sigs[0] == sigs[1] == sigs[3]
+    assert sigs[2] != sigs[0]
