@@ -67,13 +67,59 @@ def similarity_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.matmul_topk_pandas(emb, qrows, k=_K)
 
 
-@query("similarity_ivf_topk")
+# cosine in DuckDB over double-cast lists — the building block all
+# similarity oracles share (sequential fold, same as F.aggregate)
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / greatest(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 1e-12)"
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cen AS (
+      SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8
+    ), asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, cen.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_duck_cos('e.v', 'cen.cv')} DESC, cen.cell ASC) AS rn
+        FROM e CROSS JOIN cen
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}
+    ), probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, cen.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_duck_cos('q.qv', 'cen.cv')} DESC, cen.cell ASC) AS rn
+        FROM q CROSS JOIN cen
+      ) WHERE rn <= 2
+    ), scored AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND({_duck_cos('p.qv', 'a.v')}, 6) AS cos_sim
+      FROM asg a JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+"""
+
+
+@query("similarity_ivf_topk", oracle=_IVF_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: deterministic coarse centroids (the 8 lowest
     vec_ids), corpus partitioned by nearest-centroid cell, queries probe
     their 2 nearest cells only — at scale the cell is a partition column
-    and probes prune ~75% of the corpus. Rows-only check (approximate
-    op); recall-vs-brute-force is asserted in pytest."""
+    and probes prune ~75% of the corpus. Every step (assignment, probe
+    choice, scoring) is deterministic, so despite being approximate
+    w.r.t. brute force it carries a full DuckDB oracle;
+    recall-vs-brute-force is additionally asserted in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = (
         emb.filter(F.col("vec_id") < 8)
@@ -118,12 +164,54 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_hyperplane_lsh_topk")
+def _lsh_planes(n_planes: int = 4, dim: int = 64):
+    """The exact plane-sign constants hyperplane_bucket bakes into the
+    plan (same seed/stream) — interpolated into the oracle as literals
+    so both engines test signs against identical hyperplanes."""
+    import numpy as np
+
+    rng = np.random.default_rng(0xF41A)
+    return (rng.integers(0, 2, size=(n_planes, dim)) * 2 - 1).tolist()
+
+
+def _lsh_oracle() -> str:
+    planes = _lsh_planes()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product("
+        f"[{', '.join(f'{float(s)!r}' for s in plane)}]::DOUBLE[], v) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {bucket_terms} AS bucket FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM b
+      WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, b.vec_id,
+             ROUND({_duck_cos('q.qv', 'b.v')}, 6) AS cos_sim
+      FROM b JOIN q ON b.bucket = q.bucket AND q.query_id <> b.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+"""
+
+
+@query("similarity_hyperplane_lsh_topk", oracle=_lsh_oracle())
 def similarity_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: 4-bit deterministic sign buckets;
     queries search only their own bucket. The third ANN strategy
-    alongside IVF (partition pruning) and matmul (Arrow) — rows-only
-    (approximate); recall vs brute force asserted in pytest."""
+    alongside IVF (partition pruning) and matmul (Arrow). The plane
+    signs are data-independent constants, so the whole query is
+    deterministic and oracle-checked (the oracle embeds the same
+    constants); recall vs brute force asserted in pytest."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
