@@ -154,39 +154,52 @@ class BundlePipeline:
         """Dedup -> encode PUTs -> upsert -> delete (order matters:
         upsert FIRST, then deletes, like the reference at
         /root/reference/src/bundle_processor.py:221-234)."""
-        deduped = latest_per_key(df)  # W1: partition asc, offset desc
-        if self.cfg.log_topic_counts:
-            # reference log_resource_count_by_source_topic
-            # (/root/reference/src/bundle_processor.py:131)
-            deduped.groupBy("topic").count().show(truncate=False)
-        puts, deletes = split_by_method(deduped)
+        # cache the dedup output: the window shuffle would otherwise
+        # re-run for every consumer (emptiness probes, upsert, delete)
+        deduped = latest_per_key(df).persist()  # W1: partition asc, offset desc
+        try:
+            if self.cfg.log_topic_counts:
+                # reference log_resource_count_by_source_topic
+                # (/root/reference/src/bundle_processor.py:131)
+                deduped.groupBy("topic").count().show(truncate=False)
+            puts, deletes = split_by_method(deduped)
 
-        tbl = self.table(resource_type)
-        encoded = encode_resources(puts, resource_type)
-        # table creation is unconditional once a type appears — the
-        # reference creates the (possibly empty) table before merging,
-        # so a DELETE-only first batch still materializes the table
-        # (/root/reference/src/bundle_processor.py:172-204); the curated
-        # schema is static, so no rows are needed to derive it
-        tbl.create_if_not_exists(
-            encoded.schema,
-            cluster_by=self.cfg.clustering_columns.get(resource_type),
-        )
-        if self.cfg.register_schema:
-            self._register(resource_type)
-        # counts are pre-dedup: when only one method appears for the
-        # type they are exact; when both appear, W1 races can empty
-        # either side, so fall back to the cheap probe on the loser-able
-        # frame (the common single-method batch pays zero extra jobs)
-        if has_puts and (not has_deletes or not encoded.isEmpty()):
-            tbl.merge_upsert(encoded)
-
-        if has_deletes:
-            delete_ids = deletes.select(
-                F.col("request_resource_id").alias("id")
+            tbl = self.table(resource_type)
+            # deletes can only hit rows that existed BEFORE this batch:
+            # W1 dedup leaves one row per key, so a key whose winner is
+            # DELETE has no PUT row in this batch's upsert. If the table
+            # is only being created now, the delete pass would rewrite
+            # it to remove nothing — skip it entirely (matters for
+            # first-batch backfills, where it halves the table I/O).
+            existed_before = tbl.exists()
+            encoded = encode_resources(puts, resource_type)
+            # table creation is unconditional once a type appears — the
+            # reference creates the (possibly empty) table before merging,
+            # so a DELETE-only first batch still materializes the table
+            # (/root/reference/src/bundle_processor.py:172-204); the curated
+            # schema is static, so no rows are needed to derive it
+            tbl.create_if_not_exists(
+                encoded.schema,
+                cluster_by=self.cfg.clustering_columns.get(resource_type),
             )
-            if not has_puts or not delete_ids.isEmpty():
-                tbl.merge_delete(delete_ids)
+            if self.cfg.register_schema:
+                self._register(resource_type)
+            # counts are pre-dedup: when only one method appears for the
+            # type they are exact; when both appear, W1 races can empty
+            # either side, so fall back to the cheap probe on the
+            # loser-able frame (the common single-method batch pays zero
+            # extra jobs, and the probe reads the dedup cache)
+            if has_puts and (not has_deletes or not encoded.isEmpty()):
+                tbl.merge_upsert(encoded)
+
+            if has_deletes and existed_before:
+                delete_ids = deletes.select(
+                    F.col("request_resource_id").alias("id")
+                )
+                if not has_puts or not delete_ids.isEmpty():
+                    tbl.merge_delete(delete_ids)
+        finally:
+            deduped.unpersist()
 
     def _dead_letter(self, corrupt: DataFrame, batch_id: int) -> None:
         """Append unparseable records (raw payload + Kafka provenance +

@@ -26,6 +26,8 @@ BNLJ_ALLOWED = {
     "q22_global_sales_opportunity",  # 1-row avg-balance broadcast
     "scd2_point_in_time",
     "dedup_embedding_cosine",     # bounded block self-join
+    "corpus_length_band_filter",  # 1-row percentile-bounds broadcast
+    "corpus_vocab_coverage",      # 1-row totals broadcast over term frame
 }
 
 _SKIP = {
