@@ -42,6 +42,13 @@ def env_config(
 def build_source(spark, args, kafka_cfg: KafkaSourceConfig):
     if args.source == "kafka":
         return kafka_reader(spark, kafka_cfg).load()
+    if args.source == "kafka_double":
+        # connector-semantics double: bootstrap_servers is the broker
+        # directory; every other option behaves like the real source
+        from fhir_to_lakehouse_spark.sources.kafka_double import register
+
+        register(spark)
+        return kafka_reader(spark, kafka_cfg, fmt="kafka_double").load()
     if args.source == "fhir_files":
         # custom Python DataSource: NDJSON bundle files, incremental
         from fhir_to_lakehouse_spark.sources.fhir_datasource import register
@@ -60,7 +67,9 @@ def build_source(spark, args, kafka_cfg: KafkaSourceConfig):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="fhir_to_lakehouse_spark")
     ap.add_argument(
-        "--source", choices=["kafka", "file", "fhir_files"], default="kafka"
+        "--source",
+        choices=["kafka", "kafka_double", "file", "fhir_files"],
+        default="kafka",
     )
     ap.add_argument(
         "--input",

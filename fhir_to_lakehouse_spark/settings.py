@@ -52,6 +52,7 @@ class KafkaSettings:
     ssl: KafkaSslSettings = field(default_factory=KafkaSslSettings)
     bootstrap_servers: str = "localhost:9092"
     topics: list[str] = field(default_factory=lambda: ["fhir.all"])
+    starting_offsets: str = "earliest"  # reference main.py:129
     max_offsets_per_trigger: int = 10_000
     min_offsets_per_trigger: int = 1
     max_trigger_delay: str = "15m"
@@ -103,6 +104,7 @@ class Settings:
         return KafkaSourceConfig(
             bootstrap_servers=self.kafka.bootstrap_servers,
             topics=list(self.kafka.topics),
+            starting_offsets=self.kafka.starting_offsets,
             max_offsets_per_trigger=self.kafka.max_offsets_per_trigger,
             min_offsets_per_trigger=self.kafka.min_offsets_per_trigger,
             max_trigger_delay=self.kafka.max_trigger_delay,

@@ -109,3 +109,32 @@ def test_settings_env_type_conversions(monkeypatch):
     assert s.delta.clustering_columns_by_resource_type == {
         "Observation": ["id", "effectiveDateTime"]
     }
+
+
+def test_app_kafka_double_source_once(spark, tmp_path, monkeypatch):
+    """The app runs against the Kafka semantics double end-to-end using
+    only the production config surface (bootstrap = broker dir)."""
+    from fhir_to_lakehouse_spark.sources.kafka_double import produce
+
+    broker = tmp_path / "broker"
+    produce(
+        str(broker),
+        "fhir.all",
+        [
+            {"key": "a", "value": put_bundle("Patient", "a", active=True),
+             "timestamp": 100.0},
+            {"key": "a", "value": delete_bundle("Patient", "a"),
+             "timestamp": 101.0},
+            {"key": "b", "value": put_bundle("Patient", "b", active=False),
+             "timestamp": 102.0},
+        ],
+    )
+    wh = tmp_path / "wh"
+    monkeypatch.setenv("FHIR_KAFKA_BOOTSTRAP_SERVERS", str(broker))
+    monkeypatch.setenv("FHIR_KAFKA_STARTING_OFFSETS", "earliest")
+    monkeypatch.setenv("FHIR_SPARK_WAREHOUSE_DIR", str(wh))
+    monkeypatch.setenv("FHIR_SPARK_CHECKPOINT_DIR", str(tmp_path / "ck"))
+    rc = main(["--source", "kafka_double", "--once"])
+    assert rc == 0
+    table = KeyedTable(spark, str(wh / "Patient.parquet"))
+    assert sorted(r["id"] for r in table.to_df().collect()) == ["b"]
