@@ -286,3 +286,209 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("total_tokens").alias("total_tokens"),
         )
     )
+
+
+_SW = "['the','and','of','to','a','in','is','it','that','for']"
+
+
+@query(
+    "quality_linear_filter",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len({_DUCK_TOKS}) AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_r,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_r,
+             len(list_filter({_DUCK_TOKS}, x -> list_contains({_SW}, x)))
+               / CAST(greatest(len({_DUCK_TOKS}), 1) AS DOUBLE) AS stop_r,
+             list_aggregate(list_transform({_DUCK_TOKS}, x -> length(x)), 'sum')
+               / CAST(greatest(len({_DUCK_TOKS}), 1) AS DOUBLE) AS mean_len
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             1.0 / (1.0 + exp(-(-1.2
+               + 0.004 * least(n_tokens, 500)
+               + 2.5 * stop_r
+               - 3.0 * punct_r
+               - 2.0 * digit_r
+               + 0.15 * mean_len))) AS score
+      FROM feats
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(AVG(score), 6) AS avg_score
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def quality_linear_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier filtering, fastText-shaped: a fixed-weight
+    linear model over interpretable features (token count, punctuation /
+    digit noise, stopword rate, mean token length) squashed through a
+    sigmoid; docs scoring < 0.5 are dropped. The weights are arbitrary
+    but FIXED, so the whole classifier is oracle-checkable — the
+    deterministic stand-in for a learned quality model, with the exact
+    plan shape a real one has (per-row featurize -> score -> filter ->
+    per-stratum report).
+
+    Scale shape: per-row expressions + one map-side-combinable
+    aggregate on lang. The text column never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n_tokens = F.size(toks)
+    mean_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    ) / F.greatest(n_tokens, F.lit(1)).cast("double")
+    z = (
+        F.lit(-1.2)
+        + 0.004 * F.least(n_tokens, F.lit(500))
+        + 2.5 * TX.stopword_ratio("text")
+        - 3.0 * TX.punct_ratio("text")
+        - 2.0 * TX.digit_ratio("text")
+        + 0.15 * mean_len
+    )
+    scored = docs.select(
+        "lang", (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score")
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("score") >= 0.5).cast("bigint")).alias("n_kept"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+    )
+
+
+@query(
+    "dedup_semantic_ivf",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cen AS (
+      SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8
+    ), asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, cen.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, cen.cv)
+                   / greatest(sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(cen.cv, cen.cv)), 1e-12)
+                 DESC, cen.cell ASC) AS rn
+        FROM e CROSS JOIN cen
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT a.cell,
+             ROUND(list_dot_product(a.v, b.v)
+                   / greatest(sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v)), 1e-12), 6)
+               AS cos_sim
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT c.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN p.cos_sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_candidates,
+           ROUND(MAX(p.cos_sim), 6) AS max_cos
+    FROM pairs p JOIN (SELECT DISTINCT cell FROM asg) c ON p.cell = c.cell
+    GROUP BY c.cell
+    """,
+)
+def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: embeddings are blocked into IVF
+    cells (deterministic coarse centroids), pairwise cosine runs WITHIN
+    cells only, and pairs above threshold are duplicate candidates.
+    Reported per cell (pair counts, candidates, max similarity). The
+    all-pairs comparison never happens — the self-join is equi-keyed on
+    the cell id, so at scale each partition compares only its own cell.
+
+    Complements dedup_embedding_cosine (blocked by the label metadata
+    column): here the blocking key is derived from the DATA, the shape
+    a corpus without trustworthy metadata needs."""
+    from fhir_to_lakehouse_spark.functions.similarity import (
+        as_double,
+        cosine,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    asg = ivf_assign(emb, centroids).select(
+        "vec_id", "cell", as_double(F.col("embedding")).alias("v")
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cell").alias("cell"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+    )
+    return pairs.groupBy("cell").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("cos_sim") >= 0.35).cast("bigint")).alias(
+            "n_dup_candidates"
+        ),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+    )
+
+
+@query(
+    "decontaminate_exact_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, array_to_string({_DUCK_TOKS}, ' ') AS norm FROM documents
+    ), evals AS (
+      SELECT doc_id AS eval_id,
+             array_to_string(({_DUCK_TOKS})[1:3], ' ') AS needle
+      FROM documents WHERE doc_id % 97 = 0 AND len({_DUCK_TOKS}) >= 3
+    )
+    SELECT e.eval_id,
+           CAST(SUM(CASE WHEN t.doc_id <> e.eval_id
+                          AND position(e.needle IN t.norm) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM evals e CROSS JOIN t
+    GROUP BY e.eval_id
+    """,
+)
+def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (the complement of the n-gram
+    OVERLAP variant in plans/curation.py): each held-out eval prompt
+    (deterministically sampled: every 97th doc's leading 3 tokens, on
+    normalized text) is searched verbatim in every other document —
+    the strictest leakage test, catching training docs that quote an
+    eval prompt verbatim inside unrelated text.
+
+    Scale shape: the eval set is tiny and broadcast; the corpus scans
+    ONCE against all needles (training side never shuffles), then one
+    aggregate per eval id — the same broadcast-probe shape the n-gram
+    decontamination uses, with substring match instead of shingle
+    intersection."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    t = docs.select(
+        "doc_id", F.concat_ws(" ", toks).alias("norm")
+    )
+    evals = docs.filter(
+        (F.col("doc_id") % 97 == 0) & (F.size(toks) >= 3)
+    ).select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("needle"),
+    )
+    return (
+        t.crossJoin(F.broadcast(evals))
+        .groupBy("eval_id")
+        .agg(
+            F.sum(
+                (
+                    (F.col("doc_id") != F.col("eval_id"))
+                    & (F.instr(F.col("norm"), F.col("needle")) > 0)
+                ).cast("bigint")
+            ).alias("n_contaminated")
+        )
+    )
