@@ -28,6 +28,8 @@ BNLJ_ALLOWED = {
     "dedup_embedding_cosine",     # bounded block self-join
     "corpus_length_band_filter",  # 1-row percentile-bounds broadcast
     "corpus_vocab_coverage",      # 1-row totals broadcast over term frame
+    "dedup_semantic_ivf",         # broadcast centroids (non-equi argmin)
+    "decontaminate_exact_substring",  # tiny eval needle set broadcast
 }
 
 _SKIP = {
