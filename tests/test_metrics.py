@@ -123,3 +123,62 @@ def test_prometheus_bridge_is_cleanly_gated():
         pass
     with pytest.raises(ImportError):
         PrometheusBridge(GaugeSnapshot())
+
+
+def test_offset_gauges_from_kafka_double_stream(spark, tmp_path):
+    """Integration: a streaming query over the Kafka semantics double
+    reports Kafka-shaped offsets in progress events, and the listener
+    turns them into per-topic/partition gauges — the full reference
+    metrics path without a broker."""
+    import time
+
+    from fhir_to_lakehouse_spark.sources import kafka_double
+    from fhir_to_lakehouse_spark.sources.kafka_double import produce
+
+    broker = tmp_path / "broker"
+    for p in (0, 1):
+        produce(
+            str(broker),
+            "fhir.msg",
+            [{"value": f"m{p}-{i}", "timestamp": 100.0 + i} for i in range(3)],
+            partition=p,
+        )
+    kafka_double.register(spark)
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.format("kafka_double")
+            .option("kafka.bootstrap.servers", str(broker))
+            .option("subscribe", "fhir.msg")
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("kd_gauges")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            deadline = time.time() + 15
+            while (
+                time.time() < deadline
+                and listener.gauges.get(
+                    SOURCE_OFFSET, type="end", query_name="kd_gauges",
+                    topic="fhir.msg", partition="0",
+                )
+                is None
+            ):
+                time.sleep(0.2)
+        finally:
+            q.stop()
+    finally:
+        spark.streams.removeListener(listener)
+    for partition in ("0", "1"):
+        assert listener.gauges.get(
+            SOURCE_OFFSET, type="end", query_name="kd_gauges",
+            topic="fhir.msg", partition=partition,
+        ) == 3.0
+    assert listener.input_rows["kd_gauges"] == 6
