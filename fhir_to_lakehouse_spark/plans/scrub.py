@@ -492,3 +492,123 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("n_contaminated")
         )
     )
+
+
+_DUCK_Q = f"""0.4 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                        / greatest(length(text), 1))
+           + 0.2 * (1 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                        / greatest(length(text), 1))
+           + 0.1 * least(
+               (len(list_filter({_DUCK_TOKS},
+                    x -> list_contains({_SW}, x)))
+                / greatest(len({_DUCK_TOKS}), 1)) * 5, 1.0)"""
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_DUCK_TOKS}) AS n_tokens,
+             ({_DUCK_Q}) >= 0.5 AS q_pass,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+             md5(array_to_string(list_sort({_DUCK_TOKS}), ' ')) AS bow
+      FROM documents
+    ), f1 AS (
+      SELECT *, q_pass AND ROW_NUMBER() OVER (
+               PARTITION BY fp ORDER BY q_pass DESC, doc_id ASC) = 1
+               AS exact_can
+      FROM base
+    ), f2 AS (
+      SELECT *, exact_can AND ROW_NUMBER() OVER (
+               PARTITION BY bow ORDER BY exact_can DESC, doc_id ASC) = 1
+               AS bow_can
+      FROM f1
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(n_tokens) AS BIGINT) AS t0,
+             CAST(SUM(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN q_pass THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+             CAST(SUM(CASE WHEN exact_can THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN exact_can THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+             CAST(SUM(CASE WHEN bow_can THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN bow_can THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
+      FROM f2
+    )
+    SELECT 0 AS stage, 'raw' AS stage_name, n0 AS n_docs, t0 AS total_tokens FROM agg
+    UNION ALL
+    SELECT 1, 'quality', n1, t1 FROM agg
+    UNION ALL
+    SELECT 2, 'exact_dedup', n2, t2 FROM agg
+    UNION ALL
+    SELECT 3, 'bow_dedup', n3, t3 FROM agg
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition report for the curation pipeline (the number
+    a production corpus job actually monitors): raw -> quality filter
+    -> exact-dedup canonical -> bag-of-words-dedup canonical, each
+    stage reporting surviving docs and token mass.
+
+    Single-pass design: stage membership is computed as cumulative
+    FLAGS over one scan — canonical-of-stage-k is "first stage-k
+    survivor in its duplicate group" via a window ordered by
+    (survivor DESC, doc_id) — then ONE aggregate produces all four
+    stage rows (unpivoted driver-side from a 1-row frame). One scan +
+    two window shuffles + one agg, versus the naive 4 scans; at 100 TB
+    the corpus is read once."""
+    from fhir_to_lakehouse_spark.functions.text import (
+        bag_of_words_signature,
+        fingerprint,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        (quality_score("text") >= 0.5).alias("q_pass"),
+        fingerprint("text").alias("fp"),
+        bag_of_words_signature("text").alias("bow"),
+    )
+    w_fp = Window.partitionBy("fp").orderBy(
+        F.col("q_pass").desc(), F.col("doc_id").asc()
+    )
+    f1 = base.withColumn(
+        "exact_can", F.col("q_pass") & (F.row_number().over(w_fp) == 1)
+    )
+    w_bow = Window.partitionBy("bow").orderBy(
+        F.col("exact_can").desc(), F.col("doc_id").asc()
+    )
+    f2 = f1.withColumn(
+        "bow_can", F.col("exact_can") & (F.row_number().over(w_bow) == 1)
+    )
+    agg = f2.agg(
+        F.count("*").alias("n0"),
+        F.sum("n_tokens").alias("t0"),
+        F.sum(F.col("q_pass").cast("bigint")).alias("n1"),
+        F.sum(F.when(F.col("q_pass"), F.col("n_tokens")).otherwise(0)).alias("t1"),
+        F.sum(F.col("exact_can").cast("bigint")).alias("n2"),
+        F.sum(F.when(F.col("exact_can"), F.col("n_tokens")).otherwise(0)).alias(
+            "t2"
+        ),
+        F.sum(F.col("bow_can").cast("bigint")).alias("n3"),
+        F.sum(F.when(F.col("bow_can"), F.col("n_tokens")).otherwise(0)).alias(
+            "t3"
+        ),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(nm).alias("stage_name"),
+                F.col(f"n{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("total_tokens"),
+            )
+            for i, nm in enumerate(
+                ["raw", "quality", "exact_dedup", "bow_dedup"]
+            )
+        ]
+    )
+    return agg.select(F.inline(stages))
