@@ -37,6 +37,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_brute_topk",
     "similarity_matmul_topk",
+    # round 2: curation/scrubbing family
+    "quality_linear_filter",
+    "dedup_semantic_ivf",
+    "corpus_curation_funnel",
 ]
 
 
