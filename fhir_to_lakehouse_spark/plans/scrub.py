@@ -612,3 +612,66 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.inline(stages))
+
+
+@query(
+    "similarity_incremental_index",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cen AS (
+      SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8
+    ), asg AS (
+      SELECT vec_id, cell,
+             vec_id % 5 = 4 AS is_new
+      FROM (
+        SELECT e.vec_id, cen.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.v, cen.cv)
+                   / greatest(sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(cen.cv, cen.cv)), 1e-12)
+                 DESC, cen.cell ASC) AS rn
+        FROM e CROSS JOIN cen
+      ) WHERE rn = 1
+    )
+    SELECT cell,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_indexed,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_appended,
+           CAST(MIN(CASE WHEN is_new THEN vec_id END) AS BIGINT)
+             AS first_new_vec_id
+    FROM asg
+    GROUP BY cell
+    """,
+)
+def similarity_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance: newly arrived embeddings
+    (modeled as vec_id % 5 == 4) are assigned to the EXISTING coarse
+    centroids and appended to their cells — the daily-refresh path
+    that avoids rebuilding the whole IVF index. Reported per cell:
+    already-indexed count, appended count, first appended id.
+
+    Scale shape: only the delta runs nearest-centroid assignment
+    against broadcast centroids (O(delta × C)); the historical index is
+    touched only by the final per-cell count, which at scale is served
+    from the index's own partition statistics. Cell skew (a hot
+    centroid) surfaces here as an uneven n_appended histogram — the
+    monitoring signal to re-train centroids."""
+    from fhir_to_lakehouse_spark.functions.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    asg = ivf_assign(emb, centroids).withColumn(
+        "is_new", F.col("vec_id") % 5 == 4
+    )
+    return asg.groupBy("cell").agg(
+        F.sum((~F.col("is_new")).cast("bigint")).alias("n_indexed"),
+        F.sum(F.col("is_new").cast("bigint")).alias("n_appended"),
+        F.min(F.when(F.col("is_new"), F.col("vec_id"))).alias(
+            "first_new_vec_id"
+        ),
+    )

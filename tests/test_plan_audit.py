@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "corpus_vocab_coverage",      # 1-row totals broadcast over term frame
     "dedup_semantic_ivf",         # broadcast centroids (non-equi argmin)
     "decontaminate_exact_substring",  # tiny eval needle set broadcast
+    "similarity_incremental_index",   # broadcast centroids (non-equi argmin)
 }
 
 _SKIP = {
