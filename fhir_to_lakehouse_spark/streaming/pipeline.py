@@ -137,6 +137,7 @@ class BundlePipeline:
                     rt,
                     has_puts=counts.get((rt, "PUT"), 0) > 0,
                     has_deletes=counts.get((rt, "DELETE"), 0) > 0,
+                    batch_id=batch_id,
                 )
             if batch_id % self.cfg.upkeep_interval == 0:
                 self.upkeep(types)
@@ -150,6 +151,7 @@ class BundlePipeline:
         resource_type: str,
         has_puts: bool = True,
         has_deletes: bool = True,
+        batch_id: int = -1,
     ) -> None:
         """Dedup -> encode PUTs -> upsert -> delete (order matters:
         upsert FIRST, then deletes, like the reference at
@@ -190,6 +192,17 @@ class BundlePipeline:
             # loser-able frame (the common single-method batch pays zero
             # extra jobs, and the probe reads the dedup cache)
             if has_puts and (not has_deletes or not encoded.isEmpty()):
+                # a PUT whose inner resource JSON failed the curated
+                # parse encodes to a null id — merging it would plant a
+                # null-key row in the table. Dead-letter it with the raw
+                # resource instead (the reference's Pathling encoder
+                # throws for these; silent nulls are worse than either).
+                invalid = encoded.filter(F.col("id").isNull())
+                if not invalid.isEmpty():
+                    self._dead_letter_resources(
+                        invalid, resource_type, batch_id
+                    )
+                    encoded = encoded.filter(F.col("id").isNotNull())
                 tbl.merge_upsert(encoded)
 
             if has_deletes and existed_before:
@@ -217,6 +230,27 @@ class BundlePipeline:
 
     def corrupt_records(self) -> DataFrame:
         path = os.path.join(self.cfg.warehouse_dir, "_corrupt.parquet")
+        return self.spark.read.parquet(path)
+
+    def _dead_letter_resources(
+        self, invalid: DataFrame, resource_type: str, batch_id: int
+    ) -> None:
+        """Append entry-level failures (valid envelope, unparseable
+        inner resource) to the resource corrupt table."""
+        out = invalid.select(
+            F.col("resource_json").alias("raw_resource"),
+            F.lit(resource_type).alias("resource_type"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        path = os.path.join(
+            self.cfg.warehouse_dir, "_corrupt_resources.parquet"
+        )
+        out.write.mode("append").parquet(path)
+
+    def corrupt_resources(self) -> DataFrame:
+        path = os.path.join(
+            self.cfg.warehouse_dir, "_corrupt_resources.parquet"
+        )
         return self.spark.read.parquet(path)
 
     def _register(self, resource_type: str) -> None:

@@ -334,3 +334,35 @@ def test_upkeep_runs_on_interval_batch(spark, pipeline):
         batch(spark, [{"value": put_bundle("Patient", "1")}]), 0
     )
     assert pipeline.table("Patient").to_df().count() == 1
+
+
+def test_unparseable_inner_resource_dead_lettered_not_merged(spark, pipeline):
+    """A PUT whose envelope is valid but whose inner resource JSON fails
+    the curated parse must NOT plant a null-id row in the keyed table —
+    it goes to the resource dead-letter table with the raw payload."""
+    import json
+
+    bad = json.dumps(
+        {
+            "resourceType": "Bundle",
+            "type": "transaction",
+            "entry": [
+                {
+                    "resource": "{definitely not json",
+                    "request": {"method": "PUT", "url": "Patient/x1"},
+                }
+            ],
+        }
+    )
+    rows = [
+        {"value": put_bundle("Patient", "ok", active=True), "offset": 0},
+        {"value": bad, "offset": 1},
+    ]
+    pipeline.process_batch(batch(spark, rows), batch_id=3)
+    ids = [r["id"] for r in pipeline.table("Patient").to_df().collect()]
+    assert ids == ["ok"]  # no null-key row
+    corrupt = pipeline.corrupt_resources().collect()
+    assert len(corrupt) == 1
+    assert corrupt[0]["resource_type"] == "Patient"
+    assert corrupt[0]["batch_id"] == 3
+    assert "definitely not json" in corrupt[0]["raw_resource"]
