@@ -65,16 +65,31 @@ def latest_per_key(
     order). This resolves PUT/DELETE races inside a batch; cross-batch
     correctness comes from merge idempotency.
 
-    Scale: one hash Exchange on ``key``; row_number needs no sort of
-    the whole batch, only within key groups.
+    Scale: the default ordering runs as ``min_by`` over the rank struct
+    (partition, -offset) — a hash AGGREGATE, not a window. Partial
+    aggregation collapses each key's rows map-side before the Exchange,
+    so a hot key (one resource updated millions of times in a batch)
+    ships one row per upstream task instead of millions into one
+    reducer, and no sort happens anywhere. The reference's window
+    formulation (and ours before this) shuffles every duplicate row to
+    its key's reducer and sorts there.
+
+    A custom ``order`` falls back to the row_number window (arbitrary
+    Column expressions don't map mechanically onto a min_by rank).
     """
-    order = order or [F.col("partition").asc(), F.col("offset").desc()]
-    w = Window.partitionBy(key).orderBy(*order)
-    return (
-        df.withColumn("row_num", F.row_number().over(w))
-        .filter(F.col("row_num") == 1)
-        .drop("row_num")
-    )
+    if order is not None:
+        w = Window.partitionBy(key).orderBy(*order)
+        return (
+            df.withColumn("row_num", F.row_number().over(w))
+            .filter(F.col("row_num") == 1)
+            .drop("row_num")
+        )
+    # (partition ASC, offset DESC) first row == argmin of the rank
+    # struct (partition, -offset); struct comparison is lexicographic.
+    # Kafka guarantees (partition, offset) uniqueness, so no ties.
+    rank = F.struct(F.col("partition"), (-F.col("offset")).alias("neg_offset"))
+    winner = F.min_by(F.struct(*df.columns), rank).alias("w")
+    return df.groupBy(key).agg(winner).select("w.*")
 
 
 def split_by_method(df: DataFrame) -> tuple[DataFrame, DataFrame]:
