@@ -321,3 +321,77 @@ def corpus_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((cum - F.col("n_tokens")) / 10000.0).alias("shard_id"),
         )
     )
+
+
+@query(
+    "dedup_repeated_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[(i*5+1):(i*5+5)], ' ') AS chunk
+      FROM toks, UNNEST(range(CAST(ceil(len(t)/5.0) AS BIGINT))) AS u(i)
+      WHERE len(t) > 0
+    ), freq AS (
+      SELECT chunk, COUNT(*) AS c FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           COALESCE(string_agg(CASE WHEN f.c = 1 THEN c.chunk END,
+                               ' ' ORDER BY c.pos), '') AS kept_text
+    FROM chunks c JOIN freq f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document duplicated-span removal: split every
+    document into consecutive 5-token chunks, count each chunk's
+    corpus-wide frequency, drop every occurrence of any chunk that
+    appears more than once anywhere, and reassemble each document from
+    its surviving chunks in position order (plus per-doc attrition
+    stats).
+
+    Scale shape: chunking is pure Catalyst (sequence/slice/posexplode,
+    no Python); the frequency count is one map-side-combinable hash
+    aggregate on the chunk string; the chunk<->frequency join shuffles
+    on the chunk key (both sides already partitioned by it from the
+    aggregate); reassembly is one groupBy(doc_id) with collect_list of
+    only the KEPT chunks. Nothing is quadratic and no doc body is ever
+    compared to another doc directly — the chunk hash table is the
+    only corpus-wide state, exactly how C4's span dedup runs on a
+    full web crawl."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    n_chunks = F.ceil(F.size("t") / F.lit(5.0)).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(F.col("t"), i * 5 + 1, 5), " "),
+            )
+        ).alias("pos", "chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("c"))
+    j = chunks.join(freq, "chunk")
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("c") == 1, F.struct(F.col("pos"), F.col("chunk")))
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        kept_text.alias("kept_text"),
+    )

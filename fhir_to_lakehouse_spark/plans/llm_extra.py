@@ -195,3 +195,75 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_len"),
         )
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, x,
+             list_max(list_transform(x, e -> abs(e))) / 127.0 AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, label, x, scale,
+             list_transform(x, e -> round(e / scale)) AS qv
+      FROM s
+    ), e AS (
+      SELECT vec_id, label, scale, qv,
+             list_transform(list_zip(x, qv), p -> p[1] - p[2] * scale) AS err
+      FROM q
+    )
+    SELECT vec_id, label,
+           CAST(len(qv) AS BIGINT)  AS n_dims,
+           ROUND(scale, 6)          AS scale,
+           CAST(list_sum(list_transform(qv, e -> CAST(abs(e) AS BIGINT)))
+                AS BIGINT)          AS q_l1,
+           ROUND(list_dot_product(err, err), 6) AS sq_err
+    FROM e
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the compression step before shipping an ANN index or a trained
+    embedding table: scale = max|x|/127, q_i = round(x_i/scale), plus
+    per-vector reconstruction error (sum of squared error of q*scale
+    vs x) and the integer L1 mass of the quantized vector.
+
+    All arithmetic is double-precision Catalyst higher-order functions
+    (transform/zip_with/aggregate) evaluated element-at-a-time in the
+    same left-to-right order DuckDB's list functions use, so the
+    oracle matches digit-for-digit; per-vector outputs avoid any
+    cross-row float accumulation. Embarrassingly parallel — zero
+    shuffles, scan-bound at 100 TB."""
+    from fhir_to_lakehouse_spark.functions.similarity import as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("x"))
+    s = x.select(
+        "*",
+        (F.array_max(F.transform("x", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    q = s.select(
+        "*", F.transform("x", lambda e: F.round(e / F.col("scale"))).alias("qv")
+    )
+    e = q.select(
+        "vec_id",
+        "label",
+        "scale",
+        "qv",
+        F.zip_with("x", "qv", lambda a, b: a - b * F.col("scale")).alias("err"),
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("qv").cast("long").alias("n_dims"),
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v).cast("long")
+        ).alias("q_l1"),
+        F.round(dot(F.col("err"), F.col("err")), 6).alias("sq_err"),
+    )
