@@ -155,3 +155,41 @@ def test_decontamination_plan_broadcasts_benchmark(spark, sf_dir):
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repeated_chunks_hand_computed(spark, tmp_path):
+    # 5-token chunks; "a b c d e" appears in docs 1 and 2 -> dropped
+    # from both; every other chunk is unique and survives.
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h i j", "en", "t", 19),
+            (2, "a b c d e x y z w v", "en", "t", 19),
+            (3, "p q r", "en", "t", 5),  # single partial chunk, unique
+        ],
+    )
+    d.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from fhir_to_lakehouse_spark.plans.curation import dedup_repeated_chunks
+
+    out = {
+        r["doc_id"]: r for r in dedup_repeated_chunks(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[1]["kept_text"] == "f g h i j"
+    assert out[2]["kept_text"] == "x y z w v"
+    assert out[3]["n_dup_chunks"] == 0 and out[3]["kept_text"] == "p q r"
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    # Symmetric round-to-nearest: per-element error <= scale/2, so
+    # sq_err <= n_dims * (scale/2)^2; quantized magnitudes cap at 127.
+    from fhir_to_lakehouse_spark.plans.llm_extra import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["scale"] > 0
+        assert r["q_l1"] <= 127 * r["n_dims"]
+        bound = r["n_dims"] * (r["scale"] / 2) ** 2
+        assert r["sq_err"] <= bound * 1.001 + 1e-9
