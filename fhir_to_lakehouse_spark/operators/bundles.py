@@ -66,13 +66,16 @@ def latest_per_key(
     correctness comes from merge idempotency.
 
     Scale: the default ordering runs as ``min_by`` over the rank struct
-    (partition, -offset) — a hash AGGREGATE, not a window. Partial
-    aggregation collapses each key's rows map-side before the Exchange,
+    (partition, -offset) — an aggregate, not a window. The partial
+    aggregate collapses each key's rows map-side before the Exchange,
     so a hot key (one resource updated millions of times in a batch)
     ships one row per upstream task instead of millions into one
-    reducer, and no sort happens anywhere. The reference's window
-    formulation (and ours before this) shuffles every duplicate row to
-    its key's reducer and sorts there.
+    reducer. Physically Spark plans it as SortAggregate (a struct-typed
+    agg buffer is not hash-aggregable), so each task sorts its input by
+    ``key`` alone; shuffle volume and map-side collapse are the same as
+    the row_number window form (whose WindowGroupLimit pushdown also
+    limits map-side on Spark 3.5+), with a narrower sort key and no
+    rank column materialized.
 
     A custom ``order`` falls back to the row_number window (arbitrary
     Column expressions don't map mechanically onto a min_by rank).

@@ -362,7 +362,16 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the KEPT chunks. Nothing is quadratic and no doc body is ever
     compared to another doc directly — the chunk hash table is the
     only corpus-wide state, exactly how C4's span dedup runs on a
-    full web crawl."""
+    full web crawl.
+
+    This is deliberately TWO passes over the corpus (pass 1 builds the
+    duplicated-chunk set, pass 2 filters against it) rather than a
+    count-over-window single pass: a window count colocates AND buffers
+    every occurrence of a chunk in one window group, which OOMs on the
+    heavy-tailed boilerplate chunks a real crawl has (a chunk repeated
+    10M times); the aggregate's map-side combine collapses those
+    occurrences per task, and the join streams them. At 100 TB you
+    would persist the chunk-frequency table between the passes."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", TX.tokens("text").alias("t")).filter(
         F.size("t") > 0
