@@ -46,7 +46,21 @@ def connected_components(
     hit before convergence (labels would be WRONG, silently splitting
     chain-shaped components): ``"raise"`` (default) raises
     :class:`UnconvergedComponentsError`, ``"warn"`` emits a warning and
-    returns the partial labels anyway."""
+    returns the partial labels anyway.
+
+    The returned DataFrame is backed by the last iteration's persisted
+    cache; call ``.unpersist()`` on it when finished to release
+    executor memory."""
+    if on_unconverged not in ("raise", "warn"):
+        # a typo ("error", "ignore") must not silently demote the
+        # convergence failure to a warning
+        raise ValueError(
+            f"on_unconverged must be 'raise' or 'warn', got {on_unconverged!r}"
+        )
+    if max_iterations < 1:
+        # zero iterations would return per-node self-labels as
+        # "components" with neither an error nor a warning
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -46,7 +47,12 @@ def discover_tables(
     twin of the reference's boto3 common-prefix listing, working
     against whatever object store the session's ``fs.*`` configs wire
     up (S9). Requires ``spark`` for the JVM gateway."""
-    if "://" not in warehouse_dir:
+    # scheme detection must accept Hadoop's single-slash local URI form
+    # ("file:/p" — Path.toString() renders it that way), not just
+    # "scheme://": a warehouse_dir copied from Hadoop output would
+    # otherwise fall into os.path.isdir("file:/p") == False and silently
+    # maintain nothing.
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", warehouse_dir):
         if not os.path.isdir(warehouse_dir):
             return []
         return sorted(

@@ -653,12 +653,17 @@ def similarity_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     that avoids rebuilding the whole IVF index. Reported per cell:
     already-indexed count, appended count, first appended id.
 
-    Scale shape: only the delta runs nearest-centroid assignment
-    against broadcast centroids (O(delta × C)); the historical index is
-    touched only by the final per-cell count, which at scale is served
-    from the index's own partition statistics. Cell skew (a hot
-    centroid) surfaces here as an uneven n_appended histogram — the
-    monitoring signal to re-train centroids."""
+    Scale shape: at scale only the delta runs nearest-centroid
+    assignment against broadcast centroids (O(delta × C)) — the
+    historical rows' cells are read back from the stored index's
+    partition column, and the per-cell counts come from its partition
+    statistics. THIS self-contained query has no stored index table
+    (the testdata parquet carries no cell column), so it derives the
+    historical side's cells by running the same assignment over the
+    full table; the split it reports (n_indexed vs n_appended) is the
+    production contract, the full-scan is the test-harness stand-in.
+    Cell skew (a hot centroid) surfaces here as an uneven n_appended
+    histogram — the monitoring signal to re-train centroids."""
     from fhir_to_lakehouse_spark.functions.similarity import ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import os
+import re
 import shutil
 import time
 import uuid
@@ -108,6 +109,19 @@ class KeyedTable:
         if path.startswith("file:"):
             self._os_path = "/" + path.removeprefix("file:").lstrip("/")
         self.key = key
+        self._delta = delta_available() and not os.environ.get("FORCE_PARQUET_SINK")
+        # enforce the comment above: on a remote scheme without Delta,
+        # exists() would os.path.exists("s3a://...") == False forever —
+        # merge_delete no-ops and every merge rewrites an "initial"
+        # table. Fail construction instead of corrupting silently.
+        if not self._delta and re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path) and not (
+            path.startswith("file:")
+        ):
+            raise ValueError(
+                f"KeyedTable parquet fallback only supports local paths; "
+                f"{path!r} needs the Delta backend (delta-spark on the "
+                f"classpath)"
+            )
         # fallback merge guard: reject duplicate-key sources like Delta
         # MERGE would. Callers that provably dedup first (the pipeline's
         # latest_per_key) may disable to skip the probe job.
@@ -120,7 +134,6 @@ class KeyedTable:
         # merge also appends its row-level changes (_change_type +
         # commit_version) to <path>.changelog for incremental consumers
         self.changelog = changelog
-        self._delta = delta_available() and not os.environ.get("FORCE_PARQUET_SINK")
 
     # -- existence / read ------------------------------------------------
 

@@ -175,12 +175,19 @@ class FhirBundleStreamReader(SimpleDataSourceStreamReader):
         files = tracked + new
         # compact: drop the oldest arrival-prefix that is safely older
         # than everything still arriving; base += k keeps every retained
-        # file's seq (= base + index) unchanged
+        # file's seq (= base + index) unchanged. NEVER drop past the
+        # tracked prefix: files first read in THIS batch must stay in
+        # the end offset, because crash recovery replays this batch via
+        # readBetweenOffsets over end.files — compacting a new file out
+        # would silently lose its rows on restart. tracked files were
+        # all consumed by earlier batches whose own end offsets (already
+        # in the offset log) still list them, so replay of those spans
+        # is unaffected.
         if len(files) > self.compact_threshold:
             mtimes = [os.path.getmtime(f) for f in files]
             cut = max(mtimes) - self.lateness_margin
             k = 0
-            while k < len(files) and mtimes[k] < cut:
+            while k < len(tracked) and mtimes[k] < cut:
                 k += 1
             if k:
                 watermark = max(watermark, max(mtimes[:k]))

@@ -147,7 +147,12 @@ class PrometheusBridge:
         self._client = prometheus_client
         self._snapshot = snapshot
         self._gauges: dict[tuple[str, tuple[str, ...]], object] = {}
-        prometheus_client.start_http_server(port, addr)
+        # a private registry per bridge: registering gauges in the
+        # process-global default registry makes the SECOND bridge in a
+        # process (stream restart, two queries) die with "Duplicated
+        # timeseries in CollectorRegistry"
+        self._registry = prometheus_client.CollectorRegistry()
+        prometheus_client.start_http_server(port, addr, registry=self._registry)
 
     def push(self) -> None:
         """Publish every snapshot gauge to the Prometheus registry."""
@@ -156,7 +161,8 @@ class PrometheusBridge:
             key = (metric, names)
             if key not in self._gauges:
                 self._gauges[key] = self._client.Gauge(
-                    metric, metric.replace("_", " "), names
+                    metric, metric.replace("_", " "), names,
+                    registry=self._registry,
                 )
             gauge = self._gauges[key]
             if names:

@@ -104,15 +104,25 @@ class BundlePipeline:
         parsed = parse_bundles(batch_df).persist()
         prepared = explode_entries(parsed).persist()
         try:
-            # corrupt = the JSON failed to parse entirely, or parsed to
-            # something that is not a Bundle. A syntactically valid
-            # Bundle with no entry array (e.g. an empty transaction) is
-            # NOT corrupt — like the reference, it just yields no rows.
+            # corrupt = the JSON failed to parse entirely, or its entry
+            # failed to parse: either the envelope is not a Bundle, or
+            # the raw payload HAS an "entry" key whose shape from_json
+            # could not read (Spark 4 partial-result parsing nulls just
+            # that field, so parsed_bundle.entry.isNull() alone cannot
+            # tell "absent" from "present but malformed" — probe the raw
+            # string). A syntactically valid Bundle with no entry array
+            # (e.g. an empty transaction) is NOT corrupt — like the
+            # reference, it just yields no rows.
             corrupt = parsed.filter(
                 F.col("parsed_bundle").isNull()
                 | (
                     F.col("parsed_bundle.entry").isNull()
-                    & ~F.col("parsed_bundle.resourceType").eqNullSafe("Bundle")
+                    & (
+                        ~F.col("parsed_bundle.resourceType").eqNullSafe("Bundle")
+                        | F.get_json_object(
+                            F.col("value").cast("string"), "$.entry"
+                        ).isNotNull()
+                    )
                 )
             )
             if not corrupt.isEmpty():

@@ -205,12 +205,16 @@ def test_malformed_bundles_go_to_dead_letter_table(spark, pipeline):
         {"value": "this is not json {{{", "offset": 1},
         {"value": '{"resourceType": "Patient", "id": "naked"}', "offset": 2},
         {"value": '{"resourceType": "Bundle", "type": "transaction"}', "offset": 3},
+        # entry PRESENT but the wrong shape (object, not array): Spark 4
+        # partial-result parsing nulls just that field, which must read
+        # as corrupt, not as a healthy empty bundle
+        {"value": '{"resourceType": "Bundle", "entry": {"foo": 1}}', "offset": 4},
     ]
     pipeline.process_batch(batch(spark, rows), batch_id=7)
     assert pipeline.table("Patient").to_df().count() == 1
     corrupt = pipeline.corrupt_records().collect()
-    assert len(corrupt) == 2
-    assert {r["offset"] for r in corrupt} == {1, 2}
+    assert len(corrupt) == 3
+    assert {r["offset"] for r in corrupt} == {1, 2, 4}
     assert all(r["batch_id"] == 7 for r in corrupt)
     assert any("not json" in r["raw_value"] for r in corrupt)
 

@@ -218,3 +218,38 @@ def test_stream_replay_between_offsets_is_deterministic(tmp_path):
     replay = list(reader.readBetweenOffsets(mid, end))
     assert [r[1] for r in replay] == [r[1] for r in list(rows2)]
     assert [r[4] for r in replay] == [1 << 32]
+
+
+def test_compaction_never_drops_current_batch_files(tmp_path):
+    """Crash-recovery invariant: every file FIRST read in a batch must
+    survive in that batch's end offset, because readBetweenOffsets over
+    end.files is how Spark replays the batch after a crash before
+    commit. A backfill of many old files (all older than the lateness
+    cut) must therefore replay completely, however aggressive the
+    compaction settings."""
+    import os
+
+    from fhir_to_lakehouse_spark.sources.fhir_datasource import (
+        FhirBundleStreamReader,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    t0 = 1_700_000_000
+    for i in range(10):
+        f = src / f"f{i:03d}.ndjson"
+        f.write_text(put_bundle("Patient", f"p{i}", active=True) + "\n")
+        os.utime(f, (t0 + 100 * i, t0 + 100 * i))
+    reader = FhirBundleStreamReader(
+        {"path": str(src), "compactThreshold": "4", "latenessMargin": "5"}
+    )
+    start = reader.initialOffset()
+    rows, end = reader.read(start)
+    assert len(list(rows)) == 10
+    # the uncommitted batch's replay must see every row
+    replay = list(reader.readBetweenOffsets(start, end))
+    assert len(replay) == 10
+    # compaction may only advance once these files are in the tracked
+    # prefix of a LATER batch
+    _, end2 = reader.read(end)
+    assert len(end2["files"]) <= 4

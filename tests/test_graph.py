@@ -66,3 +66,15 @@ def test_unconverged_chain_raises_not_silently_wrong(spark):
     # with budget, the same chain converges to one component
     comps = connected_components(edges, max_iterations=6).collect()
     assert {r["component"] for r in comps} == {0}
+
+
+def test_connected_components_validates_arguments(spark):
+    import pytest as _pytest
+
+    from fhir_to_lakehouse_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="on_unconverged"):
+        connected_components(edges, on_unconverged="error")
+    with _pytest.raises(ValueError, match="max_iterations"):
+        connected_components(edges, max_iterations=0)

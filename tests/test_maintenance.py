@@ -90,3 +90,15 @@ def test_maintenance_over_hadoop_fs_uri(spark, tmp_path):
     t = KeyedTable(spark, done[0])
     assert t.to_df().count() == 2
     assert t.detail()["numFiles"] == 1  # compaction actually ran
+
+
+def test_discover_tables_single_slash_file_uri(spark, tmp_path):
+    """Hadoop Path.toString() renders local URIs as 'file:/p' (single
+    slash); discovery must treat that as a scheme'd URI, not try
+    os.path.isdir('file:/p') and silently return []."""
+    wh = seed(spark, tmp_path)
+    found = M.discover_tables(f"file:{wh}", spark)
+    assert [p.rsplit("/", 1)[-1] for p in found] == [
+        "Condition.parquet",
+        "Patient.parquet",
+    ]

@@ -143,3 +143,22 @@ def test_retry_skips_deterministic_errors(spark, tmp_path):
         pass
     assert calls["n"] == 1
     assert _time.monotonic() - t0 < 0.2
+
+
+def test_fallback_rejects_remote_scheme(spark):
+    """Without Delta, a remote-scheme path must fail construction:
+    exists() would be os.path.exists('s3a://...') == False forever, so
+    merge_delete would silently no-op and every merge would rewrite an
+    'initial' table."""
+    import pytest as _pytest
+
+    from fhir_to_lakehouse_spark.session import delta_available
+    from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
+
+    if delta_available():
+        _pytest.skip("Delta backend handles remote schemes")
+    with _pytest.raises(ValueError, match="Delta backend"):
+        KeyedTable(spark, "s3a://bucket/Patient.parquet")
+    # local URI forms stay accepted (both Hadoop renderings)
+    KeyedTable(spark, "file:///tmp/t.parquet")
+    KeyedTable(spark, "file:/tmp/t.parquet")
