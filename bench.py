@@ -99,27 +99,37 @@ def main() -> None:
         df.count()
         return time.perf_counter() - t0
 
-    timings: dict[str, float] = {}
+    # per-query error isolation: one broken query must never zero the
+    # round's perf signal — record {"error": ...} and keep timing the rest
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        first = run_once(name)
-        timings[name] = round(first if cold else run_once(name), 4)
+        try:
+            first = run_once(name)
+            timings[name] = round(first if cold else run_once(name), 4)
+        except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    timings["etl_pipeline_batch"] = round(bench_etl_pipeline(spark, sf_dir), 4)
+    try:
+        timings["etl_pipeline_batch"] = round(
+            bench_etl_pipeline(spark, sf_dir), 4
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["etl_pipeline_batch"] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(v for v in timings.values() if isinstance(v, (int, float))), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -120,9 +120,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_ts = F.lag("ts").over(w_order)
+    # interval comparison works on TIMESTAMP and TIMESTAMP_NTZ alike
+    # (no cast-to-long, which TIMESTAMP_NTZ rejects) and matches the
+    # oracle's `ts - LAG(ts) > INTERVAL 30 MINUTE` verbatim
     is_new = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
         1,
     ).otherwise(0)
     return (

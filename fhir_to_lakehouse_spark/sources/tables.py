@@ -39,11 +39,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # parquet TIMESTAMP(NANOS) read via nanosAsLong (see session.py):
-        # integer-divide to micros (exact; double division would lose
-        # precision at 1e18 ns) and restore a proper timestamp column
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # parquet TIMESTAMP(NANOS) read via nanosAsLong (see session.py):
+            # integer-divide to micros (exact; double division would lose
+            # precision at 1e18 ns) and restore a proper timestamp column
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # parquet TIMESTAMP_MICROS with isAdjustedToUTC=0 reads as
+            # TIMESTAMP_NTZ, which Spark's watermark contract rejects
+            # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Under the UTC session
+            # zone set above, casting to TIMESTAMP is a pure reinterpret
+            # (same micros value) — normalize once here so every events_*
+            # plan and watermarked stream sees a proper TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
