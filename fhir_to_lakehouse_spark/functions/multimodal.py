@@ -78,6 +78,7 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("out_w", T.IntegerType()),
         T.StructField("out_h", T.IntegerType()),
+        T.StructField("src_bytes", T.LongType()),
         T.StructField("pixels", T.ArrayType(T.FloatType())),
     ]
 )
@@ -101,9 +102,10 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
                 cells = np.array_split(buf, out_w * out_h) if len(buf) else []
                 pixels = [float(c.mean()) if len(c) else 0.0 for c in cells]
                 pixels += [0.0] * (out_w * out_h - len(pixels))
-                out_rows.append((media_id, out_w, out_h, pixels))
+                out_rows.append((media_id, out_w, out_h, len(buf), pixels))
             yield pd.DataFrame(
-                out_rows, columns=["media_id", "out_w", "out_h", "pixels"]
+                out_rows,
+                columns=["media_id", "out_w", "out_h", "src_bytes", "pixels"],
             )
 
     return media.select("media_id", "payload").mapInPandas(

@@ -89,11 +89,24 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_resize")
+@query(
+    "media_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 AS INT)  AS out_w,
+           CAST(4 AS INT)  AS out_h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS src_bytes,
+           CAST(16 AS INT) AS n_pixels
+    FROM documents
+    """,
+)
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (STUB decode — deterministic byte-buffer
     downsample standing in for PIL resize): 4x4 'thumbnail' per media
-    row. Rows-only check; determinism asserted in pytest."""
+    row, flowing through the real mapInPandas Arrow path. The oracle
+    checks the full row shape (id, dims, source byte count threaded
+    through the UDF, pixel-buffer length); pixel VALUES are covered by
+    the determinism test in tests/test_extensions.py."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
     resized = MM.resize_images(media, 4, 4)
@@ -101,7 +114,8 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "out_w",
         "out_h",
-        F.round(F.element_at("pixels", 1), 4).alias("p0"),
+        "src_bytes",
+        F.size("pixels").alias("n_pixels"),
     )
 
 

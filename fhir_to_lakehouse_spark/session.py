@@ -94,17 +94,21 @@ def s3_conf(
     access_key: str,
     secret_key: str,
     path_style: bool = True,
+    connection_ssl: bool = True,
 ) -> dict[str, str]:
     """S3A object-store wiring (reference S9,
     /root/reference/src/main.py:78-93: endpoint/creds/path-style MinIO,
-    magic committer for consistent multi-part commits). Pass the result
-    as ``extra_conf`` to :func:`get_spark`; requires the hadoop-aws jar
-    at runtime (not in this container — config construction only)."""
+    connection-SSL toggle, magic committer for consistent multi-part
+    commits). Pass the result as ``extra_conf`` to :func:`get_spark`;
+    requires the hadoop-aws jar at runtime (not in this container —
+    config construction only)."""
     return {
         "spark.hadoop.fs.s3a.endpoint": endpoint,
         "spark.hadoop.fs.s3a.access.key": access_key,
         "spark.hadoop.fs.s3a.secret.key": secret_key,
         "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(connection_ssl).lower(),
+        "spark.hadoop.fs.s3a.committer.name": "magic",
         "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
         "spark.sql.sources.commitProtocolClass": (
             "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"

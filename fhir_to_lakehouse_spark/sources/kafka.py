@@ -41,31 +41,40 @@ class KafkaSourceConfig:
     ssl_keystore_password: str | None = None
 
 
+def kafka_options(cfg: KafkaSourceConfig) -> dict[str, str]:
+    """The exact option dict the reference sends to the connector
+    (/root/reference/src/main.py:125-151) — kept as an inspectable dict
+    so tests can assert key-for-key parity without a broker."""
+    opts = {
+        "kafka.bootstrap.servers": cfg.bootstrap_servers,
+        "subscribe": ",".join(cfg.topics),
+        "startingOffsets": cfg.starting_offsets,
+        "failOnDataLoss": str(cfg.fail_on_data_loss).lower(),
+        "groupIdPrefix": "fhir-to-lakehouse",  # main.py:131
+        "includeHeaders": str(cfg.include_headers).lower(),
+        "maxOffsetsPerTrigger": str(cfg.max_offsets_per_trigger),
+        "minOffsetsPerTrigger": str(cfg.min_offsets_per_trigger),
+        "maxTriggerDelay": cfg.max_trigger_delay,
+    }
+    if cfg.ssl_enabled:  # main.py:138-151, PKCS12 stores
+        opts.update(
+            {
+                "kafka.security.protocol": "SSL",
+                "kafka.ssl.truststore.type": "PKCS12",
+                "kafka.ssl.truststore.location": cfg.ssl_truststore_location or "",
+                "kafka.ssl.truststore.password": cfg.ssl_truststore_password or "",
+                "kafka.ssl.keystore.type": "PKCS12",
+                "kafka.ssl.keystore.location": cfg.ssl_keystore_location or "",
+                "kafka.ssl.keystore.password": cfg.ssl_keystore_password or "",
+            }
+        )
+    return opts
+
+
 def kafka_reader(
     spark: SparkSession, cfg: KafkaSourceConfig, fmt: str = "kafka"
 ) -> DataStreamReader:
     """Build the configured Kafka DataStreamReader (call .load() where
     the connector jar is available; ``fmt="kafka_double"`` for the
     semantics double, same options)."""
-    reader = (
-        spark.readStream.format(fmt)
-        .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
-        .option("subscribe", ",".join(cfg.topics))
-        .option("startingOffsets", cfg.starting_offsets)
-        .option("maxOffsetsPerTrigger", str(cfg.max_offsets_per_trigger))
-        .option("minOffsetsPerTrigger", str(cfg.min_offsets_per_trigger))
-        .option("maxTriggerDelay", cfg.max_trigger_delay)
-        .option("failOnDataLoss", str(cfg.fail_on_data_loss).lower())
-        .option("includeHeaders", str(cfg.include_headers).lower())
-    )
-    if cfg.ssl_enabled:
-        reader = (
-            reader.option("kafka.security.protocol", "SSL")
-            .option("kafka.ssl.truststore.type", "PKCS12")
-            .option("kafka.ssl.keystore.type", "PKCS12")
-            .option("kafka.ssl.truststore.location", cfg.ssl_truststore_location)
-            .option("kafka.ssl.truststore.password", cfg.ssl_truststore_password)
-            .option("kafka.ssl.keystore.location", cfg.ssl_keystore_location)
-            .option("kafka.ssl.keystore.password", cfg.ssl_keystore_password)
-        )
-    return reader
+    return spark.readStream.format(fmt).options(**kafka_options(cfg))
