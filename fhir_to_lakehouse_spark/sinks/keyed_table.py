@@ -200,9 +200,13 @@ class KeyedTable:
                 builder = builder.clusterBy(*cluster_by)
             builder.execute()
         elif not self.exists():
-            self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(
-                self.path
-            )
+            # repartition(1): an empty frame otherwise inherits
+            # default-parallelism partitions and the commit protocol
+            # pays per-task setup for dozens of empty writers (~2 s on
+            # local[32] for a zero-row table; one task is ~0.4 s)
+            self.spark.createDataFrame([], schema).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(self.path)
 
     # -- MERGE -----------------------------------------------------------
 

@@ -125,17 +125,25 @@ class BundlePipeline:
                     )
                 )
             )
-            if not corrupt.isEmpty():
-                self._dead_letter(corrupt, batch_id)
-            # ONE action answers batch emptiness, the type list, and the
-            # per-type PUT/DELETE presence — instead of distinct() +
-            # 2 isEmpty() probes per type (2N+1 jobs -> 1)
+            # The counts aggregate runs FIRST: one fully-parallel job
+            # materializes the parse/explode caches and answers batch
+            # emptiness, the type list, and per-type PUT/DELETE presence
+            # at once. The corrupt probe then counts against the warm
+            # parsed cache (~0.2 s). Ordering matters: probing corrupt
+            # first via isEmpty() pays executeTake's sequential
+            # 1/4/16/... partition scale-up against the COLD cache —
+            # measured ~4x the cost of a full parallel scan at sf0.1 —
+            # and a union-of-aggregates single action races both
+            # subtrees into recomputing the same cold cache partitions
+            # concurrently (measured slower than sequential).
             counts = {
                 (r["resource_type"], r["request_method"]): r["count"]
                 for r in prepared.groupBy("resource_type", "request_method")
                 .count()
                 .collect()
             }
+            if corrupt.count():
+                self._dead_letter(corrupt, batch_id)
             types = sorted({rt for rt, _ in counts if rt})
             if not types:
                 return
@@ -198,28 +206,47 @@ class BundlePipeline:
                 self._register(resource_type)
             # counts are pre-dedup: when only one method appears for the
             # type they are exact; when both appear, W1 races can empty
-            # either side, so fall back to the cheap probe on the
-            # loser-able frame (the common single-method batch pays zero
-            # extra jobs, and the probe reads the dedup cache)
-            if has_puts and (not has_deletes or not encoded.isEmpty()):
+            # either side, so one aggregate over the dedup cache counts
+            # both winner sides in a single parallel job (the common
+            # single-method batch pays zero extra jobs; per-side
+            # isEmpty() probes would re-run the executeTake scale-up
+            # against the cache once per side)
+            n_put_winners = n_del_winners = None
+            if has_puts and has_deletes:
+                w = deduped.agg(
+                    F.count_if(F.col("request_method") == "PUT").alias("p"),
+                    F.count_if(F.col("request_method") == "DELETE").alias("d"),
+                ).collect()[0]
+                n_put_winners, n_del_winners = w["p"], w["d"]
+
+            if has_puts and (n_put_winners is None or n_put_winners > 0):
                 # a PUT whose inner resource JSON failed the curated
                 # parse encodes to a null id — merging it would plant a
                 # null-key row in the table. Dead-letter it with the raw
                 # resource instead (the reference's Pathling encoder
                 # throws for these; silent nulls are worse than either).
-                invalid = encoded.filter(F.col("id").isNull())
-                if not invalid.isEmpty():
+                # ONE aggregate answers both "how many rows" and "how
+                # many invalid" (vs two sequential isEmpty probes, each
+                # re-running the from_json encode over the cache).
+                enc = encoded.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(F.col("id").isNull()).alias("n_invalid"),
+                ).collect()[0]
+                if enc["n_invalid"]:
                     self._dead_letter_resources(
-                        invalid, resource_type, batch_id
+                        encoded.filter(F.col("id").isNull()),
+                        resource_type,
+                        batch_id,
                     )
                     encoded = encoded.filter(F.col("id").isNotNull())
-                tbl.merge_upsert(encoded)
+                if enc["n"] > enc["n_invalid"]:
+                    tbl.merge_upsert(encoded)
 
             if has_deletes and existed_before:
                 delete_ids = deletes.select(
                     F.col("request_resource_id").alias("id")
                 )
-                if not has_puts or not delete_ids.isEmpty():
+                if not has_puts or n_del_winners > 0:
                     tbl.merge_delete(delete_ids)
         finally:
             deduped.unpersist()
