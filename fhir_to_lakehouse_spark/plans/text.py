@@ -8,7 +8,7 @@ primitives.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.functions import text as TX
@@ -158,4 +158,96 @@ def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.size(TX.shingles("text", 3)).alias("n_shingles")
+    )
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_DUCK_TOKS}) AS word FROM documents),
+    words AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+    idx AS (SELECT word, freq, unnest(range(1, length(word))) AS i FROM words)
+    SELECT substring(word, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM idx
+    GROUP BY pair
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of distributed BPE vocabulary induction: count
+    adjacent character-pair frequencies across the corpus, weighted by
+    word frequency (the argmax pair is the next BPE merge).
+
+    100 TB shape: the corpus FIRST collapses to its vocabulary via a
+    map-side-combinable word count (tokens ship as partial (word, n)
+    pairs, not raw text), then the pair explosion runs over the
+    VOCABULARY — bounded by distinct words, not corpus size. This
+    vocab-first structure is how production BPE trainers distribute the
+    count step; the alternative (explode pairs straight off every
+    token occurrence) shuffles the whole corpus per iteration.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # guard: Spark's sequence(1, L-1) runs DESCENDING for L < 2 —
+    # single-char words must yield no pairs, not a reversed range
+    pairs = F.when(
+        F.length("word") >= 2,
+        F.expr(
+            "transform(sequence(1, length(word) - 1),"
+            " i -> substring(word, i, 2))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.col("freq"), F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+@query(
+    "text_trigram_lm_counts",
+    oracle=f"""
+    WITH toks AS (SELECT {_DUCK_TOKS} AS t FROM documents),
+    f AS (SELECT t FROM toks WHERE len(t) >= 3),
+    idx AS (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM f),
+    g AS (SELECT t[i] || ' ' || t[i + 1] AS ctx, t[i + 2] AS nxt FROM idx),
+    c AS (SELECT ctx, nxt, COUNT(*) AS n FROM g GROUP BY ctx, nxt)
+    SELECT ctx, nxt, CAST(n AS BIGINT) AS n,
+           CAST(COUNT(*) OVER (PARTITION BY ctx) AS BIGINT)
+               AS ctx_continuations
+    FROM c
+    """,
+)
+def text_trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-trigram LM count table: (context bigram, next word, count)
+    plus the context's distinct-continuation count (the Kneser-Ney
+    continuation statistic).
+
+    100 TB shape: trigram explosion (3x token stream) feeds a
+    map-side-combinable two-key aggregate; the continuation window then
+    runs over the ALREADY-AGGREGATED (ctx, nxt) rows — bounded by
+    distinct n-grams, partitioned by ctx (vocabulary-scale groups, no
+    single-partition window).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(TX.tokens("text").alias("t")).filter(F.size("t") >= 3)
+    grams = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> struct("
+                " concat_ws(' ', element_at(t, i), element_at(t, i + 1)) AS ctx,"
+                " element_at(t, i + 2) AS nxt))"
+            )
+        ).alias("g")
+    )
+    counted = grams.groupBy("g.ctx", "g.nxt").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("ctx")
+    return counted.select(
+        "ctx",
+        "nxt",
+        "n",
+        F.count(F.lit(1)).over(w).alias("ctx_continuations"),
     )
