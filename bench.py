@@ -41,6 +41,9 @@ HEADLINE = [
     "quality_linear_filter",
     "dedup_semantic_ivf",
     "corpus_curation_funnel",
+    # round 3: LM-statistics family
+    "text_bpe_pair_counts",
+    "text_trigram_lm_counts",
 ]
 
 

@@ -106,9 +106,15 @@ def pipeline_parse_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_latest_per_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 last-writer-wins dedup with the reference's exact tie-break
     (partition ASC, offset DESC — /root/reference/src/bundle_processor
-    .py:114-128), driven through the real parse+explode+dedup chain."""
+    .py:114-128), driven through the real parse+explode+dedup chain.
+
+    The projection runs BEFORE the dedup: min_by's whole-row struct is
+    opaque to column pruning, so projecting first is what lets Catalyst
+    prune the bundle parse down to ``entry.request`` (the resource
+    payload never enters the shuffle). Same rule at 100 TB: project to
+    the columns you'll keep before any whole-row argmin/argmax."""
     events = _bundle_events(spark, sf_dir)
-    deduped = latest_per_key(prepare_stream(events), key="request_url")
-    return deduped.select(
+    slim = prepare_stream(events).select(
         "request_url", "request_method", "partition", "offset"
     )
+    return latest_per_key(slim, key="request_url")

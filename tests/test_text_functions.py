@@ -76,3 +76,52 @@ def test_bag_of_words_signature_detects_shuffled_duplicates(spark):
     }
     assert sigs[0] == sigs[1] == sigs[3]
     assert sigs[2] != sigs[0]
+
+
+def test_bpe_pair_counts_conservation(spark, sf_dir):
+    """Every word of length L contributes exactly L-1 pairs (0 for
+    single chars): sum of pair counts == sum over words of
+    freq * (len - 1). Catches off-by-one in the sequence bounds and the
+    descending-sequence guard for single-char words."""
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.functions import text as TX
+    from fhir_to_lakehouse_spark.plans import QUERIES
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    total_pairs = (
+        QUERIES["text_bpe_pair_counts"](spark, sf_dir)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    expected = (
+        docs.select(F.explode(TX.tokens("text")).alias("w"))
+        .agg(F.sum(F.greatest(F.length("w") - 1, F.lit(0))))
+        .collect()[0][0]
+    )
+    assert total_pairs == expected
+
+
+def test_trigram_lm_counts_conservation(spark, sf_dir):
+    """Sum of trigram counts == sum over docs of max(n_tokens - 2, 0);
+    and every context's ctx_continuations equals its distinct-next
+    count by construction (each (ctx, nxt) row is unique)."""
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.functions import text as TX
+    from fhir_to_lakehouse_spark.plans import QUERIES
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    out = QUERIES["text_trigram_lm_counts"](spark, sf_dir)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    docs = load_table(spark, sf_dir, "documents")
+    expected = (
+        docs.select(F.size(TX.tokens("text")).alias("k"))
+        .agg(F.sum(F.greatest(F.col("k") - 2, F.lit(0))))
+        .collect()[0][0]
+    )
+    assert total == expected
+    # (ctx, nxt) rows are unique, so no duplicate inflation of the
+    # continuation window
+    assert out.count() == out.select("ctx", "nxt").distinct().count()
