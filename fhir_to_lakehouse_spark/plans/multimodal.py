@@ -119,14 +119,47 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_features")
+def _duck_feature(k: int) -> str:
+    """DuckDB expression replicating _fake_decode's k-th feature: the
+    k-th little-endian uint32 of sha256(payload), mod 1000, / 1000."""
+    pairs = " + ".join(
+        f"('0x' || substr(hx, {k * 8 + 1 + 2 * b}, 2))::BIGINT * {256 ** b}"
+        for b in range(4)
+    )
+    return f"ROUND((({pairs}) % 1000) / 1000.0, 6) AS f{k}"
+
+
+@query(
+    "media_features",
+    oracle=f"""
+    WITH d AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+    SELECT media_id, {", ".join(_duck_feature(k) for k in range(8))}
+    FROM d
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction with the STUB decoder (deterministic fake —
     see functions/multimodal.py::_fake_decode): media_id + 8-dim float
-    vector. Rows-only check; determinism asserted in pytest."""
+    vector through the real mapInPandas Arrow path.
+
+    Oracle-checked: the stub derives each feature from the payload's
+    sha256 digest (8 little-endian uint32 words, mod 1000, / 1000),
+    which DuckDB reproduces from hex-pair arithmetic over sha256(text)
+    — the UTF-8 payload bytes equal the text's UTF-8 encoding. A real
+    model-feature deployment swaps the stub and drops the oracle back
+    to rows-only (documented trade)."""
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
     feats = MM.extract_features(media)
     return feats.select(
-        "media_id", F.round(F.element_at("feature", 1), 6).alias("f0"), "feature"
+        "media_id",
+        # cast BEFORE round: rounding a float32 keeps float32 (0.618
+        # stores as 0.617999971); widening first makes round(…, 6)
+        # land on the exact 3-decimal value the stub produced
+        *[
+            F.round(F.element_at("feature", k + 1).cast("double"), 6).alias(
+                f"f{k}"
+            )
+            for k in range(8)
+        ],
     )
