@@ -196,9 +196,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens("text")).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.distinct().groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # document frequency derives FROM tf (its key set IS the distinct
+    # (doc_id, token) pairs), replacing the naive tok.distinct() +
+    # countDistinct(doc_id) branch: same answer without countDistinct's
+    # expand rewrite or the extra distinct shuffle. Spark still
+    # evaluates the shared tf subtree once per join branch (verified:
+    # no ReusedExchange fires here — the branches' aggregates
+    # canonicalize differently), so at 100 TB the production form
+    # materializes tf (checkpoint/cache/table) and computes df from
+    # the materialization; for a declared single-plan query the
+    # double-scan is the honest trade.
+    df_ = tf.groupBy("token").agg(F.count("tf").alias("df"))
     n_docs = docs.count()  # scalar; documents table is the small input
     return (
         tf.join(F.broadcast(df_), "token")
