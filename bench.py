@@ -62,28 +62,39 @@ def bench_etl_pipeline(spark, sf_dir: str) -> float:
         PipelineConfig,
     )
 
-    wh = tempfile.mkdtemp(prefix="bench-wh-")
+    # materialize the synthetic Kafka batch BEFORE the clock starts:
+    # a real micro-batch arrives as already-serialized bytes from the
+    # source — the to_json synthesis is bench-harness input
+    # generation, not pipeline work
+    events = _bundle_events(spark, sf_dir).persist()
+    events.count()
+    cold = os.environ.get("BENCH_COLD") == "1"
     try:
-        pipe = BundlePipeline(
-            spark,
-            PipelineConfig(
-                warehouse_dir=wh, checkpoint_dir=os.path.join(wh, "ck"),
-                upkeep_interval=10_000,
-            ),
-        )
-        # materialize the synthetic Kafka batch BEFORE the clock starts:
-        # a real micro-batch arrives as already-serialized bytes from the
-        # source — the to_json synthesis is bench-harness input
-        # generation, not pipeline work
-        events = _bundle_events(spark, sf_dir).persist()
-        events.count()
-        t0 = time.perf_counter()
-        pipe.process_batch(events, batch_id=1)
-        dt = time.perf_counter() - t0
-        events.unpersist()
+        # same two-pass policy as the headline queries (module
+        # docstring): pass 1 warms codegen/JIT for this plan shape, the
+        # reported pass 2 is the steady-state per-batch latency a
+        # long-running stream sees. Each pass gets a FRESH warehouse so
+        # both measure the same first-batch work.
+        dt = 0.0
+        for _ in range(1 if cold else 2):
+            wh = tempfile.mkdtemp(prefix="bench-wh-")
+            try:
+                pipe = BundlePipeline(
+                    spark,
+                    PipelineConfig(
+                        warehouse_dir=wh,
+                        checkpoint_dir=os.path.join(wh, "ck"),
+                        upkeep_interval=10_000,
+                    ),
+                )
+                t0 = time.perf_counter()
+                pipe.process_batch(events, batch_id=1)
+                dt = time.perf_counter() - t0
+            finally:
+                shutil.rmtree(wh, ignore_errors=True)
         return dt
     finally:
-        shutil.rmtree(wh, ignore_errors=True)
+        events.unpersist()
 
 
 def main() -> None:
