@@ -1,0 +1,51 @@
+"""bench.py must ALWAYS emit its JSON line — a single broken query
+zeroed round 2's entire perf signal (BENCH_r02: rc=1, parsed null).
+
+Runs bench.py's main() in-process against sf0.001 with one registry
+entry monkeypatched to raise, and asserts the emitted JSON still
+parses, still contains timings for healthy queries, and records the
+failure under "errors".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def test_bench_emits_json_despite_query_failure(spark, monkeypatch, capsys):
+    import bench
+    from fhir_to_lakehouse_spark.plans import QUERIES
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("injected failure")
+
+    broken = dict(QUERIES)
+    broken["events_sessionize"] = boom  # mid-list entry, like round 2
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("BENCH_COLD", "1")  # single pass: keep the test fast
+    monkeypatch.setattr(
+        "fhir_to_lakehouse_spark.plans.QUERIES", broken, raising=True
+    )
+    # reuse the session fixture instead of building a second JVM session
+    monkeypatch.setattr(
+        "fhir_to_lakehouse_spark.session.get_spark", lambda *a, **k: spark
+    )
+
+    bench.main()
+
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)  # must parse — the round-2 failure mode
+    assert out["unit"] == "sec"
+    assert "events_sessionize" in out["errors"]
+    assert "injected failure" in out["errors"]["events_sessionize"]
+    # everything before AND after the broken entry still got timed
+    assert out["queries"]["q1_pricing_summary"] > 0
+    assert out["queries"]["etl_pipeline_batch"] > 0
+    assert out["value"] == pytest.approx(
+        sum(v for v in out["queries"].values() if isinstance(v, (int, float))),
+        abs=0.01,
+    )
