@@ -4,7 +4,7 @@ winnowing (rolling-hash) document fingerprints, BPE-ish token counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.plans.registry import query
@@ -266,4 +266,61 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qv", F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v).cast("long")
         ).alias("q_l1"),
         F.round(dot(F.col("err"), F.col("err")), 6).alias("sq_err"),
+    )
+
+
+@query(
+    "corpus_epoch_shuffle",
+    oracle="""
+    WITH perm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('epoch-7:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS pos
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(pos // 64 AS BIGINT) AS shard,
+           CAST(pos % 64 AS BIGINT)  AS pos_in_shard
+    FROM perm
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-reproducible corpus shuffle: every document gets a
+    deterministic pseudo-random position from md5(seed, doc_id), then a
+    (shard, pos_in_shard) assignment at 64 docs/shard. Re-running with
+    the same seed reproduces the exact epoch order on any cluster size
+    — rand() cannot (task retries and partition counts change it);
+    changing the seed string re-keys the whole epoch.
+
+    100 TB shape: the global permutation index is a DISTRIBUTED rank,
+    not a single global ROW_NUMBER window (one-partition bottleneck).
+    The md5 rank's first two hex chars ARE 256 uniform, lexicographic
+    hash-space ranges — a free range-bucketing with no sampling pass:
+    each bucket ranks locally in parallel, the 256 bucket counts
+    prefix-sum on one tiny partition, and offset + local rank
+    reproduces the exact global position (bucket prefix order ==
+    rank order).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rank = F.md5(F.concat(F.lit("epoch-7:"), F.col("doc_id").cast("string")))
+    t = docs.select(
+        "doc_id", rank.alias("rk"), F.substring(rank, 1, 2).alias("bucket")
+    )
+    local_w = Window.partitionBy("bucket").orderBy("rk", "doc_id")
+    local = t.withColumn("local_rn", F.row_number().over(local_w))
+    bucket_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        t.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("offset", F.sum("n").over(bucket_w) - F.col("n"))
+        .select("bucket", "offset")
+    )
+    pos = F.col("offset") + F.col("local_rn") - F.lit(1)
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        F.floor(pos / 64).cast("long").alias("shard"),
+        (pos % 64).cast("long").alias("pos_in_shard"),
     )
