@@ -366,9 +366,14 @@ class KeyedTable:
     def detail(self) -> dict:
         """Table metadata (reference S15 delta_table.detail())."""
         if self._delta:
+            import json
+
             from delta.tables import DeltaTable
 
-            return (
+            # parse: toJSON().collect() yields a JSON *string*; the
+            # fallback branch returns a dict — both backends must agree
+            # on the return type (caught by the Delta API double test)
+            return json.loads(
                 DeltaTable.forPath(self.spark, self.path)
                 .detail()
                 .toJSON()

@@ -1,0 +1,229 @@
+"""Execute KeyedTable's Delta branches against a recording API double.
+
+delta-spark jars are absent in this container (documented in
+PROGRESS.jsonl each round), so the Delta code paths — the stated 100 TB
+production path — previously had ZERO execution coverage: every test
+ran the parquet fallback. Same philosophy as sources/kafka_double.py:
+the vendor API is doubled, OUR branch logic actually runs, and the
+exact call surface the reference exercises
+(/root/reference/src/bundle_processor.py:172-204, 256-262, 287-292,
+310, 321) is asserted call-for-call. When real jars appear, these tests
+keep passing (the double is injected via sys.modules regardless) and
+the existing fallback suite flips to exercising real Delta.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+
+class _Recorder:
+    def __init__(self):
+        self.calls: list[tuple] = []
+
+
+class _FakeMergeBuilder:
+    def __init__(self, rec, cond):
+        self._rec = rec
+        self._cond = cond
+
+    def whenMatchedUpdateAll(self):
+        self._rec.calls.append(("whenMatchedUpdateAll",))
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self._rec.calls.append(("whenNotMatchedInsertAll",))
+        return self
+
+    def whenMatchedDelete(self):
+        self._rec.calls.append(("whenMatchedDelete",))
+        return self
+
+    def execute(self):
+        self._rec.calls.append(("merge_execute", self._cond))
+
+
+class _FakeOptimize:
+    def __init__(self, rec):
+        self._rec = rec
+
+    def executeCompaction(self):
+        self._rec.calls.append(("executeCompaction",))
+
+
+class _FakeCreateBuilder:
+    def __init__(self, rec):
+        self._rec = rec
+        self.properties: dict[str, str] = {}
+        self.cluster_cols: tuple = ()
+        self.loc = None
+        self.schema = None
+
+    def location(self, p):
+        self.loc = p
+        return self
+
+    def addColumns(self, schema):
+        self.schema = schema
+        return self
+
+    def property(self, k, v):
+        self.properties[k] = v
+        return self
+
+    def clusterBy(self, *cols):
+        self.cluster_cols = cols
+        return self
+
+    def execute(self):
+        self._rec.calls.append(
+            ("create", self.loc, dict(self.properties), self.cluster_cols)
+        )
+
+
+class _FakeDeltaTable:
+    """Stands in for delta.tables.DeltaTable; records every call."""
+
+    rec = _Recorder()
+    table_df = None  # set by the fixture to a real DataFrame
+
+    def __init__(self, path):
+        self._path = path
+
+    # -- classmethods the engine calls -----------------------------------
+    @classmethod
+    def isDeltaTable(cls, spark, path):
+        cls.rec.calls.append(("isDeltaTable", path))
+        return True
+
+    @classmethod
+    def createIfNotExists(cls, spark):
+        return _FakeCreateBuilder(cls.rec)
+
+    @classmethod
+    def forPath(cls, spark, path):
+        cls.rec.calls.append(("forPath", path))
+        return cls(path)
+
+    # -- instance surface -------------------------------------------------
+    def alias(self, a):
+        self.rec.calls.append(("alias", a))
+        return self
+
+    def merge(self, src, cond):
+        self.rec.calls.append(("merge_cond", cond, src.columns))
+        return _FakeMergeBuilder(self.rec, cond)
+
+    def toDF(self):
+        return self.table_df
+
+    def optimize(self):
+        return _FakeOptimize(self.rec)
+
+    def vacuum(self, retention_hours):
+        self.rec.calls.append(("vacuum", retention_hours))
+
+    def detail(self):
+        class _D:
+            def toJSON(self):
+                class _J:
+                    def collect(self):
+                        return ['{"format": "delta"}']
+
+                return _J()
+
+        self.rec.calls.append(("detail",))
+        return _D()
+
+
+@pytest.fixture()
+def delta_double(monkeypatch, spark):
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = _FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+    monkeypatch.delenv("FORCE_PARQUET_SINK", raising=False)
+    _FakeDeltaTable.rec = _Recorder()
+    _FakeDeltaTable.table_df = spark.createDataFrame(
+        [("1", "x")], "id string, v string"
+    )
+    return _FakeDeltaTable.rec
+
+
+def _table(spark, tmp_path):
+    from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "t.delta"), key="id")
+    assert t._delta, "double not active — delta import must succeed"
+    return t
+
+
+def test_create_sends_reference_properties_and_clustering(
+    spark, tmp_path, delta_double
+):
+    t = _table(spark, tmp_path)
+    schema = _FakeDeltaTable.table_df.schema
+    t.create_if_not_exists(schema, cluster_by=["id"])
+    [(op, loc, props, cluster)] = [
+        c for c in delta_double.calls if c[0] == "create"
+    ]
+    assert loc == t.path
+    # the exact properties the reference sets (bundle_processor.py:172-204)
+    assert props == {
+        "delta.autoOptimize.autoCompact": "true",
+        "delta.autoOptimize.optimizeWrite": "true",
+        "delta.checkpoint.writeStatsAsStruct": "true",
+        "delta.checkpoint.writeStatsAsJson": "false",
+    }
+    assert cluster == ("id",)
+
+
+def test_merge_upsert_is_update_all_insert_all_on_key(
+    spark, tmp_path, delta_double
+):
+    t = _table(spark, tmp_path)
+    src = spark.createDataFrame([("1", "y")], "id string, v string")
+    t.merge_upsert(src)
+    ops = [c[0] for c in delta_double.calls]
+    # reference bundle_processor.py:256-262 semantics, in order
+    i = ops.index("merge_cond")
+    assert ops[i : i + 4] == [
+        "merge_cond",
+        "whenMatchedUpdateAll",
+        "whenNotMatchedInsertAll",
+        "merge_execute",
+    ]
+    cond = [c for c in delta_double.calls if c[0] == "merge_cond"][0][1]
+    assert cond == "s.id = t.id"
+
+
+def test_merge_delete_is_when_matched_delete(spark, tmp_path, delta_double):
+    t = _table(spark, tmp_path)
+    ids = spark.createDataFrame([("1",)], "id string")
+    t.merge_delete(ids)
+    ops = [c[0] for c in delta_double.calls]
+    i = ops.index("merge_cond")
+    # reference bundle_processor.py:287-292: delete-on-match only
+    assert ops[i : i + 3] == ["merge_cond", "whenMatchedDelete", "merge_execute"]
+    assert "whenMatchedUpdateAll" not in ops
+    assert "whenNotMatchedInsertAll" not in ops
+
+
+def test_maintenance_and_read_surface(spark, tmp_path, delta_double):
+    t = _table(spark, tmp_path)
+    assert t.exists() is True  # isDeltaTable consulted
+    t.optimize()
+    t.vacuum(retention_hours=12.5)
+    d = t.detail()
+    assert d == {"format": "delta"}
+    assert t.to_df().collect() == _FakeDeltaTable.table_df.collect()
+    ops = [c[0] for c in delta_double.calls]
+    assert "isDeltaTable" in ops
+    assert "executeCompaction" in ops  # S14 (bundle_processor.py:310)
+    assert ("vacuum", 12.5) in delta_double.calls  # S13 (:321)
+    assert "detail" in ops  # S15
