@@ -251,3 +251,49 @@ def text_trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.count(F.lit(1)).over(w).alias("ctx_continuations"),
     )
+
+
+@query(
+    "text_unigram_logprob_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents),
+    counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    total AS (SELECT SUM(n) AS total FROM counts)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                          AS n_tokens,
+           ROUND(AVG(-ln(counts.n / (total.total * 1.0))), 6) AS avg_neg_logprob
+    FROM tok JOIN counts USING (token), total
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability document scoring — the perplexity-proxy
+    quality signal (CCNet-style): score each document by the average
+    negative log-probability of its tokens under the corpus's own
+    unigram distribution. High scores = rare-token-heavy documents
+    (gibberish, OCR noise, exotic boilerplate); low = commonplace text.
+
+    100 TB shape: the corpus collapses to its vocabulary via one
+    map-side-combinable count, the (token, p) table broadcasts (vocab
+    sizes fit executors; at web scale, frequency-floor the tail), and
+    the scoring pass is a single corpus scan + broadcast hash join +
+    per-doc aggregate — no corpus-sized shuffle beyond the doc_id agg.
+    The real CCNet filter swaps the unigram table for a KenLM sketch;
+    the plan shape is identical.
+    """
+    from fhir_to_lakehouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    p = (F.col("n") / (F.col("total") * F.lit(1.0))).alias("p")
+    vocab = counts.crossJoin(F.broadcast(total)).select("token", p)
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log("p")), 6).alias("avg_neg_logprob"),
+        )
+    )

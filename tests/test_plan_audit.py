@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "dedup_semantic_ivf",         # broadcast centroids (non-equi argmin)
     "decontaminate_exact_substring",  # tiny eval needle set broadcast
     "similarity_incremental_index",   # broadcast centroids (non-equi argmin)
+    "text_unigram_logprob_score",  # 1-row corpus-total broadcast
 }
 
 _SKIP = {
