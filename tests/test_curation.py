@@ -193,3 +193,31 @@ def test_quantize_int8_error_bound(spark, sf_dir):
         assert r["q_l1"] <= 127 * r["n_dims"]
         bound = r["n_dims"] * (r["scale"] / 2) ** 2
         assert r["sq_err"] <= bound * 1.001 + 1e-9
+
+
+def test_epoch_shuffle_is_exact_permutation(spark, sf_dir):
+    """(shard, pos_in_shard) must linearize to exactly 0..N-1 — a
+    dropped or duplicated position corrupts the training epoch. Also
+    pins seed-determinism across independent plan executions."""
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.plans import QUERIES
+
+    out = QUERIES["corpus_epoch_shuffle"](spark, sf_dir)
+    n = out.count()
+    positions = out.select(
+        (F.col("shard") * 64 + F.col("pos_in_shard")).alias("pos")
+    )
+    stats = positions.agg(
+        F.countDistinct("pos").alias("distinct"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+    ).collect()[0]
+    assert (stats["distinct"], stats["lo"], stats["hi"]) == (n, 0, n - 1)
+    # deterministic: a second independent execution is identical
+    again = {
+        r["doc_id"]: (r["shard"], r["pos_in_shard"])
+        for r in QUERIES["corpus_epoch_shuffle"](spark, sf_dir).collect()
+    }
+    first = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in out.collect()}
+    assert first == again
