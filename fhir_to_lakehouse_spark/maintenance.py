@@ -17,9 +17,14 @@ Differences, Spark-first:
   (:280-291) against whatever catalog the session has.
 
 Usage:
-    python -m fhir_to_lakehouse_spark.maintenance vacuum  --warehouse DIR [--retention-hours H] [--dry-run]
+    python -m fhir_to_lakehouse_spark.maintenance vacuum  --warehouse DIR \
+        [--retention-hours H] [--no-dry-run] [--no-enforce-retention-duration]
     python -m fhir_to_lakehouse_spark.maintenance optimize --warehouse DIR
     python -m fhir_to_lakehouse_spark.maintenance register --warehouse DIR --schema fhir
+
+Vacuum is safe-by-default like the reference CLI: dry-run unless
+``--no-dry-run``, retention defaults to the 1-week floor, and a smaller
+retention is rejected unless ``--no-enforce-retention-duration``.
 """
 
 from __future__ import annotations
@@ -85,14 +90,23 @@ def discover_tables(
 def vacuum_all(
     spark: SparkSession,
     warehouse_dir: str,
-    retention_hours: float = 24.0,
+    retention_hours: float | None = None,
     dry_run: bool = False,
+    enforce_retention_duration: bool = False,
 ) -> list[str]:
-    """VACUUM every table (reference :169-182 incl. dry-run support)."""
+    """VACUUM every table (reference :134-182 incl. dry-run support and
+    the retention-duration guard). ``retention_hours=None`` falls back
+    to the 1-week default, like the reference's
+    ``deletedFileRetentionDuration`` behavior."""
+    if retention_hours is None:
+        retention_hours = KeyedTable.RETENTION_FLOOR_HOURS
     done = []
     for path in discover_tables(warehouse_dir, spark):
         if not dry_run:
-            KeyedTable(spark, path).vacuum(retention_hours)
+            KeyedTable(spark, path).vacuum(
+                retention_hours,
+                enforce_retention_duration=enforce_retention_duration,
+            )
         done.append(path)
     return done
 
@@ -132,15 +146,34 @@ def main(argv: list[str] | None = None) -> int:
         p = sub.add_parser(cmd)
         p.add_argument("--warehouse", required=True)
         if cmd == "vacuum":
-            p.add_argument("--retention-hours", type=float, default=24.0)
-            p.add_argument("--dry-run", action="store_true")
+            # reference CLI defaults (lakehousekeeper.py:106-133):
+            # retention None -> 1-week default, DRY-RUN by default
+            # (deleting is the opt-in), retention floor enforced by
+            # default
+            p.add_argument("--retention-hours", type=float, default=None)
+            p.add_argument(
+                "--dry-run",
+                action=argparse.BooleanOptionalAction,
+                default=True,
+            )
+            p.add_argument(
+                "--enforce-retention-duration",
+                action=argparse.BooleanOptionalAction,
+                default=True,
+            )
         if cmd == "register":
             p.add_argument("--schema", default="fhir")
     args = ap.parse_args(argv)
 
     spark = get_spark("lakehousekeeper")
     if args.cmd == "vacuum":
-        out = vacuum_all(spark, args.warehouse, args.retention_hours, args.dry_run)
+        out = vacuum_all(
+            spark,
+            args.warehouse,
+            args.retention_hours,
+            args.dry_run,
+            args.enforce_retention_duration,
+        )
     elif args.cmd == "optimize":
         out = optimize_all(spark, args.warehouse)
     else:

@@ -341,10 +341,34 @@ class KeyedTable:
             df = self.to_df().coalesce(target_files or 1)
             self._swap_write(df)
 
-    def vacuum(self, retention_hours: float = 24.0) -> None:
+    # Delta's default deletedFileRetentionDuration: 1 week
+    RETENTION_FLOOR_HOURS = 168.0
+
+    def vacuum(
+        self,
+        retention_hours: float = 24.0,
+        enforce_retention_duration: bool = False,
+    ) -> None:
         """Remove unreferenced files (reference
         /root/reference/src/bundle_processor.py:321). Fallback: clear
-        leftover tmp dirs older than retention."""
+        leftover tmp dirs older than retention.
+
+        ``enforce_retention_duration`` mirrors the reference
+        lakehousekeeper guard (/root/reference/src/lakehousekeeper.py:
+        121-127 / Delta's retentionDurationCheck): when on, a retention
+        below the 1-week floor is rejected — vacuuming a window shorter
+        than the longest-running reader permanently breaks its
+        snapshot. Default off here because the reference app itself
+        disables the check session-wide (src/main.py:71); the
+        maintenance CLI turns it on by default like the reference CLI.
+        """
+        if enforce_retention_duration and retention_hours < self.RETENTION_FLOOR_HOURS:
+            raise ValueError(
+                f"retention_hours={retention_hours} is below the "
+                f"{self.RETENTION_FLOOR_HOURS} h retention floor; pass "
+                f"enforce_retention_duration=False (CLI: "
+                f"--no-enforce-retention-duration) to override"
+            )
         if self._delta:
             from delta.tables import DeltaTable
 

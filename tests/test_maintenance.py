@@ -102,3 +102,72 @@ def test_discover_tables_single_slash_file_uri(spark, tmp_path):
         "Condition.parquet",
         "Patient.parquet",
     ]
+
+
+def test_vacuum_retention_guard(spark, tmp_path):
+    """Reference lakehousekeeper parity: with enforcement on, retention
+    below the 1-week floor is rejected (vacuuming a shorter window than
+    the longest-running reader breaks its snapshot); disabling the
+    guard is the explicit opt-out (lakehousekeeper.py:121-127)."""
+    import pytest as _pytest
+
+    from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
+
+    wh = seed(spark, tmp_path)
+    with _pytest.raises(ValueError, match="retention floor"):
+        M.vacuum_all(
+            spark, wh, retention_hours=1.0, enforce_retention_duration=True
+        )
+    # floor default passes with enforcement on
+    assert len(M.vacuum_all(spark, wh, enforce_retention_duration=True)) == 2
+    # explicit opt-out allows small retention
+    assert (
+        len(
+            M.vacuum_all(
+                spark, wh, retention_hours=1.0, enforce_retention_duration=False
+            )
+        )
+        == 2
+    )
+    t = KeyedTable(spark, M.discover_tables(wh)[0])
+    with _pytest.raises(ValueError, match="retention floor"):
+        t.vacuum(0.5, enforce_retention_duration=True)
+
+
+def test_vacuum_cli_is_dry_run_and_enforcing_by_default(spark, tmp_path, monkeypatch):
+    """The CLI must mirror the reference's safe defaults: dry-run True,
+    enforcement True, retention None -> 1-week default."""
+    calls = {}
+
+    def fake_vacuum_all(spark_, wh, retention, dry_run, enforce):
+        calls.update(
+            retention=retention, dry_run=dry_run, enforce=enforce, wh=wh
+        )
+        return []
+
+    monkeypatch.setattr(M, "vacuum_all", fake_vacuum_all)
+    monkeypatch.setattr(M, "get_spark", lambda *a, **k: spark)
+    assert M.main(["vacuum", "--warehouse", str(tmp_path)]) == 0
+    assert calls == {
+        "retention": None,
+        "dry_run": True,
+        "enforce": True,
+        "wh": str(tmp_path),
+    }
+    assert (
+        M.main(
+            [
+                "vacuum",
+                "--warehouse",
+                str(tmp_path),
+                "--retention-hours",
+                "1",
+                "--no-dry-run",
+                "--no-enforce-retention-duration",
+            ]
+        )
+        == 0
+    )
+    assert calls["retention"] == 1.0
+    assert calls["dry_run"] is False
+    assert calls["enforce"] is False
