@@ -163,9 +163,18 @@ def main(argv: list[str] | None = None) -> int:
             )
         if cmd == "register":
             p.add_argument("--schema", default="fhir")
+            # reference register takes the metastore URI directly
+            # (lakehousekeeper.py:243-257: spark.hive.metastore.uris)
+            p.add_argument("--hive-metastore", default=None)
     args = ap.parse_args(argv)
 
-    spark = get_spark("lakehousekeeper")
+    extra = None
+    if getattr(args, "hive_metastore", None):
+        extra = {
+            "spark.hive.metastore.uris": args.hive_metastore,
+            "spark.sql.catalogImplementation": "hive",
+        }
+    spark = get_spark("lakehousekeeper", extra_conf=extra)
     if args.cmd == "vacuum":
         out = vacuum_all(
             spark,

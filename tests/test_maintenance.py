@@ -171,3 +171,35 @@ def test_vacuum_cli_is_dry_run_and_enforcing_by_default(spark, tmp_path, monkeyp
     assert calls["retention"] == 1.0
     assert calls["dry_run"] is False
     assert calls["enforce"] is False
+
+
+def test_register_cli_passes_metastore_uri(spark, tmp_path, monkeypatch):
+    """--hive-metastore wires the URI into the session conf like the
+    reference register command (lakehousekeeper.py:243-257)."""
+    seen = {}
+
+    def fake_get_spark(name, extra_conf=None, **kw):
+        seen["extra"] = extra_conf
+        return spark
+
+    monkeypatch.setattr(M, "get_spark", fake_get_spark)
+    monkeypatch.setattr(M, "register_all", lambda *a, **k: [])
+    assert (
+        M.main(
+            [
+                "register",
+                "--warehouse",
+                str(tmp_path),
+                "--hive-metastore",
+                "thrift://hive-metastore:9083",
+            ]
+        )
+        == 0
+    )
+    assert seen["extra"] == {
+        "spark.hive.metastore.uris": "thrift://hive-metastore:9083",
+        "spark.sql.catalogImplementation": "hive",
+    }
+    # without the flag, no hive conf is injected
+    M.main(["register", "--warehouse", str(tmp_path)])
+    assert seen["extra"] is None
