@@ -56,7 +56,7 @@ class KafkaSettings:
     max_offsets_per_trigger: int = 10_000
     min_offsets_per_trigger: int = 1
     max_trigger_delay: str = "15m"
-    fail_on_data_loss: bool = False
+    fail_on_data_loss: bool = True  # reference settings.py:27 default
     include_headers: bool = True
 
 

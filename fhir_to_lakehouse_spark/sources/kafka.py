@@ -31,7 +31,7 @@ class KafkaSourceConfig:
     max_offsets_per_trigger: int = 10_000  # reference default, settings.py:23
     min_offsets_per_trigger: int = 1  # settings.py:24
     max_trigger_delay: str = "15m"  # settings.py:25
-    fail_on_data_loss: bool = False  # settings.py:27
+    fail_on_data_loss: bool = True  # reference settings.py:27 default
     include_headers: bool = True  # main.py:132
     # SSL (reference main.py:138-151)
     ssl_enabled: bool = False

@@ -49,7 +49,9 @@ def test_kafka_base_options_match_reference_keys():
     assert opts["startingOffsets"] == "earliest"
     assert opts["groupIdPrefix"] == "fhir-to-lakehouse"
     assert opts["includeHeaders"] == "true"
-    assert opts["failOnDataLoss"] == "false"
+    # reference settings.py:27 defaults failOnDataLoss to TRUE — losing
+    # source data silently is the worse default for a clinical pipeline
+    assert opts["failOnDataLoss"] == "true"
     # reference settings.py defaults flow through as strings
     assert opts["maxOffsetsPerTrigger"] == "10000"
     assert opts["minOffsetsPerTrigger"] == "1"

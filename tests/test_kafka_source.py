@@ -42,7 +42,7 @@ def test_kafka_reader_option_parity(spark):
     assert opts["maxoffsetspertrigger"] == "1234"
     assert opts["minoffsetspertrigger"] == "1"
     assert opts["maxtriggerdelay"] == "15m"
-    assert opts["failondataloss"] == "false"
+    assert opts["failondataloss"] == "true"  # reference settings.py:27 default
     assert opts["includeheaders"] == "true"
     assert opts["kafka.security.protocol"] == "SSL"
     assert opts["kafka.ssl.truststore.type"] == "PKCS12"
