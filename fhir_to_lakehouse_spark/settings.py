@@ -74,7 +74,12 @@ class SparkSettings:
 
 @dataclass
 class DeltaSettings:
-    # reference settings.py:43-49
+    # reference settings.py:43-49 (table-property defaults verbatim)
+    auto_optimize_auto_compact: str = "false"
+    auto_optimize_optimize_write: str = "false"
+    checkpoint_interval: str = "100"
+    checkpoint_write_stats_as_json: str = "false"
+    checkpoint_write_stats_as_struct: str = "true"
     clustering_columns_by_resource_type: dict[str, list[str]] = field(
         default_factory=lambda: {
             "Patient": ["id"],
@@ -82,6 +87,17 @@ class DeltaSettings:
             "Observation": ["id"],
         }
     )
+
+    def table_properties(self) -> dict[str, str]:
+        """The delta.* property set the reference applies at table
+        create (/root/reference/src/bundle_processor.py:172-196)."""
+        return {
+            "delta.autoOptimize.autoCompact": self.auto_optimize_auto_compact,
+            "delta.autoOptimize.optimizeWrite": self.auto_optimize_optimize_write,
+            "delta.checkpointInterval": self.checkpoint_interval,
+            "delta.checkpoint.writeStatsAsJson": self.checkpoint_write_stats_as_json,
+            "delta.checkpoint.writeStatsAsStruct": self.checkpoint_write_stats_as_struct,
+        }
 
 
 @dataclass
@@ -126,6 +142,7 @@ class Settings:
             clustering_columns=dict(
                 self.delta.clustering_columns_by_resource_type
             ),
+            table_properties=self.delta.table_properties(),
             log_batch_stats=self.log_batch_stats,
             log_topic_counts=self.log_resource_count_by_source_topic,
             register_schema=self.metastore_schema or None,

@@ -89,6 +89,16 @@ def retry(attempts: int = 5, base_s: float = 0.05, cap_s: float = 30.0):
 class KeyedTable:
     """A mutable table keyed on ``key`` at ``path``."""
 
+    # reference delta.* table-property defaults (settings.py:43-49,
+    # applied at create: bundle_processor.py:172-196)
+    DEFAULT_TABLE_PROPERTIES = {
+        "delta.autoOptimize.autoCompact": "false",
+        "delta.autoOptimize.optimizeWrite": "false",
+        "delta.checkpointInterval": "100",
+        "delta.checkpoint.writeStatsAsJson": "false",
+        "delta.checkpoint.writeStatsAsStruct": "true",
+    }
+
     def __init__(
         self,
         spark: SparkSession,
@@ -97,6 +107,7 @@ class KeyedTable:
         sort_on_write: bool = True,
         changelog: bool = False,
         verify_unique_source: bool = True,
+        table_properties: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -134,6 +145,11 @@ class KeyedTable:
         # merge also appends its row-level changes (_change_type +
         # commit_version) to <path>.changelog for incremental consumers
         self.changelog = changelog
+        self.table_properties = (
+            dict(table_properties)
+            if table_properties is not None
+            else dict(self.DEFAULT_TABLE_PROPERTIES)
+        )
 
     # -- existence / read ------------------------------------------------
 
@@ -191,11 +207,11 @@ class KeyedTable:
                 DeltaTable.createIfNotExists(self.spark)
                 .location(self.path)
                 .addColumns(schema)
-                .property("delta.autoOptimize.autoCompact", "true")
-                .property("delta.autoOptimize.optimizeWrite", "true")
-                .property("delta.checkpoint.writeStatsAsStruct", "true")
-                .property("delta.checkpoint.writeStatsAsJson", "false")
             )
+            # property set + values from settings, reference defaults
+            # (bundle_processor.py:172-196 / settings.py:43-49)
+            for k, v in self.table_properties.items():
+                builder = builder.property(k, v)
             if cluster_by:
                 builder = builder.clusterBy(*cluster_by)
             builder.execute()

@@ -54,6 +54,9 @@ class PipelineConfig:
     log_topic_counts: bool = False
     # reference: register tables in the catalog when metastore configured
     register_schema: str | None = None
+    # delta.* properties applied at table create (None = reference
+    # defaults, settings.py:43-49); flows from Settings.delta
+    table_properties: dict[str, str] | None = None
 
 
 class BundlePipeline:
@@ -80,6 +83,7 @@ class BundlePipeline:
                 # the source is key-unique by construction — skip the
                 # fallback's duplicate-key probe job
                 verify_unique_source=False,
+                table_properties=self.cfg.table_properties,
             )
         return self._tables[resource_type]
 

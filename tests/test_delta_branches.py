@@ -173,12 +173,14 @@ def test_create_sends_reference_properties_and_clustering(
         c for c in delta_double.calls if c[0] == "create"
     ]
     assert loc == t.path
-    # the exact properties the reference sets (bundle_processor.py:172-204)
+    # the exact property set AND defaults the reference sends
+    # (bundle_processor.py:172-196, settings.py:43-49 defaults)
     assert props == {
-        "delta.autoOptimize.autoCompact": "true",
-        "delta.autoOptimize.optimizeWrite": "true",
-        "delta.checkpoint.writeStatsAsStruct": "true",
+        "delta.autoOptimize.autoCompact": "false",
+        "delta.autoOptimize.optimizeWrite": "false",
+        "delta.checkpointInterval": "100",
         "delta.checkpoint.writeStatsAsJson": "false",
+        "delta.checkpoint.writeStatsAsStruct": "true",
     }
     assert cluster == ("id",)
 
@@ -227,3 +229,21 @@ def test_maintenance_and_read_surface(spark, tmp_path, delta_double):
     assert "executeCompaction" in ops  # S14 (bundle_processor.py:310)
     assert ("vacuum", 12.5) in delta_double.calls  # S13 (:321)
     assert "detail" in ops  # S15
+
+
+def test_settings_tree_flows_table_properties(spark, tmp_path, delta_double):
+    """Settings.delta.* values (TOML/env-overridable) reach the Delta
+    create, like the reference's settings-driven property wiring."""
+    from fhir_to_lakehouse_spark.settings import Settings
+    from fhir_to_lakehouse_spark.streaming.pipeline import BundlePipeline
+
+    s = Settings()
+    s.delta.auto_optimize_auto_compact = "true"
+    s.spark.warehouse_dir = str(tmp_path / "wh")
+    s.spark.checkpoint_dir = str(tmp_path / "ck")
+    pipe = BundlePipeline(spark, s.to_pipeline_config())
+    tbl = pipe.table("Patient")
+    tbl.create_if_not_exists(_FakeDeltaTable.table_df.schema)
+    [(_, _, props, _)] = [c for c in delta_double.calls if c[0] == "create"]
+    assert props["delta.autoOptimize.autoCompact"] == "true"
+    assert props["delta.checkpointInterval"] == "100"
