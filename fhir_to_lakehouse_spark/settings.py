@@ -50,8 +50,8 @@ class KafkaSslSettings:
 class KafkaSettings:
     # reference settings.py:18-27
     ssl: KafkaSslSettings = field(default_factory=KafkaSslSettings)
-    bootstrap_servers: str = "localhost:9092"
-    topics: list[str] = field(default_factory=lambda: ["fhir.all"])
+    bootstrap_servers: str = "localhost:9094"  # reference settings.py:21
+    topics: list[str] = field(default_factory=lambda: ["fhir.msg"])  # :22
     starting_offsets: str = "earliest"  # reference main.py:129
     max_offsets_per_trigger: int = 10_000
     min_offsets_per_trigger: int = 1

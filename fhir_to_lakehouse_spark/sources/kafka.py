@@ -25,8 +25,8 @@ from pyspark.sql.streaming import DataStreamReader
 
 @dataclass
 class KafkaSourceConfig:
-    bootstrap_servers: str = "localhost:9092"
-    topics: list[str] = field(default_factory=lambda: ["fhir.all"])
+    bootstrap_servers: str = "localhost:9094"  # reference settings.py:21
+    topics: list[str] = field(default_factory=lambda: ["fhir.msg"])  # :22
     starting_offsets: str = "earliest"
     max_offsets_per_trigger: int = 10_000  # reference default, settings.py:23
     min_offsets_per_trigger: int = 1  # settings.py:24

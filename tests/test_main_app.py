@@ -119,7 +119,7 @@ def test_app_kafka_double_source_once(spark, tmp_path, monkeypatch):
     broker = tmp_path / "broker"
     produce(
         str(broker),
-        "fhir.all",
+        "fhir.msg",  # the reference-parity default topic
         [
             {"key": "a", "value": put_bundle("Patient", "a", active=True),
              "timestamp": 100.0},
