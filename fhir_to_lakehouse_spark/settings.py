@@ -112,6 +112,23 @@ class Settings:
     metastore_schema: str = ""
     log_resource_count_by_source_topic: bool = False
     log_batch_stats: bool = False
+    # Accepted for reference config compatibility (settings.py:69-75).
+    # In the reference this list assigns resource types to their own
+    # streaming queries (everything else flows to a "default" query —
+    # all types are processed either way). This engine's single-query
+    # design routes every observed type inside one cached micro-batch
+    # (S5 improvement: one Kafka read instead of N+1), so the knob has
+    # no effect here; it is parsed so reference TOML/env configs load
+    # without error.
+    resource_types_to_process_in_parallel: list[str] = field(
+        default_factory=lambda: [
+            "Patient",
+            "Observation",
+            "Encounter",
+            "Condition",
+            "Procedure",
+        ]
+    )
 
     # -- adapters onto the runtime configs ------------------------------
 
@@ -188,11 +205,18 @@ def _build(cls, data: dict, env: dict, env_path: str):
     for f in dataclasses.fields(cls):
         typ = hints[f.name]
         env_key = f"{env_path}_{f.name.upper()}"
+        # the reference loads with env_prefix="" (settings.py:78), so a
+        # reference deployment exports KAFKA_BOOTSTRAP_SERVERS etc.
+        # Accept that unprefixed form as a fallback; the FHIR_-prefixed
+        # form wins when both are set (prefixed = explicitly ours).
+        alt_key = env_key.removeprefix("FHIR_")
         if dataclasses.is_dataclass(typ):
             kwargs[f.name] = _build(typ, data.get(f.name, {}) or {}, env, env_key)
             continue
         if env_key in env:
             kwargs[f.name] = _convert(env[env_key], typ)
+        elif alt_key != env_key and alt_key in env:
+            kwargs[f.name] = _convert(env[alt_key], typ)
         elif f.name in data:
             value = data[f.name]
             # TOML already yields typed values; strings still convert

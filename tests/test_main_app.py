@@ -138,3 +138,40 @@ def test_app_kafka_double_source_once(spark, tmp_path, monkeypatch):
     assert rc == 0
     table = KeyedTable(spark, str(wh / "Patient.parquet"))
     assert sorted(r["id"] for r in table.to_df().collect()) == ["b"]
+
+
+def test_settings_accept_reference_unprefixed_env(tmp_path):
+    """The reference loads typed-settings with env_prefix='' —
+    deployments export KAFKA_BOOTSTRAP_SERVERS etc. Those must load
+    as-is; the FHIR_-prefixed form wins when both are present."""
+    from fhir_to_lakehouse_spark.settings import load_settings
+
+    s = load_settings(
+        env={
+            "KAFKA_BOOTSTRAP_SERVERS": "ref-broker:9094",
+            "VACUUM_RETENTION_HOURS": "72",
+            "SPARK_UPKEEP_INTERVAL": "7",
+        }
+    )
+    assert s.kafka.bootstrap_servers == "ref-broker:9094"
+    assert s.vacuum_retention_hours == 72.0
+    assert s.spark.upkeep_interval == 7
+
+    s2 = load_settings(
+        env={
+            "KAFKA_BOOTSTRAP_SERVERS": "ref-broker:9094",
+            "FHIR_KAFKA_BOOTSTRAP_SERVERS": "ours:9094",
+        }
+    )
+    assert s2.kafka.bootstrap_servers == "ours:9094"
+
+
+def test_settings_accept_reference_parallel_types_field(tmp_path):
+    """resource_types_to_process_in_parallel parses from reference
+    configs (no-op here by design — single-query routing)."""
+    from fhir_to_lakehouse_spark.settings import load_settings
+
+    s = load_settings(
+        env={"FHIR_RESOURCE_TYPES_TO_PROCESS_IN_PARALLEL": "Patient,Device"}
+    )
+    assert s.resource_types_to_process_in_parallel == ["Patient", "Device"]
