@@ -168,3 +168,63 @@ class PrometheusBridge:
             if names:
                 gauge = gauge.labels(*(v for _, v in labels))
             gauge.set(value)
+
+
+DELTA_OPERATION_SECONDS = "delta_operation_duration_seconds"
+
+
+class HistogramSnapshot:
+    """In-process histogram store (count/sum/min/max per labeled
+    series) — the stand-in for the reference's OTel histogram
+    ``delta-operation-duration`` (/root/reference/src/metrics.py:21-34),
+    same design as :class:`GaugeSnapshot`."""
+
+    def __init__(self):
+        self._series: dict[tuple[str, Labels], dict[str, float]] = {}
+
+    def observe(self, metric: str, value: float, **labels: str) -> None:
+        key = (metric, _labels(**labels))
+        s = self._series.get(key)
+        if s is None:
+            self._series[key] = {
+                "count": 1, "sum": value, "min": value, "max": value,
+            }
+        else:
+            s["count"] += 1
+            s["sum"] += value
+            s["min"] = min(s["min"], value)
+            s["max"] = max(s["max"], value)
+
+    def get(self, metric: str, **labels: str) -> dict[str, float] | None:
+        return self._series.get((metric, _labels(**labels)))
+
+    def items(self):
+        return self._series.items()
+
+
+class MeasureElapsed:
+    """Context manager timing a block into a HistogramSnapshot series
+    (reference metrics.py:17-34: MeasureElapsed over an OTel
+    histogram). Records on BOTH success and failure — a merge that
+    throws after 30 s is exactly the observation an operator needs."""
+
+    def __init__(self, hist: HistogramSnapshot, metric: str, **labels: str):
+        self._hist = hist
+        self._metric = metric
+        self._labels = labels
+
+    def __enter__(self):
+        import time
+
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        import time
+
+        self._hist.observe(
+            self._metric,
+            time.perf_counter() - self._t0,
+            **self._labels,
+        )
+        return False

@@ -32,6 +32,11 @@ from fhir_to_lakehouse_spark.operators.bundles import (
     split_by_method,
 )
 from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
+from fhir_to_lakehouse_spark.streaming.metrics import (
+    DELTA_OPERATION_SECONDS,
+    HistogramSnapshot,
+    MeasureElapsed,
+)
 
 
 @dataclass
@@ -68,6 +73,10 @@ class BundlePipeline:
         self.spark = spark
         self.cfg = cfg or PipelineConfig()
         self._tables: dict[str, KeyedTable] = {}
+        # per-operation latency histogram, labeled (operation,
+        # resource_type) — reference delta_operations_timer
+        # (/root/reference/src/bundle_processor.py:213-233)
+        self.op_timer = HistogramSnapshot()
 
     # -- table access ----------------------------------------------------
 
@@ -207,7 +216,13 @@ class BundlePipeline:
                 cluster_by=self.cfg.clustering_columns.get(resource_type),
             )
             if self.cfg.register_schema:
-                self._register(resource_type)
+                with MeasureElapsed(
+                    self.op_timer,
+                    DELTA_OPERATION_SECONDS,
+                    operation="register",
+                    resource_type=resource_type,
+                ):
+                    self._register(resource_type)
             # counts are pre-dedup: when only one method appears for the
             # type they are exact; when both appear, W1 races can empty
             # either side, so one aggregate over the dedup cache counts
@@ -244,14 +259,26 @@ class BundlePipeline:
                     )
                     encoded = encoded.filter(F.col("id").isNotNull())
                 if enc["n"] > enc["n_invalid"]:
-                    tbl.merge_upsert(encoded)
+                    with MeasureElapsed(
+                        self.op_timer,
+                        DELTA_OPERATION_SECONDS,
+                        operation="merge",
+                        resource_type=resource_type,
+                    ):
+                        tbl.merge_upsert(encoded)
 
             if has_deletes and existed_before:
                 delete_ids = deletes.select(
                     F.col("request_resource_id").alias("id")
                 )
                 if not has_puts or n_del_winners > 0:
-                    tbl.merge_delete(delete_ids)
+                    with MeasureElapsed(
+                        self.op_timer,
+                        DELTA_OPERATION_SECONDS,
+                        operation="delete",
+                        resource_type=resource_type,
+                    ):
+                        tbl.merge_delete(delete_ids)
         finally:
             deduped.unpersist()
 

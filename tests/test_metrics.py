@@ -182,3 +182,72 @@ def test_offset_gauges_from_kafka_double_stream(spark, tmp_path):
             topic="fhir.msg", partition=partition,
         ) == 3.0
     assert listener.input_rows["kd_gauges"] == 6
+
+
+def test_delta_operation_timer_records_merge_and_delete(spark, tmp_path):
+    """Reference delta_operations_timer parity (bundle_processor.py:
+    213-233): per-operation latency lands in the pipeline's histogram,
+    labeled (operation, resource_type)."""
+    from tests.fixtures import KAFKA_SCHEMA, delete_bundle, kafka_row, put_bundle
+
+    from fhir_to_lakehouse_spark.streaming.metrics import (
+        DELTA_OPERATION_SECONDS,
+    )
+    from fhir_to_lakehouse_spark.streaming.pipeline import (
+        BundlePipeline,
+        PipelineConfig,
+    )
+
+    pipe = BundlePipeline(
+        spark,
+        PipelineConfig(
+            warehouse_dir=str(tmp_path / "wh"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            upkeep_interval=10_000,
+        ),
+    )
+    batch1 = spark.createDataFrame(
+        [kafka_row(put_bundle("Patient", "a", active=True), offset=1)],
+        KAFKA_SCHEMA,
+    )
+    pipe.process_batch(batch1, batch_id=1)
+    merge = pipe.op_timer.get(
+        DELTA_OPERATION_SECONDS, operation="merge", resource_type="Patient"
+    )
+    assert merge is not None and merge["count"] == 1 and merge["sum"] > 0
+
+    batch2 = spark.createDataFrame(
+        [kafka_row(delete_bundle("Patient", "a"), offset=2)], KAFKA_SCHEMA
+    )
+    pipe.process_batch(batch2, batch_id=2)
+    delete = pipe.op_timer.get(
+        DELTA_OPERATION_SECONDS, operation="delete", resource_type="Patient"
+    )
+    assert delete is not None and delete["count"] == 1
+    # no register configured -> no register series
+    assert (
+        pipe.op_timer.get(
+            DELTA_OPERATION_SECONDS,
+            operation="register",
+            resource_type="Patient",
+        )
+        is None
+    )
+
+
+def test_measure_elapsed_records_on_failure():
+    """A merge that throws after N seconds is exactly the observation
+    an operator needs — the timer must record on the error path too."""
+    import pytest as _pytest
+
+    from fhir_to_lakehouse_spark.streaming.metrics import (
+        HistogramSnapshot,
+        MeasureElapsed,
+    )
+
+    h = HistogramSnapshot()
+    with _pytest.raises(RuntimeError):
+        with MeasureElapsed(h, "m", operation="merge"):
+            raise RuntimeError("boom")
+    s = h.get("m", operation="merge")
+    assert s["count"] == 1 and s["sum"] >= 0
