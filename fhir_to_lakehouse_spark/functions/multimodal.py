@@ -69,7 +69,9 @@ def _fake_decode(payload: bytes, dim: int = 8) -> np.ndarray:
     Deterministic: derive `dim` floats from the sha256 of the payload.
     """
     h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    # explicit little-endian: the DuckDB oracle for media_features does
+    # LE hex-pair arithmetic, so native byte order would break on BE hosts
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype="<u4")
     return (raw % 1000).astype(np.float32) / 1000.0
 
 

@@ -91,15 +91,31 @@ def vacuum_all(
     spark: SparkSession,
     warehouse_dir: str,
     retention_hours: float | None = None,
-    dry_run: bool = False,
-    enforce_retention_duration: bool = False,
+    dry_run: bool = True,
+    enforce_retention_duration: bool = True,
 ) -> list[str]:
     """VACUUM every table (reference :134-182 incl. dry-run support and
     the retention-duration guard). ``retention_hours=None`` falls back
     to the 1-week default, like the reference's
-    ``deletedFileRetentionDuration`` behavior."""
+    ``deletedFileRetentionDuration`` behavior.
+
+    Safe-by-default like the CLI (dry_run=True, floor enforced): a
+    library caller must opt in to deletion, and the retention floor is
+    validated even in dry-run mode — the reference enforces
+    retentionDurationCheck during dry-run too, so ``vacuum
+    --retention-hours 1`` fails identically with and without
+    ``--no-dry-run`` instead of passing silently and then raising."""
     if retention_hours is None:
         retention_hours = KeyedTable.RETENTION_FLOOR_HOURS
+    if (
+        enforce_retention_duration
+        and retention_hours < KeyedTable.RETENTION_FLOOR_HOURS
+    ):
+        raise ValueError(
+            f"retention {retention_hours} h is below the "
+            f"{KeyedTable.RETENTION_FLOOR_HOURS} h retention floor; pass "
+            "enforce_retention_duration=False to override"
+        )
     done = []
     for path in discover_tables(warehouse_dir, spark):
         if not dry_run:

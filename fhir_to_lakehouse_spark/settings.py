@@ -199,7 +199,22 @@ def _convert(text: str, typ) -> object:
     raise TypeError(f"unsupported settings field type: {typ}")
 
 
-def _build(cls, data: dict, env: dict, env_path: str):
+def _env_keys(cls, path: str = "") -> set[str]:
+    """All unprefixed env keys the reference settings tree reads
+    (reference settings.py loads with env_prefix="")."""
+    keys: set[str] = set()
+    hints = typing.get_type_hints(cls)
+    for f in dataclasses.fields(cls):
+        key = f"{path}_{f.name.upper()}" if path else f.name.upper()
+        typ = hints[f.name]
+        if dataclasses.is_dataclass(typ):
+            keys |= _env_keys(typ, key)
+        else:
+            keys.add(key)
+    return keys
+
+
+def _build(cls, data: dict, env: dict, env_path: str, root_prefix: str):
     kwargs = {}
     hints = typing.get_type_hints(cls)
     for f in dataclasses.fields(cls):
@@ -207,15 +222,24 @@ def _build(cls, data: dict, env: dict, env_path: str):
         env_key = f"{env_path}_{f.name.upper()}"
         # the reference loads with env_prefix="" (settings.py:78), so a
         # reference deployment exports KAFKA_BOOTSTRAP_SERVERS etc.
-        # Accept that unprefixed form as a fallback; the FHIR_-prefixed
-        # form wins when both are set (prefixed = explicitly ours).
-        alt_key = env_key.removeprefix("FHIR_")
+        # Accept that unprefixed form as a fallback; the prefixed form
+        # wins when both are set (prefixed = explicitly ours). The
+        # stripped form derives from the ACTUAL prefix in use, and only
+        # keys the reference actually reads are eligible — generic names
+        # set by unrelated container tooling must not leak in.
+        alt_key = env_key.removeprefix(f"{root_prefix}_")
         if dataclasses.is_dataclass(typ):
-            kwargs[f.name] = _build(typ, data.get(f.name, {}) or {}, env, env_key)
+            kwargs[f.name] = _build(
+                typ, data.get(f.name, {}) or {}, env, env_key, root_prefix
+            )
             continue
         if env_key in env:
             kwargs[f.name] = _convert(env[env_key], typ)
-        elif alt_key != env_key and alt_key in env:
+        elif (
+            alt_key != env_key
+            and alt_key in _REFERENCE_ENV_KEYS
+            and alt_key in env
+        ):
             kwargs[f.name] = _convert(env[alt_key], typ)
         elif f.name in data:
             value = data[f.name]
@@ -239,4 +263,7 @@ def load_settings(
 
         with open(toml_path, "rb") as fh:
             data = tomllib.load(fh)
-    return _build(Settings, data, env, prefix)
+    return _build(Settings, data, env, prefix, prefix)
+
+
+_REFERENCE_ENV_KEYS = _env_keys(Settings)

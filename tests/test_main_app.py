@@ -166,6 +166,41 @@ def test_settings_accept_reference_unprefixed_env(tmp_path):
     assert s2.kafka.bootstrap_servers == "ours:9094"
 
 
+def test_settings_unprefixed_fallback_tracks_custom_prefix(tmp_path):
+    """The stripped fallback form derives from the ACTUAL prefix in
+    use, not a hardcoded FHIR_: with prefix='APP', APP_-prefixed keys
+    win and the bare reference keys still load."""
+    from fhir_to_lakehouse_spark.settings import load_settings
+
+    s = load_settings(
+        env={
+            "APP_KAFKA_BOOTSTRAP_SERVERS": "ours:9094",
+            "KAFKA_BOOTSTRAP_SERVERS": "ref:9094",
+            "VACUUM_RETENTION_HOURS": "72",
+        },
+        prefix="APP",
+    )
+    assert s.kafka.bootstrap_servers == "ours:9094"
+    assert s.vacuum_retention_hours == 72.0
+
+
+def test_settings_unprefixed_fallback_is_whitelisted(tmp_path):
+    """Only keys the reference tree actually reads are eligible for the
+    unprefixed fallback; generic container env like METASTORE_SCHEMA is
+    on the whitelist, but an unparseable value in a NON-reference key
+    must never crash _convert or leak into the tree."""
+    from fhir_to_lakehouse_spark import settings as S
+
+    # whitelist is the reference field paths, derived from the tree
+    assert "KAFKA_BOOTSTRAP_SERVERS" in S._REFERENCE_ENV_KEYS
+    assert "KAFKA_SSL_KEYSTORE_PASSWORD" in S._REFERENCE_ENV_KEYS
+    assert "UPKEEP_INTERVAL" not in S._REFERENCE_ENV_KEYS  # nested under SPARK_
+    # a key that is NOT a reference settings path is ignored even if it
+    # happens to collide with a field name suffix
+    s = S.load_settings(env={"NOT_A_FIELD": "x", "METRICS_PORT": "9999"})
+    assert s.metrics_port == 9999
+
+
 def test_settings_accept_reference_parallel_types_field(tmp_path):
     """resource_types_to_process_in_parallel parses from reference
     configs (no-op here by design — single-query routing)."""

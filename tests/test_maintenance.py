@@ -44,7 +44,40 @@ def test_optimize_all_compacts(spark, tmp_path):
 def test_vacuum_all_dry_run(spark, tmp_path):
     wh = seed(spark, tmp_path)
     assert len(M.vacuum_all(spark, wh, dry_run=True)) == 2
-    assert len(M.vacuum_all(spark, wh, retention_hours=0.0)) == 2
+    assert (
+        len(
+            M.vacuum_all(
+                spark,
+                wh,
+                retention_hours=0.0,
+                dry_run=False,
+                enforce_retention_duration=False,
+            )
+        )
+        == 2
+    )
+
+
+def test_vacuum_all_api_defaults_are_safe(spark, tmp_path):
+    """Python-API defaults must match the CLI's safe-by-default stance:
+    a bare vacuum_all(spark, dir) is a dry run with the floor enforced —
+    it must never delete files."""
+    import inspect
+
+    sig = inspect.signature(M.vacuum_all)
+    assert sig.parameters["dry_run"].default is True
+    assert sig.parameters["enforce_retention_duration"].default is True
+
+
+def test_vacuum_dry_run_still_validates_retention_floor(spark, tmp_path):
+    """The floor guard fires during dry-run too (reference enforces
+    retentionDurationCheck in dry-run): `vacuum --retention-hours 1`
+    must fail the same way with and without --no-dry-run."""
+    import pytest as _pytest
+
+    wh = seed(spark, tmp_path)
+    with _pytest.raises(ValueError, match="floor"):
+        M.vacuum_all(spark, wh, retention_hours=1.0, dry_run=True)
 
 
 def test_register_all(spark, tmp_path):
