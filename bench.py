@@ -5,10 +5,13 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice: a warm-up pass (JIT/codegen, file
-footers) is NOT what we report — we time the second pass, which is the
-steady-state number a long-running cluster job would see. Set
-BENCH_COLD=1 to report the first pass instead.
+Each query runs as one warm-up pass (JIT/codegen, file footers — NOT
+reported) followed by $BENCH_REPS timed passes (default 3); the
+reported number is the MEDIAN timed pass. Sub-second queries on
+local[32] show +/-30-50% single-run variance (measured in the round-4
+drift investigation, SCALING.md "Round-4 findings"), so a single timed
+pass is not a stable signal. Set BENCH_COLD=1 to report the first
+(cold) pass instead.
 """
 
 from __future__ import annotations
@@ -70,13 +73,14 @@ def bench_etl_pipeline(spark, sf_dir: str) -> float:
     events.count()
     cold = os.environ.get("BENCH_COLD") == "1"
     try:
-        # same two-pass policy as the headline queries (module
-        # docstring): pass 1 warms codegen/JIT for this plan shape, the
-        # reported pass 2 is the steady-state per-batch latency a
-        # long-running stream sees. Each pass gets a FRESH warehouse so
-        # both measure the same first-batch work.
-        dt = 0.0
-        for _ in range(1 if cold else 2):
+        # same steady-state policy as the headline queries (module
+        # docstring): pass 1 warms codegen/JIT for this plan shape
+        # (dropped), then the MEDIAN of $BENCH_REPS timed passes is
+        # reported. Each pass gets a FRESH warehouse so all measure the
+        # same first-batch work.
+        reps = 1 if cold else 1 + max(1, int(os.environ.get("BENCH_REPS", "3")))
+        times = []
+        for _ in range(reps):
             wh = tempfile.mkdtemp(prefix="bench-wh-")
             try:
                 pipe = BundlePipeline(
@@ -89,10 +93,11 @@ def bench_etl_pipeline(spark, sf_dir: str) -> float:
                 )
                 t0 = time.perf_counter()
                 pipe.process_batch(events, batch_id=1)
-                dt = time.perf_counter() - t0
+                times.append(time.perf_counter() - t0)
             finally:
                 shutil.rmtree(wh, ignore_errors=True)
-        return dt
+        timed = times if cold else sorted(times[1:])
+        return timed[len(timed) // 2]
     finally:
         events.unpersist()
 
@@ -118,8 +123,9 @@ def bench_etl_stream(spark, sf_dir: str) -> float:
         # input materialization is harness work — outside the clock
         _bundle_events(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
         schema = spark.read.parquet(src_dir).schema
-        dt = 0.0
-        for i in range(1 if cold else 2):
+        reps = 1 if cold else 1 + max(1, int(os.environ.get("BENCH_REPS", "3")))
+        times = []
+        for i in range(reps):
             wh = tempfile.mkdtemp(prefix="bench-swh-")
             try:
                 pipe = BundlePipeline(
@@ -136,10 +142,11 @@ def bench_etl_stream(spark, sf_dir: str) -> float:
                     stream, f"bench_stream_{i}", available_now=True
                 )
                 q.awaitTermination()
-                dt = time.perf_counter() - t0
+                times.append(time.perf_counter() - t0)
             finally:
                 shutil.rmtree(wh, ignore_errors=True)
-        return dt
+        timed = times if cold else sorted(times[1:])
+        return timed[len(timed) // 2]
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
 
@@ -147,11 +154,20 @@ def bench_etl_stream(spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cold = os.environ.get("BENCH_COLD") == "1"
+    # BENCH_ONLY=q1,q3 runs a subset (drift bisection / quick iteration);
+    # "etl" entries are included only when named or when unset
+    only = {
+        s.strip()
+        for s in os.environ.get("BENCH_ONLY", "").split(",")
+        if s.strip()
+    }
 
     from fhir_to_lakehouse_spark.plans import QUERIES
     from fhir_to_lakehouse_spark.session import get_spark
 
     spark = get_spark("bench")
+
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -160,16 +176,23 @@ def main() -> None:
         df.count()
         return time.perf_counter() - t0
 
+    def run_steady(name: str) -> float:
+        """Warm-up pass, then the median of `reps` timed passes."""
+        first = run_once(name)
+        if cold:
+            return first
+        times = sorted(run_once(name) for _ in range(reps))
+        return times[len(times) // 2]
+
     # per-query error isolation: one broken query must never zero the
     # round's perf signal — record {"error": ...} and keep timing the rest
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        if name not in QUERIES:
+        if name not in QUERIES or (only and name not in only):
             continue
         try:
-            first = run_once(name)
-            timings[name] = round(first if cold else run_once(name), 4)
+            timings[name] = round(run_steady(name), 4)
         except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -177,6 +200,8 @@ def main() -> None:
         ("etl_pipeline_batch", bench_etl_pipeline),
         ("etl_stream_availablenow", bench_etl_stream),
     ):
+        if only and name not in only:
+            continue
         try:
             timings[name] = round(fn(spark, sf_dir), 4)
         except Exception as exc:  # noqa: BLE001
