@@ -198,9 +198,25 @@ def candidate_pairs_blocked(
     id_col: str = "doc_id",
     block_cols: list[str] | None = None,
     shingle_k: int = 3,
+    max_block_size: int = 2000,
+    lsh_hashes: int = 12,
+    lsh_bands: int = 4,
 ) -> DataFrame:
     """Blocked n-gram-Jaccard near-dup: self-join within blocking keys
     only (never all-pairs), verify with exact Jaccard on shingle sets.
+
+    Skew guard: the within-block join is all-pairs *inside* a block, so
+    a popular block (lang='en', a common length band) would explode
+    O(B²) in one task at 100× scale. Blocks larger than
+    ``max_block_size`` therefore route through MinHash-band candidate
+    generation instead: pairs there must collide in at least one of
+    ``lsh_bands`` signature bands before paying the exact-Jaccard
+    verify. Candidate volume per oversized block drops from B²/2 to the
+    band-bucket collisions (near-dups still collide — identical docs
+    have identical signatures — while unrelated pairs almost never do).
+    Results for small blocks are exhaustive and exact (the oracle path);
+    oversized blocks are high-recall approximate, which is the standard
+    accuracy/scale trade for web-scale near-dedup.
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
@@ -225,33 +241,93 @@ def candidate_pairs_blocked(
     # both sides of the self-join read `base`; persist so shingling
     # runs once (at warehouse scale this is a staged signatures table)
     base = base.persist()
-    a = base.alias("a")
-    b = base.alias("b")
+    # per-block sizes: one map-side-combinable count over the block key,
+    # broadcast back (the distinct-block frame is tiny by construction)
+    counts = base.groupBy(*block_cols).agg(
+        F.count(F.lit(1)).alias("_block_n")
+    )
+    sized_base = base.join(F.broadcast(counts), block_cols)
+    small = sized_base.filter(F.col("_block_n") <= max_block_size).drop("_block_n")
+    big = sized_base.filter(F.col("_block_n") > max_block_size).drop("_block_n")
+
+    def _jaccard_pairs(a: DataFrame, b: DataFrame, cond) -> DataFrame:
+        # stage the set sizes in their own projection: jaccard is then a
+        # cheap derived division, so a downstream filter on jaccard_sim
+        # doesn't re-run the O(|A|·|B|) intersect when Catalyst pushes
+        # the predicate through the project. inter/(|A|+|B|-inter)
+        # avoids materializing the union array entirely.
+        sized = a.join(b, cond).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias(
+                "_inter"
+            ),
+            F.size(F.col("a.sh")).alias("_sa"),
+            F.size(F.col("b.sh")).alias("_sb"),
+        )
+        return sized.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter")
+                / F.greatest(
+                    F.col("_sa") + F.col("_sb") - F.col("_inter"), F.lit(1)
+                )
+            ).alias("jaccard_sim"),
+        )
+
+    a = small.alias("a")
+    b = small.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    # stage the set sizes in their own projection: jaccard is then a
-    # cheap derived division, so a downstream filter on jaccard_sim
-    # doesn't re-run the O(|A|·|B|) intersect when Catalyst pushes the
-    # predicate through the project. inter/(|A|+|B|-inter) avoids
-    # materializing the union array entirely.
-    sized = a.join(b, cond).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).alias("_inter"),
-        F.size(F.col("a.sh")).alias("_sa"),
-        F.size(F.col("b.sh")).alias("_sb"),
-    )
-    return sized.select(
-        "id_a",
-        "id_b",
-        (
-            F.col("_inter")
-            / F.greatest(
-                F.col("_sa") + F.col("_sb") - F.col("_inter"), F.lit(1)
+    exhaustive = _jaccard_pairs(a, b, cond)
+
+    # oversized blocks: xxhash64 MinHash over the already-hashed
+    # shingles (no extra string churn), banded; candidates must share a
+    # (block, band-key) bucket. The shuffle key becomes
+    # (block, band-hash) — band buckets subdivide the hot block, so no
+    # single task ever holds the whole block again.
+    rows = lsh_hashes // lsh_bands
+
+    def comp(seed: int):
+        return F.coalesce(
+            F.array_min(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+            ),
+            F.lit(2**63 - 1),
+        )
+
+    sig = F.array(*[comp(i) for i in range(lsh_hashes)])
+    banded = big.withColumn("_sig", sig).select(
+        "id",
+        *block_cols,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(bd)),
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.slice(F.col("_sig"), bd * rows + 1, rows)
+                            )
+                        ),
+                    )
+                    for bd in range(lsh_bands)
+                ]
             )
-        ).alias("jaccard_sim"),
+        ).alias("_bk"),
     )
+    ba = banded.alias("a")
+    bb = banded.alias("b")
+    bcond = (F.col("a.id") < F.col("b.id")) & (F.col("a._bk") == F.col("b._bk"))
+    for c in block_cols:
+        bcond = bcond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    approx = _jaccard_pairs(ba, bb, bcond).dropDuplicates(["id_a", "id_b"])
+
+    return exhaustive.unionByName(approx)
 
 
 def minhash_lsh_pairs(
