@@ -118,3 +118,239 @@ def pipeline_latest_per_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         "request_url", "request_method", "partition", "offset"
     )
     return latest_per_key(slim, key="request_url")
+
+
+def _observation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped bundles of Observation resources with the nested
+    depth Synthea produces: valueQuantity, a component array (blood
+    pressure panel: systolic + diastolic + a valueString note), and a
+    referenceRange. Values are DECIMAL-cast before serialization so the
+    DuckDB oracle reproduces them exactly (same rule as money math)."""
+    ev = load_table(spark, sf_dir, "events")
+    vq = F.col("value").cast("decimal(18,2)")
+
+    def quantity(val, unit="mm[Hg]"):
+        return F.struct(
+            val.alias("value"),
+            F.lit(unit).alias("unit"),
+            F.lit("http://unitsofmeasure.org").alias("system"),
+        )
+
+    def component(code_text, val=None, vstring=None):
+        return F.struct(
+            F.struct(F.lit(code_text).alias("text")).alias("code"),
+            (
+                quantity(val)
+                if val is not None
+                else F.lit(None).cast("struct<value:decimal(18,2),unit:string,system:string>")
+            ).alias("valueQuantity"),
+            (vstring if vstring is not None else F.lit(None).cast("string")).alias(
+                "valueString"
+            ),
+        )
+
+    resource = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(F.lit("blood-pressure").alias("text")).alias("code"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("user_id").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            quantity(vq).alias("valueQuantity"),
+            F.array(
+                component("systolic", val=(vq + 100).cast("decimal(18,2)")),
+                component("diastolic", val=(vq + 60).cast("decimal(18,2)")),
+                component("note", vstring=F.col("event_type")),
+            ).alias("component"),
+            F.array(
+                F.struct(
+                    quantity(F.lit(90).cast("decimal(18,2)")).alias("low"),
+                    quantity(F.lit(120).cast("decimal(18,2)")).alias("high"),
+                    F.lit("normal").alias("text"),
+                )
+            ).alias("referenceRange"),
+        )
+    )
+    url = F.concat_ws("/", F.lit("Observation"), F.col("event_id").cast("string"))
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.array(
+                F.struct(
+                    resource.alias("resource"),
+                    F.struct(
+                        F.lit("PUT").alias("method"), url.alias("url")
+                    ).alias("request"),
+                )
+            ).alias("entry"),
+        )
+    )
+    return ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        bundle.alias("value"),
+        F.col("ts").alias("timestamp"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+
+
+@query(
+    "pipeline_observation_components",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR)                              AS id,
+           CAST(value AS DECIMAL(18,2))                           AS obs_value,
+           'mm[Hg]'                                               AS unit,
+           CAST(CAST(value AS DECIMAL(18,2)) + 100
+                AS DECIMAL(18,2))                                 AS systolic,
+           CAST(CAST(value AS DECIMAL(18,2)) + 60
+                AS DECIMAL(18,2))                                 AS diastolic,
+           event_type                                             AS note_text,
+           CAST(value AS DECIMAL(18,2)) BETWEEN 90 AND 120        AS in_range
+    FROM events
+    """,
+)
+def pipeline_observation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 encoder depth: real JSON Observations with component arrays
+    and referenceRange flow through the REAL parse->explode->encode
+    chain (the same from_json path the pipeline's PUT branch runs,
+    replacing Pathling — /root/reference/src/bundle_processor.py:162-166)
+    and the nested fields are projected back out: choice-typed
+    component values (valueQuantity vs valueString) via array filters,
+    range membership via the decoded referenceRange struct. The oracle
+    recomputes every value straight from the source table."""
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    events = _observation_events(spark, sf_dir)
+    obs = prepare_stream(events).filter(F.col("resource_type") == "Observation")
+    enc = encode_resources(obs, "Observation")
+
+    def comp_named(name):
+        return F.element_at(
+            F.filter(F.col("component"), lambda c: c["code"]["text"] == name), 1
+        )
+
+    return enc.select(
+        "id",
+        F.col("valueQuantity.value").cast("decimal(18,2)").alias("obs_value"),
+        F.col("valueQuantity.unit").alias("unit"),
+        comp_named("systolic")["valueQuantity"]["value"]
+        .cast("decimal(18,2)")
+        .alias("systolic"),
+        comp_named("diastolic")["valueQuantity"]["value"]
+        .cast("decimal(18,2)")
+        .alias("diastolic"),
+        comp_named("note")["valueString"].alias("note_text"),
+        F.col("valueQuantity.value")
+        .between(
+            F.element_at("referenceRange", 1)["low"]["value"],
+            F.element_at("referenceRange", 1)["high"]["value"],
+        )
+        .alias("in_range"),
+    )
+
+
+@query(
+    "pipeline_medication_request_decode",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR)                    AS id,
+           CASE WHEN event_type = 'error' THEN 'stopped'
+                ELSE 'active' END                       AS status,
+           'order'                                      AS intent,
+           'med-' || CAST(user_id % 10 AS VARCHAR)      AS med_text,
+           strftime(ts, '%Y-%m-%d')                     AS authored_on,
+           CAST(value AS DECIMAL(18,2))                 AS dose_mg
+    FROM events
+    """,
+)
+def pipeline_medication_request_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 encoder coverage beyond the reference's five hot types: a
+    MedicationRequest (curated since round 4 — previously degraded to
+    the generic id+JSON fallback) round-trips through the bundle chain
+    with its doubly-nested dosageInstruction[].doseAndRate[]
+    .doseQuantity decoded back out."""
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    ev = load_table(spark, sf_dir, "events")
+    dose = F.col("value").cast("decimal(18,2)")
+    resource = F.to_json(
+        F.struct(
+            F.lit("MedicationRequest").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.when(F.col("event_type") == "error", "stopped")
+            .otherwise("active")
+            .alias("status"),
+            F.lit("order").alias("intent"),
+            F.struct(
+                F.concat(F.lit("med-"), (F.col("user_id") % 10).cast("string")).alias(
+                    "text"
+                )
+            ).alias("medicationCodeableConcept"),
+            F.struct(
+                F.concat(F.lit("Patient/"), F.col("user_id").cast("string")).alias(
+                    "reference"
+                )
+            ).alias("subject"),
+            F.date_format("ts", "yyyy-MM-dd").alias("authoredOn"),
+            F.array(
+                F.struct(
+                    F.lit(1).alias("sequence"),
+                    F.lit("once daily").alias("text"),
+                    F.lit(False).alias("asNeededBoolean"),
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                dose.alias("value"),
+                                F.lit("mg").alias("unit"),
+                            ).alias("doseQuantity")
+                        )
+                    ).alias("doseAndRate"),
+                )
+            ).alias("dosageInstruction"),
+        )
+    )
+    url = F.concat_ws(
+        "/", F.lit("MedicationRequest"), F.col("event_id").cast("string")
+    )
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.array(
+                F.struct(
+                    resource.alias("resource"),
+                    F.struct(
+                        F.lit("PUT").alias("method"), url.alias("url")
+                    ).alias("request"),
+                )
+            ).alias("entry"),
+        )
+    )
+    events = ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        bundle.alias("value"),
+        F.col("ts").alias("timestamp"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+    mr = prepare_stream(events).filter(
+        F.col("resource_type") == "MedicationRequest"
+    )
+    enc = encode_resources(mr, "MedicationRequest")
+    first_dose = F.element_at(
+        F.element_at("dosageInstruction", 1)["doseAndRate"], 1
+    )["doseQuantity"]
+    return enc.select(
+        "id",
+        "status",
+        "intent",
+        F.col("medicationCodeableConcept.text").alias("med_text"),
+        F.col("authoredOn").alias("authored_on"),
+        first_dose["value"].cast("decimal(18,2)").alias("dose_mg"),
+    )

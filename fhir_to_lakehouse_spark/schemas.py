@@ -83,6 +83,17 @@ _CODEABLE_CONCEPT = T.StructType(
 
 _REFERENCE = T.StructType([T.StructField("reference", T.StringType())])
 
+# FHIR Quantity: decimal value + UCUM coding (FHIR decimal ->
+# DecimalType, Pathling parity — SURVEY §7.3)
+_QUANTITY = T.StructType(
+    [
+        T.StructField("value", T.DecimalType(38, 18)),
+        T.StructField("unit", T.StringType()),
+        T.StructField("system", T.StringType()),
+        T.StructField("code", T.StringType()),
+    ]
+)
+
 PATIENT_SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType()),
@@ -147,27 +158,47 @@ CONDITION_SCHEMA = T.StructType(
     ]
 )
 
+# Observation value[x] choice fields: FHIR allows exactly one of these
+# per (component-)observation; the curated schema types each variant so
+# a query can coalesce across them without touching raw JSON.
+_OBS_VALUE_FIELDS = [
+    T.StructField("valueQuantity", _QUANTITY),
+    T.StructField("valueCodeableConcept", _CODEABLE_CONCEPT),
+    T.StructField("valueString", T.StringType()),
+    T.StructField("valueBoolean", T.BooleanType()),
+    T.StructField("valueInteger", T.IntegerType()),
+]
+
+# Observation.component: multi-part results (e.g. a blood-pressure
+# panel carries systolic+diastolic as two components, Synthea depth)
+_OBS_COMPONENT = T.ArrayType(
+    T.StructType([T.StructField("code", _CODEABLE_CONCEPT), *_OBS_VALUE_FIELDS])
+)
+
 OBSERVATION_SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType()),
         T.StructField("status", T.StringType()),
+        T.StructField("category", T.ArrayType(_CODEABLE_CONCEPT)),
         T.StructField("code", _CODEABLE_CONCEPT),
         T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
         T.StructField("effectiveDateTime", T.StringType()),
         T.StructField("issued", T.StringType()),
+        *_OBS_VALUE_FIELDS,
+        T.StructField("component", _OBS_COMPONENT),
         T.StructField(
-            "valueQuantity",
-            T.StructType(
-                [
-                    # FHIR decimal -> DecimalType (Pathling parity, SURVEY §7.3)
-                    T.StructField("value", T.DecimalType(38, 18)),
-                    T.StructField("unit", T.StringType()),
-                    T.StructField("system", T.StringType()),
-                    T.StructField("code", T.StringType()),
-                ]
+            "referenceRange",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("low", _QUANTITY),
+                        T.StructField("high", _QUANTITY),
+                        T.StructField("text", T.StringType()),
+                    ]
+                )
             ),
         ),
-        T.StructField("valueCodeableConcept", _CODEABLE_CONCEPT),
     ]
 )
 
@@ -238,12 +269,96 @@ PROCEDURE_SCHEMA = T.StructType(
     ]
 )
 
+# Beyond the reference's five parallel-processed "hot" types: the
+# Synthea bundles the reference's e2e test ingests also carry
+# MedicationRequest / DiagnosticReport / Immunization resources; a user
+# querying those gets typed columns instead of the generic id+JSON
+# fallback.
+
+MEDICATION_REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("intent", T.StringType()),
+        T.StructField("medicationCodeableConcept", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("authoredOn", T.StringType()),
+        T.StructField("requester", _REFERENCE),
+        T.StructField("reasonReference", T.ArrayType(_REFERENCE)),
+        T.StructField(
+            "dosageInstruction",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("sequence", T.IntegerType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField("asNeededBoolean", T.BooleanType()),
+                        T.StructField(
+                            "doseAndRate",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("type", _CODEABLE_CONCEPT),
+                                        T.StructField("doseQuantity", _QUANTITY),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+DIAGNOSTIC_REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("category", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("effectiveDateTime", T.StringType()),
+        T.StructField("issued", T.StringType()),
+        T.StructField("result", T.ArrayType(_REFERENCE)),
+        T.StructField(
+            "presentedForm",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("contentType", T.StringType()),
+                        T.StructField("data", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+IMMUNIZATION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("vaccineCode", _CODEABLE_CONCEPT),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("occurrenceDateTime", T.StringType()),
+        T.StructField("primarySource", T.BooleanType()),
+        T.StructField("doseQuantity", _QUANTITY),
+    ]
+)
+
 RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "Patient": PATIENT_SCHEMA,
     "Condition": CONDITION_SCHEMA,
     "Observation": OBSERVATION_SCHEMA,
     "Encounter": ENCOUNTER_SCHEMA,
     "Procedure": PROCEDURE_SCHEMA,
+    "MedicationRequest": MEDICATION_REQUEST_SCHEMA,
+    "DiagnosticReport": DIAGNOSTIC_REPORT_SCHEMA,
+    "Immunization": IMMUNIZATION_SCHEMA,
 }
 
 # Fallback for resource types without a curated schema: id only (the

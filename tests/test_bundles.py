@@ -370,3 +370,105 @@ def test_unparseable_inner_resource_dead_lettered_not_merged(spark, pipeline):
     assert corrupt[0]["resource_type"] == "Patient"
     assert corrupt[0]["batch_id"] == 3
     assert "definitely not json" in corrupt[0]["raw_resource"]
+
+
+def test_observation_component_array_decodes_typed(spark, pipeline):
+    """§2.9 encoder depth (round 4): Observation.component (multi-part
+    panels) and referenceRange decode into typed nested arrays; the
+    value[x] choice variants each land in their own typed column."""
+    import decimal
+
+    rows = [
+        {
+            "value": put_bundle(
+                "Observation",
+                "bp1",
+                status="final",
+                code={"text": "blood-pressure"},
+                component=[
+                    {
+                        "code": {"text": "systolic"},
+                        "valueQuantity": {"value": 120.5, "unit": "mm[Hg]"},
+                    },
+                    {
+                        "code": {"text": "diastolic"},
+                        "valueQuantity": {"value": 80.25, "unit": "mm[Hg]"},
+                    },
+                    {"code": {"text": "note"}, "valueString": "sitting"},
+                ],
+                referenceRange=[
+                    {
+                        "low": {"value": 90, "unit": "mm[Hg]"},
+                        "high": {"value": 120, "unit": "mm[Hg]"},
+                        "text": "normal",
+                    }
+                ],
+                valueBoolean=True,
+            )
+        }
+    ]
+    pipeline.process_batch(batch(spark, rows), 1)
+    obs = pipeline.table("Observation").to_df().collect()[0]
+    comps = {c["code"]["text"]: c for c in obs["component"]}
+    assert comps["systolic"]["valueQuantity"]["value"] == decimal.Decimal("120.5")
+    assert comps["diastolic"]["valueQuantity"]["value"] == decimal.Decimal("80.25")
+    assert comps["note"]["valueString"] == "sitting"
+    assert comps["note"]["valueQuantity"] is None  # choice typing, not clobbering
+    rr = obs["referenceRange"][0]
+    assert rr["low"]["value"] == decimal.Decimal("90")
+    assert rr["high"]["value"] == decimal.Decimal("120")
+    assert rr["text"] == "normal"
+    assert obs["valueBoolean"] is True
+
+
+def test_medication_request_nested_dosage_decodes_typed(spark, pipeline):
+    """Round-4 curated types: MedicationRequest (previously generic
+    fallback) decodes doubly-nested dosageInstruction[].doseAndRate[]
+    .doseQuantity; DiagnosticReport and Immunization get typed columns
+    too."""
+    import decimal
+
+    rows = [
+        {
+            "value": put_bundle(
+                "MedicationRequest",
+                "mr1",
+                status="active",
+                intent="order",
+                medicationCodeableConcept={"text": "lisinopril 10mg"},
+                authoredOn="2024-03-01",
+                dosageInstruction=[
+                    {
+                        "sequence": 1,
+                        "text": "once daily",
+                        "asNeededBoolean": False,
+                        "doseAndRate": [
+                            {"doseQuantity": {"value": 10, "unit": "mg"}}
+                        ],
+                    }
+                ],
+            ),
+            "offset": 0,
+        },
+        {
+            "value": put_bundle(
+                "Immunization",
+                "imm1",
+                status="completed",
+                vaccineCode={"text": "influenza"},
+                occurrenceDateTime="2024-10-01T09:00:00Z",
+                doseQuantity={"value": 0.5, "unit": "mL"},
+            ),
+            "offset": 1,
+        },
+    ]
+    pipeline.process_batch(batch(spark, rows), 1)
+    mr = pipeline.table("MedicationRequest").to_df().collect()[0]
+    assert mr["status"] == "active"
+    assert mr["medicationCodeableConcept"]["text"] == "lisinopril 10mg"
+    dq = mr["dosageInstruction"][0]["doseAndRate"][0]["doseQuantity"]
+    assert dq["value"] == decimal.Decimal("10")
+    assert dq["unit"] == "mg"
+    imm = pipeline.table("Immunization").to_df().collect()[0]
+    assert imm["vaccineCode"]["text"] == "influenza"
+    assert imm["doseQuantity"]["value"] == decimal.Decimal("0.5")
