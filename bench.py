@@ -47,6 +47,12 @@ HEADLINE = [
     # round 3: LM-statistics family
     "text_bpe_pair_counts",
     "text_trigram_lm_counts",
+    # round 4: remaining north-star families (VERDICT r3 item 6) —
+    # every extension family now has a steady-state number
+    "similarity_ivf_topk",
+    "similarity_hyperplane_lsh_topk",
+    "media_checksums",
+    "corpus_epoch_shuffle",
 ]
 
 
@@ -151,6 +157,53 @@ def bench_etl_stream(spark, sf_dir: str) -> float:
         shutil.rmtree(src_dir, ignore_errors=True)
 
 
+def bench_stream_session_window(spark, sf_dir: str) -> float:
+    """Session windows through the REAL streaming shell (VERDICT r3
+    item 8): file source -> session_window(gap=30m) state-store agg ->
+    noop sink with availableNow. The batch analog is the
+    events_sessionize headline entry (lag/cumsum plan); the delta is
+    the price of the state store + shell vs a stateless sort-based
+    plan. State per key = the open-session accumulator for that
+    (user_id, session) — at 100 TB, bounded by the watermark horizon
+    times the active-user cardinality, not by event volume."""
+    import shutil
+    import tempfile
+
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+    from fhir_to_lakehouse_spark.streaming.windows import session_counts
+
+    src_dir = tempfile.mkdtemp(prefix="bench-sess-")
+    cold = os.environ.get("BENCH_COLD") == "1"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        reps = 1 if cold else 1 + max(1, int(os.environ.get("BENCH_REPS", "3")))
+        times = []
+        for i in range(reps):
+            ck = tempfile.mkdtemp(prefix="bench-sess-ck-")
+            try:
+                stream = spark.readStream.schema(schema).parquet(src_dir)
+                t0 = time.perf_counter()
+                q = (
+                    session_counts(stream)
+                    .writeStream.outputMode("complete")
+                    .format("noop")
+                    .option("checkpointLocation", ck)
+                    .queryName(f"bench_sess_{i}")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                times.append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(ck, ignore_errors=True)
+        timed = times if cold else sorted(times[1:])
+        return timed[len(timed) // 2]
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cold = os.environ.get("BENCH_COLD") == "1"
@@ -199,6 +252,7 @@ def main() -> None:
     for name, fn in (
         ("etl_pipeline_batch", bench_etl_pipeline),
         ("etl_stream_availablenow", bench_etl_stream),
+        ("stream_session_window", bench_stream_session_window),
     ):
         if only and name not in only:
             continue
