@@ -1,0 +1,110 @@
+"""Value-level verification for the two MLlib rows-only registry
+entries (VERDICT r3 item 7): their hash buckets aren't reproducible in
+DuckDB SQL, so the driver's oracle records `no_oracle` forever. These
+tests supply the missing value assertions — recomputing the math the
+queries compose (Jaccard distance, the MLlib IDF formula, max-weight
+extraction) from the hashed feature sets, independently of the MLlib
+estimators under test.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _bucket_sets(spark, sf_dir):
+    """doc_id -> set of HashingTF bucket indices (binary=True), via the
+    same helper the queries use. HashingTF itself is a library
+    primitive we trust; what we verify is everything composed on top."""
+    from fhir_to_lakehouse_spark.plans.mllib_ops import _token_vectors
+
+    rows = _token_vectors(spark, sf_dir).select("doc_id", "features").collect()
+    return {r["doc_id"]: set(r["features"].indices.tolist()) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def buckets(spark, sf_dir):
+    return _bucket_sets(spark, sf_dir)
+
+
+def _jaccard_dist(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return 1.0 - inter / (len(a) + len(b) - inter)
+
+
+def test_mllib_minhash_pairs_have_exact_distances_and_recall(
+    spark, sf_dir, buckets
+):
+    """Every pair dedup_mllib_minhash_lsh emits must carry the EXACT
+    Jaccard distance over the hashed token sets (approxSimilarityJoin
+    post-filters candidates by true distance), and the LSH candidate
+    stage must recover the large majority of true pairs under the
+    threshold. Deterministic: seed=42, fixed sample."""
+    from fhir_to_lakehouse_spark.plans.mllib_ops import dedup_mllib_minhash_lsh
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_dist"]
+        for r in dedup_mllib_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert got, "sample produced no similar pairs — fixture drifted"
+
+    # the same deterministic 4% sample the query takes, minus empties
+    sample = {
+        d: s for d, s in buckets.items() if d % 25 == 0 and s
+    }
+    # 1) soundness: every emitted pair is a true pair, with the true distance
+    for (a, b), dist in got.items():
+        assert a < b
+        assert a in sample and b in sample
+        true = _jaccard_dist(sample[a], sample[b])
+        assert dist == pytest.approx(true, abs=1e-6)
+        assert true <= 0.3 + 1e-9
+
+    # 2) recall: of all true pairs at distance <= 0.3, the 4-table LSH
+    # must find >= 90% (measured 100% at seed 42; the floor leaves room
+    # for legitimate LSH misses, not for logic regressions)
+    ids = sorted(sample)
+    true_pairs = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _jaccard_dist(sample[a], sample[b]) <= 0.3
+    }
+    assert true_pairs, "no true pairs under threshold — fixture drifted"
+    recall = len(true_pairs & set(got)) / len(true_pairs)
+    assert recall >= 0.9
+
+
+def test_mllib_tfidf_max_weight_matches_idf_formula(spark, sf_dir, buckets):
+    """text_mllib_tfidf's max_tfidf_weight recomputed from first
+    principles: binary TF means weight(bucket) = IDF(bucket) =
+    ln((m+1)/(df+1)) (the documented MLlib smoothing), so the max
+    weight per doc is the max IDF over its buckets. Verifies the IDF
+    fit, the transform, and the vector_to_array/array_max extraction."""
+    from fhir_to_lakehouse_spark.plans.mllib_ops import text_mllib_tfidf
+
+    got = {
+        r["doc_id"]: r["max_tfidf_weight"]
+        for r in text_mllib_tfidf(spark, sf_dir).collect()
+    }
+    assert len(got) == len(buckets)
+
+    m = len(buckets)
+    df_counts: dict[int, int] = {}
+    for s in buckets.values():
+        for b in s:
+            df_counts[b] = df_counts.get(b, 0) + 1
+    for doc_id, s in buckets.items():
+        want = max(
+            (math.log((m + 1) / (df_counts[b] + 1)) for b in s), default=None
+        )
+        if want is None:
+            # empty token set -> empty vector -> array_max yields null
+            assert got[doc_id] is None
+        else:
+            assert got[doc_id] == pytest.approx(want, abs=1e-6)
