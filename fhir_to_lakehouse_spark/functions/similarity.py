@@ -90,23 +90,55 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast centroids).
-    Output: (vec_id, cell, embedding). At write time ``cell`` becomes
-    the partition column so probes prune partitions."""
-    from pyspark.sql import Window
+    """Assign each vector to its nearest centroid. Output:
+    (vec_id, cell, embedding). At write time ``cell`` becomes the
+    partition column so probes prune partitions.
 
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    cen = centroids.select(
-        F.col("cell"), as_double(F.col(vec_col)).alias("cen_v")
+    Shuffle-free by construction: the coarse-centroid set is small and
+    bounded by design (IVF k ≈ sqrt(N) cells at most, typically
+    hundreds), so it is collected driver-side — same bounded-collect
+    class as the Q=5 query vectors in plans/similarity.py — and baked
+    into ONE projection as unit-normalized literal vectors. Nearest
+    cell = array_max over (score, -cell) structs: max score wins, ties
+    break to the LOWEST cell (matching the former window's
+    `sim DESC, cell ASC`). Ordering by dot(v, cv/||cv||) equals
+    cosine ordering because the row's own norm is a positive constant
+    across candidates. The previous implementation shuffled
+    K×|corpus| rows (each carrying the full vector) through a
+    Window.partitionBy(id) — a per-row argmax does not need a
+    shuffle, and at 100 TB that shuffle IS the job."""
+    import math
+
+    cen = []
+    for r in centroids.select(
+        "cell", as_double(F.col(vec_col)).alias("cv")
+    ).collect():
+        cv = [float(x) for x in r["cv"]]
+        n = math.sqrt(sum(x * x for x in cv))
+        cen.append(
+            (int(r["cell"]), [x / n for x in cv] if n > 1e-12 else cv)
+        )
+    cen.sort()
+    # materialize the double-cast vector ONCE — inlining it into K
+    # score expressions would cast K times (functions/dedup.py note)
+    tmp = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     )
-    scored = c.join(F.broadcast(cen)).withColumn(
-        "sim", cosine(F.col("v"), F.col("cen_v"))
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    dot(F.col("__v"), F.lit(cv)).alias("score"),
+                    F.lit(-cell).cast("long").alias("neg_cell"),
+                )
+                for cell, cv in cen
+            ]
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), "cell", F.col("v").alias(vec_col))
+    return tmp.select(
+        F.col(id_col),
+        (-best["neg_cell"]).alias("cell"),
+        F.col("__v").alias(vec_col),
     )
 
 
