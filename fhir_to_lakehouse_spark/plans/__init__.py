@@ -30,6 +30,9 @@ from fhir_to_lakehouse_spark.plans import scd  # noqa: F401
 from fhir_to_lakehouse_spark.plans import layout  # noqa: F401
 from fhir_to_lakehouse_spark.plans import curation  # noqa: F401
 from fhir_to_lakehouse_spark.plans import scrub  # noqa: F401
+from fhir_to_lakehouse_spark.plans import retrieval  # noqa: F401
+from fhir_to_lakehouse_spark.plans import quality_checks  # noqa: F401
+from fhir_to_lakehouse_spark.plans import graph_rank  # noqa: F401
 
 def _interleave_families() -> None:
     """Reorder the registry round-robin across operator families.

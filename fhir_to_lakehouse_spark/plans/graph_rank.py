@@ -1,0 +1,161 @@
+"""PageRank over a derived trade graph — iterative graph analytics as
+repeated join + aggregate, the canonical Spark pattern for fixed-point
+algorithms (same family as functions/graph.py's label propagation).
+
+Nodes are nations; a weighted edge customer-nation -> supplier-nation
+exists per lineitem whose order's customer sits in the source nation
+and whose supplier sits in the target nation. The expensive,
+genuinely-distributed part is the EDGE DERIVATION (a q7-shaped 4-way
+join over lineitem); the rank iteration itself runs over a |V|^2-bounded
+edge list. No reference analog; extends SURVEY §2.10 (north-star
+iterative algorithms).
+
+Fixed iteration count (3) keeps the computation SQL-expressible: the
+DuckDB oracle unrolls the same three iterations as CTEs, so this is a
+full value-checked oracle rather than a rows-only entry — rare for an
+iterative algorithm.
+
+Scale design (100 TB): the lineitem joins are the only big shuffles
+(orders co-partitioned on orderkey; dimension sides broadcast). The
+rank vector is |V| rows; each iteration is one broadcast join against
+the edge list plus one groupBy(dst). For web-scale graphs (|V| in the
+billions) the same loop holds with the rank vector shuffle-joined
+instead of broadcast and labels checkpointed every few iterations —
+documented at functions/graph.py:14-18.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+_D = 0.85
+_ITERS = 3
+
+
+def _iteration_ctes(n_iters: int) -> str:
+    """Unrolled PageRank iterations as DuckDB CTE text (r0 given)."""
+    parts = []
+    for i in range(1, n_iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"""
+    contrib{i} AS (
+        SELECT e.dst AS node, SUM({prev}.r * e.w / outw.ow) AS c
+        FROM e JOIN {prev} ON e.src = {prev}.node
+        JOIN outw ON e.src = outw.src
+        GROUP BY e.dst
+    ),
+    dang{i} AS (
+        SELECT COALESCE(SUM({prev}.r), 0) AS dm
+        FROM {prev} LEFT JOIN outw ON {prev}.node = outw.src
+        WHERE outw.src IS NULL
+    ),
+    r{i} AS (
+        SELECT v.node,
+               {1 - _D} / (SELECT n FROM nv)
+                 + {_D} * (COALESCE(c.c, 0)
+                           + (SELECT dm FROM dang{i}) / (SELECT n FROM nv)) AS r
+        FROM v LEFT JOIN contrib{i} c ON v.node = c.node
+    )"""
+        )
+    return ",".join(parts)
+
+
+_ORACLE = f"""
+    WITH e AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY cn.n_name, sn.n_name
+    ),
+    v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nv AS (SELECT COUNT(*) AS n FROM v),
+    outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nv) AS r FROM v),
+    {_iteration_ctes(_ITERS)}
+    SELECT node, ROUND(r, 6) AS pagerank FROM r{_ITERS}
+"""
+
+
+@query("graph_pagerank_trade", oracle=_ORACLE)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 iterations, dangling mass
+    redistributed uniformly) over the nation-level trade graph.
+
+    Each iteration is expressed as DataFrame joins so Catalyst sees the
+    whole unrolled plan: contributions = edges x ranks x out-weights ->
+    groupBy(dst) sum; next ranks = vertices left-join contributions
+    plus the dangling-node mass (a 1-row broadcast). The rank relation
+    stays tiny here and broadcasts; the heavy lifting — deriving the
+    weighted edge list from 6 tables — shuffles once on orderkey and
+    broadcasts every dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+    vertices = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    nv = vertices.agg(F.count("*").alias("n"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+
+    ranks = vertices.crossJoin(F.broadcast(nv)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(outw), "src")
+            .groupBy(edges.dst.alias("node"))
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("c"))
+        )
+        dang = (
+            ranks.join(F.broadcast(outw), ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            vertices.join(F.broadcast(contrib), "node", "left")
+            .crossJoin(F.broadcast(nv))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(1 - _D) / F.col("n")
+                    + _D * (F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.col("dm") / F.col("n"))
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round("r", 6).alias("pagerank"))

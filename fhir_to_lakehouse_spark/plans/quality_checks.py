@@ -1,0 +1,209 @@
+"""Data-quality validation queries: Deequ-style constraint suites,
+statistical outlier detection, and per-dimension feature statistics.
+
+Production pipelines gate every ingest batch on declarative quality
+constraints (completeness, uniqueness, domain membership, bounds) and
+profile features before training. No reference analog (the reference
+validates only JSON parseability, src/bundle_processor.py:60-74); these
+extend SURVEY §2.10 per the north star.
+
+Scale design (100 TB): the constraint suite is ONE full-scan aggregate
+producing a single row that is then unpivoted driver-free into
+(check, metric, passed) rows — adding a constraint adds an expression,
+not a scan. Outlier detection computes exact per-group moments from
+decimal sums (map-side combinable, two aggregates over one shuffle key)
+rather than window functions, so no per-group sort and no skew from a
+hot status value. Feature stats explode the embedding column once and
+hash-aggregate on the (dense, bounded) dimension index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+
+@query(
+    "quality_constraint_checks",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               COUNT(o_custkey) AS custkey_nonnull,
+               COUNT(DISTINCT o_orderkey) AS orderkey_distinct,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price,
+               SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS status_ok
+        FROM orders
+    )
+    SELECT 'completeness_custkey' AS check_name,
+           ROUND(custkey_nonnull / CAST(n AS DOUBLE), 6) AS metric,
+           custkey_nonnull = n AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness_orderkey',
+           ROUND(orderkey_distinct / CAST(n AS DOUBLE), 6),
+           orderkey_distinct = n FROM m
+    UNION ALL
+    SELECT 'min_totalprice_positive',
+           ROUND(min_price, 6),
+           min_price > 0 FROM m
+    UNION ALL
+    SELECT 'max_totalprice_bounded',
+           ROUND(max_price, 6),
+           max_price <= 1000000 FROM m
+    UNION ALL
+    SELECT 'status_domain',
+           ROUND(status_ok / CAST(n AS DOUBLE), 6),
+           status_ok = n FROM m
+    """,
+)
+def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite over ``orders`` in ONE scan.
+
+    All six metrics (row count, completeness, uniqueness, min/max
+    bounds, domain membership) come from a single aggregate row; the
+    row is unpivoted to one (check_name, metric, passed) row per
+    constraint with ``stack`` — a driver-free reshape of a 1-row
+    relation. COUNT(DISTINCT) is the only expression that widens the
+    plan (Spark expands it to a two-phase aggregate), which is exactly
+    how an exact uniqueness check must behave at scale; swap in
+    approx_count_distinct for a sketched variant when exactness is
+    not required.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.count("*").alias("n"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_orderkey").alias("orderkey_distinct"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("status_ok"),
+    )
+    checks = m.select(
+        F.expr(
+            """stack(5,
+              'completeness_custkey', round(custkey_nonnull / cast(n as double), 6),
+                  custkey_nonnull = n,
+              'uniqueness_orderkey', round(orderkey_distinct / cast(n as double), 6),
+                  orderkey_distinct = n,
+              'min_totalprice_positive', round(min_price, 6), min_price > 0,
+              'max_totalprice_bounded', round(max_price, 6), max_price <= 1000000,
+              'status_domain', round(status_ok / cast(n as double), 6),
+                  status_ok = n
+            ) as (check_name, metric, passed)"""
+        )
+    )
+    return checks
+
+
+@query(
+    "quality_outlier_zscore",
+    oracle="""
+    WITH t AS (SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+               FROM orders),
+    g AS (
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               SUM(p) AS s1,
+               SUM(CAST(p AS DECIMAL(38,4)) * p) AS s2
+        FROM t GROUP BY o_orderstatus
+    ),
+    z AS (
+        SELECT t.o_orderstatus, t.p,
+               (CAST(t.p AS DOUBLE) - CAST(g.s1 AS DOUBLE) / g.n)
+                 / sqrt(CAST(g.s2 AS DOUBLE) / g.n
+                        - (CAST(g.s1 AS DOUBLE) / g.n) * (CAST(g.s1 AS DOUBLE) / g.n))
+                 AS zs
+        FROM t JOIN g USING (o_orderstatus)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN abs(zs) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           ROUND(MAX(abs(zs)), 6) AS max_abs_z
+    FROM z GROUP BY o_orderstatus
+    """,
+)
+def quality_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status z-score outlier counts over order totals.
+
+    The group moments are EXACT: prices are 2-dp values, so summing
+    them (and their squares) as decimals is associative and engine-
+    independent — unlike stddev_samp/stddev_pop, whose double
+    accumulation order differs across engines and partitionings and
+    would flip counts for rows sitting exactly on the |z| = 2.5
+    boundary. Shape: one grouped aggregate for the moments (map-side
+    combinable), broadcast back onto the rows (a handful of status
+    groups), one more grouped aggregate for the counts. No window
+    function, so no per-group sort and a hot status value costs
+    nothing extra.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    t = orders.select("o_orderstatus", p.alias("p"))
+    g = t.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("p").alias("s1"),
+        F.sum(F.col("p").cast("decimal(38,4)") * F.col("p")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    zs = (F.col("p").cast("double") - mean) / F.sqrt(var)
+    return (
+        t.join(F.broadcast(g), "o_orderstatus")
+        .select("o_orderstatus", zs.alias("zs"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.abs("zs") > 2.5, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(F.abs("zs")), 6).alias("max_abs_z"),
+        )
+    )
+
+
+@query(
+    "feature_dim_stats",
+    oracle="""
+    SELECT dim,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_v,
+           ROUND(MIN(CAST(v AS DOUBLE)), 6) AS min_v,
+           ROUND(MAX(CAST(v AS DOUBLE)), 6) AS max_v
+    FROM (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    GROUP BY dim
+    """,
+)
+def feature_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding column —
+    the profiling pass that feeds feature normalization (and catches
+    dead or exploding dimensions) before training.
+
+    posexplode keeps the dimension index JVM-side; the aggregate keys
+    on the dense, bounded dim index so there are exactly ``d`` groups
+    regardless of corpus size — map-side combine reduces each
+    partition to d rows before the (tiny) shuffle. The mean is rounded
+    at 6 dp: float-to-double promotion is exact, and at ~0.1-magnitude
+    values the double-sum accumulation-order noise is ~1e-13, far
+    inside the rounding guard. For stddev at scale use the same exact-
+    sum trick as quality_outlier_zscore or accept sketched moments.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("dim0", "v"))
+    return (
+        exploded.select((F.col("dim0") + 1).alias("dim"), F.col("v").cast("double"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Text-retrieval queries: BM25 scoring and inverted-index construction.
+
+A training-data pipeline that feeds RAG systems needs the retrieval side
+too: score documents against a term query (BM25, the Lucene/Elasticsearch
+default ranking function) and build the inverted index (term -> postings)
+that serves those queries. No reference analog (the reference stops at
+ETL, src/bundle_processor.py); these extend SURVEY §2.10 per the north
+star. Both are pure DataFrame aggregates — no UDFs, no collect.
+
+Scale design (100 TB): both queries are explode -> two-level hash
+aggregate, so the heavy per-(doc, term) counts collapse map-side before
+any shuffle. Corpus-level scalars (N, avgdl) travel as a broadcast 1-row
+join, and per-term document frequencies are derived FROM the tf
+aggregate (no second corpus scan for them) and broadcast back. Postings
+lists stay distributed until the final per-term agg; the output cap (20
+doc ids per term) bounds driver/sink row width while df/total_tf remain
+exact over the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.functions import text as TX
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+_DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+
+# BM25 constants (Lucene defaults) and the fixed benchmark query terms.
+_K1 = 1.2
+_B = 0.75
+_QUERY_TERMS = ("merge", "window", "spark")
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, len({_DUCK_TOKS}) AS dl, {_DUCK_TOKS} AS toks
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+    e AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+    tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM e
+        WHERE term IN ('merge', 'window', 'spark')
+        GROUP BY doc_id, dl, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    s AS (
+        SELECT tf.doc_id,
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * tf.tf * ({_K1} + 1)
+                 / (tf.tf + {_K1} * (1 - {_B} + {_B} * tf.dl / stats.avgdl)) AS sc
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(sc), 6) AS bm25
+    FROM s GROUP BY doc_id
+    ORDER BY SUM(sc) DESC, doc_id LIMIT 20
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed 3-term query.
+
+    Plan shape: ONE tokenizing scan produces per-(doc, term) tf counts
+    with the doc length carried through the groupBy (dl is functionally
+    dependent on doc_id, so adding it to the key is free); per-term df
+    is derived from that tf aggregate — not from a second corpus scan —
+    and at 3 rows is broadcast back, as is the 1-row (N, avgdl) corpus
+    stats relation. The corpus-stats aggregate does re-scan the text
+    column; at 100 TB that beats materializing a tokenized copy of the
+    corpus just to count lengths. Ties at the top-k boundary break by
+    doc_id so the result set is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+
+    stats = docs.select(F.size(toks).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    joined = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        joined.select("doc_id", score.alias("sc"))
+        .groupBy("doc_id")
+        .agg(F.sum("sc").alias("raw"))
+        .orderBy(F.col("raw").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("raw", 6).alias("bm25"))
+    )
+
+
+@query(
+    "search_inverted_postings",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT term, doc_id, COUNT(*) AS c FROM e GROUP BY term, doc_id)
+    SELECT term,
+           COUNT(*)                                   AS df,
+           CAST(SUM(c) AS BIGINT)                     AS total_tf,
+           (array_agg(doc_id ORDER BY doc_id))[1:20]  AS postings_head
+    FROM tf GROUP BY term
+    """,
+)
+def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the head (first 20 doc ids) of the sorted postings
+    list.
+
+    Shape: explode -> (term, doc_id) hash aggregate (map-side
+    combinable: a document's repeats of a term collapse locally) ->
+    per-term aggregate. df and total_tf are exact over the whole
+    corpus; only the materialized postings column is capped, which is
+    what a real index build does too (postings are sharded to the sink,
+    not returned to a driver). At 100 TB the second aggregate's shuffle
+    carries one row per distinct (term, doc) — the index's own size —
+    and heavy terms spread across partitions until the final per-term
+    combine; for truly adversarial vocabulary skew the same two-level
+    salting used by agg_two_level_skew_safe applies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("total_tf"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings_head"),
+    )
