@@ -354,3 +354,95 @@ def pipeline_medication_request_decode(spark: SparkSession, sf_dir: str) -> Data
         F.col("authoredOn").alias("authored_on"),
         first_dose["value"].cast("decimal(18,2)").alias("dose_mg"),
     )
+
+
+@query(
+    "pipeline_claim_decode",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR)                    AS id,
+           'active'                                       AS status,
+           'Patient/' || CAST(o_custkey AS VARCHAR)       AS patient_ref,
+           CAST(o_totalprice AS DECIMAL(18,2))            AS total_amount,
+           2                                              AS n_items,
+           CAST(o_totalprice AS DECIMAL(18,2))            AS items_net_sum
+    FROM orders
+    """,
+)
+def pipeline_claim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 encoder coverage for the round-4 curated billing types: a
+    Claim with a doubly-nested item[].net Money array round-trips
+    through the full bundle chain (synthesize JSON -> parse -> explode
+    -> encode) and the nested decimal amounts decode back out exactly.
+
+    Item nets are split as (total - 10.00, 10.00) — pure DECIMAL
+    arithmetic on both engines, so the nested-array fold
+    (items_net_sum via a higher-order aggregate, no explode/shuffle)
+    reproduces the claim total digit-for-digit."""
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    orders = load_table(spark, sf_dir, "orders")
+    total = F.col("o_totalprice").cast("decimal(18,2)")
+    money = lambda v: F.struct(  # noqa: E731
+        v.alias("value"), F.lit("USD").alias("currency")
+    )
+    item = lambda seq, net: F.struct(  # noqa: E731
+        F.lit(seq).alias("sequence"),
+        F.struct(F.lit("claim item").alias("text")).alias("productOrService"),
+        money(net).alias("net"),
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("Claim").alias("resourceType"),
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.lit("active").alias("status"),
+            F.lit("claim").alias("use"),
+            F.struct(
+                F.concat(F.lit("Patient/"), F.col("o_custkey").cast("string")).alias(
+                    "reference"
+                )
+            ).alias("patient"),
+            F.array(
+                item(1, (total - F.lit(10.00).cast("decimal(18,2)")).cast("decimal(18,2)")),
+                item(2, F.lit(10.00).cast("decimal(18,2)")),
+            ).alias("item"),
+            money(total).alias("total"),
+        )
+    )
+    url = F.concat_ws("/", F.lit("Claim"), F.col("o_orderkey").cast("string"))
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.array(
+                F.struct(
+                    resource.alias("resource"),
+                    F.struct(F.lit("PUT").alias("method"), url.alias("url")).alias(
+                        "request"
+                    ),
+                )
+            ).alias("entry"),
+        )
+    )
+    events = orders.select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        bundle.alias("value"),
+        F.col("o_orderdate").alias("timestamp"),
+        (F.col("o_orderkey") % 4).cast("int").alias("partition"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+    claims = prepare_stream(events).filter(F.col("resource_type") == "Claim")
+    enc = encode_resources(claims, "Claim")
+    net_sum = F.expr(
+        "CAST(aggregate(item, CAST(0.00 AS DECIMAL(18,2)),"
+        " (acc, x) -> CAST(acc + x.net.value AS DECIMAL(18,2)))"
+        " AS DECIMAL(18,2))"
+    )
+    return enc.select(
+        "id",
+        "status",
+        F.col("patient.reference").alias("patient_ref"),
+        F.col("total.value").alias("total_amount"),
+        F.size("item").alias("n_items"),
+        net_sum.alias("items_net_sum"),
+    )

@@ -350,6 +350,381 @@ IMMUNIZATION_SCHEMA = T.StructType(
     ]
 )
 
+# --- round-4 widening: the rest of the resource types a Synthea
+# population (the reference's e2e corpus, tests/e2e in the reference
+# repo) actually emits. Pathling types all of R4; curating the full
+# Synthea working set means no resource in the reference's own test
+# corpus degrades to the id+JSON fallback. Shared complex types first.
+
+_PERIOD = T.StructType(
+    [T.StructField("start", T.StringType()), T.StructField("end", T.StringType())]
+)
+
+_MONEY = T.StructType(
+    [T.StructField("value", T.DecimalType(18, 2)), T.StructField("currency", T.StringType())]
+)
+
+_HUMAN_NAME = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("use", T.StringType()),
+            T.StructField("family", T.StringType()),
+            T.StructField("given", T.ArrayType(T.StringType())),
+            T.StructField("prefix", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+
+_ADDRESS = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("line", T.ArrayType(T.StringType())),
+            T.StructField("city", T.StringType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("postalCode", T.StringType()),
+            T.StructField("country", T.StringType()),
+        ]
+    )
+)
+
+_TELECOM = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("system", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("use", T.StringType()),
+        ]
+    )
+)
+
+ALLERGY_INTOLERANCE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("clinicalStatus", _CODEABLE_CONCEPT),
+        T.StructField("verificationStatus", _CODEABLE_CONCEPT),
+        T.StructField("type", T.StringType()),
+        T.StructField("category", T.ArrayType(T.StringType())),
+        T.StructField("criticality", T.StringType()),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("recordedDate", T.StringType()),
+        T.StructField(
+            "reaction",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("manifestation", T.ArrayType(_CODEABLE_CONCEPT)),
+                        T.StructField("severity", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+CARE_PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("intent", T.StringType()),
+        T.StructField("category", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("period", _PERIOD),
+        T.StructField("careTeam", T.ArrayType(_REFERENCE)),
+        T.StructField(
+            "activity",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "detail",
+                            T.StructType(
+                                [
+                                    T.StructField("code", _CODEABLE_CONCEPT),
+                                    T.StructField("status", T.StringType()),
+                                    T.StructField("location", _REFERENCE),
+                                ]
+                            ),
+                        )
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+CARE_TEAM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("period", _PERIOD),
+        T.StructField(
+            "participant",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("role", T.ArrayType(_CODEABLE_CONCEPT)),
+                        T.StructField("member", _REFERENCE),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("managingOrganization", T.ArrayType(_REFERENCE)),
+    ]
+)
+
+CLAIM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField("use", T.StringType()),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("billablePeriod", _PERIOD),
+        T.StructField("created", T.StringType()),
+        T.StructField("provider", _REFERENCE),
+        T.StructField("priority", _CODEABLE_CONCEPT),
+        T.StructField(
+            "insurance",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("sequence", T.IntegerType()),
+                        T.StructField("focal", T.BooleanType()),
+                        T.StructField("coverage", _REFERENCE),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "item",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("sequence", T.IntegerType()),
+                        T.StructField("productOrService", _CODEABLE_CONCEPT),
+                        T.StructField("encounter", T.ArrayType(_REFERENCE)),
+                        T.StructField("net", _MONEY),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("total", _MONEY),
+    ]
+)
+
+EXPLANATION_OF_BENEFIT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField("use", T.StringType()),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("billablePeriod", _PERIOD),
+        T.StructField("created", T.StringType()),
+        T.StructField("insurer", _REFERENCE),
+        T.StructField("provider", _REFERENCE),
+        T.StructField("outcome", T.StringType()),
+        T.StructField("claim", _REFERENCE),
+        T.StructField(
+            "total",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("category", _CODEABLE_CONCEPT),
+                        T.StructField("amount", _MONEY),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "payment", T.StructType([T.StructField("amount", _MONEY)])
+        ),
+    ]
+)
+
+ORGANIZATION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("type", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("name", T.StringType()),
+        T.StructField("telecom", _TELECOM),
+        T.StructField("address", _ADDRESS),
+    ]
+)
+
+PRACTITIONER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("name", _HUMAN_NAME),
+        T.StructField("gender", T.StringType()),
+        T.StructField("telecom", _TELECOM),
+        T.StructField("address", _ADDRESS),
+    ]
+)
+
+DOCUMENT_REFERENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField("category", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("date", T.StringType()),
+        T.StructField(
+            "content",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "attachment",
+                            T.StructType(
+                                [
+                                    T.StructField("contentType", T.StringType()),
+                                    T.StructField("data", T.StringType()),
+                                    T.StructField("url", T.StringType()),
+                                ]
+                            ),
+                        )
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "context",
+            T.StructType(
+                [
+                    T.StructField("encounter", T.ArrayType(_REFERENCE)),
+                    T.StructField("period", _PERIOD),
+                ]
+            ),
+        ),
+    ]
+)
+
+GOAL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("lifecycleStatus", T.StringType()),
+        T.StructField("description", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField(
+            "target",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("measure", _CODEABLE_CONCEPT),
+                        T.StructField("detailQuantity", _QUANTITY),
+                        T.StructField("dueDate", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+MEDICATION_ADMINISTRATION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("medicationCodeableConcept", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("context", _REFERENCE),
+        T.StructField("effectiveDateTime", T.StringType()),
+        T.StructField("reasonReference", T.ArrayType(_REFERENCE)),
+        T.StructField(
+            "dosage",
+            T.StructType(
+                [
+                    T.StructField("route", _CODEABLE_CONCEPT),
+                    T.StructField("dose", _QUANTITY),
+                ]
+            ),
+        ),
+    ]
+)
+
+DEVICE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("distinctIdentifier", T.StringType()),
+        T.StructField("manufactureDate", T.StringType()),
+        T.StructField("expirationDate", T.StringType()),
+        T.StructField(
+            "deviceName",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("type", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+IMAGING_STUDY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("started", T.StringType()),
+        T.StructField("numberOfSeries", T.IntegerType()),
+        T.StructField("numberOfInstances", T.IntegerType()),
+        T.StructField(
+            "series",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("uid", T.StringType()),
+                        T.StructField("number", T.IntegerType()),
+                        T.StructField(
+                            "modality",
+                            T.StructType(
+                                [
+                                    T.StructField("system", T.StringType()),
+                                    T.StructField("code", T.StringType()),
+                                ]
+                            ),
+                        ),
+                        T.StructField("numberOfInstances", T.IntegerType()),
+                        T.StructField("bodySite", _CODEABLE_CONCEPT),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+SUPPLY_DELIVERY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField(
+            "suppliedItem",
+            T.StructType(
+                [
+                    T.StructField("quantity", _QUANTITY),
+                    T.StructField("itemCodeableConcept", _CODEABLE_CONCEPT),
+                ]
+            ),
+        ),
+        T.StructField("occurrenceDateTime", T.StringType()),
+    ]
+)
+
 RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "Patient": PATIENT_SCHEMA,
     "Condition": CONDITION_SCHEMA,
@@ -359,6 +734,19 @@ RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "MedicationRequest": MEDICATION_REQUEST_SCHEMA,
     "DiagnosticReport": DIAGNOSTIC_REPORT_SCHEMA,
     "Immunization": IMMUNIZATION_SCHEMA,
+    "AllergyIntolerance": ALLERGY_INTOLERANCE_SCHEMA,
+    "CarePlan": CARE_PLAN_SCHEMA,
+    "CareTeam": CARE_TEAM_SCHEMA,
+    "Claim": CLAIM_SCHEMA,
+    "ExplanationOfBenefit": EXPLANATION_OF_BENEFIT_SCHEMA,
+    "Organization": ORGANIZATION_SCHEMA,
+    "Practitioner": PRACTITIONER_SCHEMA,
+    "DocumentReference": DOCUMENT_REFERENCE_SCHEMA,
+    "Goal": GOAL_SCHEMA,
+    "MedicationAdministration": MEDICATION_ADMINISTRATION_SCHEMA,
+    "Device": DEVICE_SCHEMA,
+    "ImagingStudy": IMAGING_STUDY_SCHEMA,
+    "SupplyDelivery": SUPPLY_DELIVERY_SCHEMA,
 }
 
 # Fallback for resource types without a curated schema: id only (the

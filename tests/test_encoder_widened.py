@@ -1,0 +1,233 @@
+"""Round-4 encoder widening: every resource type a Synthea population
+emits gets curated typed columns (schemas.py RESOURCE_SCHEMAS), so no
+resource in the reference's own e2e corpus degrades to the id+JSON
+generic fallback. One representative nested-field assertion per type;
+the lossless resource_json column is asserted to survive alongside."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+from fhir_to_lakehouse_spark.schemas import RESOURCE_SCHEMAS
+
+# (resource_type, resource_dict, probe(row) -> asserted-true)
+CASES = [
+    (
+        "AllergyIntolerance",
+        {
+            "id": "a1",
+            "criticality": "high",
+            "category": ["food"],
+            "code": {"text": "peanut"},
+            "patient": {"reference": "Patient/1"},
+            "reaction": [
+                {"manifestation": [{"text": "hives"}], "severity": "moderate"}
+            ],
+        },
+        lambda r: r.reaction[0].manifestation[0].text == "hives"
+        and r.criticality == "high"
+        and r.category == ["food"],
+    ),
+    (
+        "CarePlan",
+        {
+            "id": "cp1",
+            "status": "active",
+            "intent": "order",
+            "period": {"start": "2024-01-01", "end": "2024-06-01"},
+            "activity": [{"detail": {"code": {"text": "diet"}, "status": "in-progress"}}],
+        },
+        lambda r: r.activity[0].detail.code.text == "diet"
+        and r.period.start == "2024-01-01",
+    ),
+    (
+        "CareTeam",
+        {
+            "id": "ct1",
+            "status": "active",
+            "participant": [
+                {"role": [{"text": "doctor"}], "member": {"reference": "Practitioner/9"}}
+            ],
+        },
+        lambda r: r.participant[0].member.reference == "Practitioner/9",
+    ),
+    (
+        "Claim",
+        {
+            "id": "c1",
+            "status": "active",
+            "patient": {"reference": "Patient/1"},
+            "item": [
+                {"sequence": 1, "net": {"value": 90.25, "currency": "USD"}},
+                {"sequence": 2, "net": {"value": 9.75, "currency": "USD"}},
+            ],
+            "total": {"value": 100.00, "currency": "USD"},
+        },
+        lambda r: float(r.item[0].net.value) == 90.25
+        and float(r.total.value) == 100.0,
+    ),
+    (
+        "ExplanationOfBenefit",
+        {
+            "id": "e1",
+            "status": "active",
+            "outcome": "complete",
+            "total": [
+                {"category": {"text": "submitted"}, "amount": {"value": 55.5, "currency": "USD"}}
+            ],
+            "payment": {"amount": {"value": 44.4, "currency": "USD"}},
+        },
+        lambda r: float(r.total[0].amount.value) == 55.5
+        and float(r.payment.amount.value) == 44.4,
+    ),
+    (
+        "Organization",
+        {
+            "id": "o1",
+            "active": True,
+            "name": "General Hospital",
+            "address": [{"city": "Boston", "state": "MA"}],
+        },
+        lambda r: r.name == "General Hospital" and r.address[0].city == "Boston",
+    ),
+    (
+        "Practitioner",
+        {
+            "id": "p1",
+            "name": [{"family": "Who", "given": ["Jo"], "prefix": ["Dr."]}],
+            "gender": "other",
+        },
+        lambda r: r.name[0].family == "Who" and r.name[0].prefix == ["Dr."],
+    ),
+    (
+        "DocumentReference",
+        {
+            "id": "d1",
+            "status": "current",
+            "content": [
+                {"attachment": {"contentType": "text/plain", "data": "aGk="}}
+            ],
+            "context": {"encounter": [{"reference": "Encounter/5"}]},
+        },
+        lambda r: r.content[0].attachment.contentType == "text/plain"
+        and r.context.encounter[0].reference == "Encounter/5",
+    ),
+    (
+        "Goal",
+        {
+            "id": "g1",
+            "lifecycleStatus": "active",
+            "description": {"text": "lose weight"},
+            "target": [
+                {"detailQuantity": {"value": 70.0, "unit": "kg"}, "dueDate": "2025-01-01"}
+            ],
+        },
+        lambda r: r.target[0].detailQuantity.unit == "kg"
+        and r.lifecycleStatus == "active",
+    ),
+    (
+        "MedicationAdministration",
+        {
+            "id": "m1",
+            "status": "completed",
+            "medicationCodeableConcept": {"text": "insulin"},
+            "dosage": {"dose": {"value": 10.0, "unit": "IU"}, "route": {"text": "subcut"}},
+        },
+        lambda r: r.dosage.dose.unit == "IU"
+        and r.medicationCodeableConcept.text == "insulin",
+    ),
+    (
+        "Device",
+        {
+            "id": "dev1",
+            "status": "active",
+            "distinctIdentifier": "SN-001",
+            "deviceName": [{"name": "pacemaker", "type": "user-friendly-name"}],
+        },
+        lambda r: r.deviceName[0].name == "pacemaker"
+        and r.distinctIdentifier == "SN-001",
+    ),
+    (
+        "ImagingStudy",
+        {
+            "id": "i1",
+            "status": "available",
+            "numberOfSeries": 2,
+            "series": [
+                {
+                    "uid": "1.2.3",
+                    "number": 1,
+                    "modality": {"system": "DICOM", "code": "CT"},
+                    "numberOfInstances": 40,
+                    "bodySite": {"text": "chest"},
+                }
+            ],
+        },
+        lambda r: r.series[0].modality.code == "CT"
+        and r.series[0].numberOfInstances == 40,
+    ),
+    (
+        "SupplyDelivery",
+        {
+            "id": "s1",
+            "status": "completed",
+            "suppliedItem": {
+                "quantity": {"value": 3.0},
+                "itemCodeableConcept": {"text": "gauze"},
+            },
+        },
+        lambda r: r.suppliedItem.itemCodeableConcept.text == "gauze",
+    ),
+]
+
+
+def test_synthea_working_set_is_fully_curated():
+    """Every resource type Synthea emits must have a curated schema —
+    additions to the generator's output should fail here first."""
+    synthea = {
+        "Patient", "Encounter", "Condition", "Observation", "Procedure",
+        "Immunization", "MedicationRequest", "DiagnosticReport",
+        "AllergyIntolerance", "CarePlan", "CareTeam", "Claim",
+        "ExplanationOfBenefit", "Organization", "Practitioner",
+        "DocumentReference", "Goal", "MedicationAdministration",
+        "Device", "ImagingStudy", "SupplyDelivery",
+    }
+    assert synthea <= set(RESOURCE_SCHEMAS)
+
+
+@pytest.mark.parametrize(
+    "rtype,resource,probe", CASES, ids=[c[0] for c in CASES]
+)
+def test_curated_type_decodes_nested_fields(spark, rtype, resource, probe):
+    resource = {"resourceType": rtype, **resource}
+    df = spark.createDataFrame(
+        [(json.dumps(resource),)], "resource string"
+    )
+    row = encode_resources(df, rtype).collect()[0]
+    assert row.id == resource["id"]
+    assert probe(row), f"{rtype} nested decode failed: {row}"
+    # lossless raw column always rides along
+    assert json.loads(row.resource_json) == resource
+
+
+@pytest.mark.parametrize(
+    "rtype,resource,probe", CASES, ids=[c[0] for c in CASES]
+)
+def test_curated_schemas_tolerate_extra_fields(spark, rtype, resource, probe):
+    """Fields outside the curated schema (FHIR extensions, meta) must
+    not break parsing — from_json in default PERMISSIVE mode ignores
+    them, and they remain queryable via resource_json."""
+    resource = {
+        "resourceType": rtype,
+        **resource,
+        "meta": {"profile": ["http://example.org/StructureDefinition/x"]},
+        "extension": [{"url": "http://example.org/ext", "valueString": "x"}],
+    }
+    df = spark.createDataFrame([(json.dumps(resource),)], "resource string")
+    row = encode_resources(df, rtype).collect()[0]
+    assert row.id == resource["id"]
+    assert probe(row)

@@ -32,6 +32,8 @@ BNLJ_ALLOWED = {
     "decontaminate_exact_substring",  # tiny eval needle set broadcast
     "similarity_incremental_index",   # broadcast centroids (non-equi argmin)
     "text_unigram_logprob_score",  # 1-row corpus-total broadcast
+    "search_bm25_topk",           # 1-row (N, avgdl) corpus-stats broadcast
+    "graph_pagerank_trade",       # 1-row |V| / dangling-mass broadcasts
 }
 
 _SKIP = {
