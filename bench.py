@@ -53,6 +53,11 @@ HEADLINE = [
     "similarity_hyperplane_lsh_topk",
     "media_checksums",
     "corpus_epoch_shuffle",
+    # round 4 continued: retrieval / data-quality / graph families
+    "search_bm25_topk",
+    "search_inverted_postings",
+    "quality_constraint_checks",
+    "graph_pagerank_trade",
 ]
 
 

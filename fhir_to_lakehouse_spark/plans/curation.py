@@ -404,3 +404,51 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
         kept_text.alias("kept_text"),
     )
+
+
+@query(
+    "sample_weighted_es",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               pow(('0x' || substr(md5('es#' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::UBIGINT / 4294967296.0,
+                   1.0 / n_chars) AS es_key
+        FROM documents
+    )
+    SELECT doc_id, n_chars, ROUND(es_key, 6) AS es_key
+    FROM t ORDER BY t.es_key DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): each document draws key = u^(1/w) with weight w = n_chars
+    and a deterministic hash-derived uniform u; the k largest keys ARE
+    a weight-proportional sample.
+
+    Like sample_bottomk_mergeable, membership depends only on each
+    row's own key, so per-partition top-k sketches merge exactly:
+    Spark executes the ORDER BY ... LIMIT as TakeOrdered (partial
+    top-k map-side, k-sized merge at the driver) — a 100-TB weighted
+    sample with no full shuffle and no RNG state (hash u is stable
+    across task retries). Keys of distinct docs are separated by far
+    more than cross-engine pow() ulp error (u spreads 50k docs over
+    ~1e-3 of key space), and ties break by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("es#"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+    )

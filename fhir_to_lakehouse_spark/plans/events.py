@@ -168,3 +168,43 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("views") > 0)
     )
+
+
+@query(
+    "events_time_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+           CAST(date_trunc('day', ts) AS TIMESTAMP)   AS day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP)  AS hour,
+           COUNT(*)                AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(CAST(date_trunc('month', ts) AS TIMESTAMP),
+                    CAST(date_trunc('day', ts) AS TIMESTAMP),
+                    CAST(date_trunc('hour', ts) AS TIMESTAMP))
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: hour, day, month
+    and grand-total aggregates of the event stream in ONE pass via
+    ROLLUP over the truncated-timestamp hierarchy (hour nests in day
+    nests in month, so the rollup lattice is exactly the continuous-
+    aggregate cascade a TimescaleDB user materializes).
+
+    Values aggregate as DECIMAL(18,2) (the data is 2-dp), so every
+    subtotal is accumulation-order exact. Spark plans ROLLUP as a
+    single Expand + hash aggregate: partial aggregation still combines
+    map-side per grouping set, and at 100 TB the 4x Expand fan-out
+    trades one extra map-side pass for never rescanning the source —
+    the same trade the reference's per-resolution jobs would pay 4
+    scans for."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return t.rollup("month", "day", "hour").agg(
+        F.count("*").alias("n_events"), F.sum("v").alias("sum_value")
+    )
