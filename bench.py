@@ -227,11 +227,23 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
 
+    # Default action is a noop-format write: it executes the FULL plan
+    # (every output column materialized) with no driver-side row
+    # transfer. count() — the pre-round-4 action, kept as
+    # BENCH_ACTION=count for historical comparison — lets Catalyst
+    # prune columns the count doesn't need: measured same-session at
+    # sf0.1, count() under-reports q1_pricing_summary 2.5x (aggregate
+    # value expressions pruned) and graph_pagerank_trade 2.0x; most
+    # other entries agree within noise. SCALING.md "Round-4 findings".
+    action = os.environ.get("BENCH_ACTION", "noop")
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
-        # count() forces full execution without driver-side row transfer
-        df.count()
+        if action == "count":
+            df.count()
+        else:
+            df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     def run_steady(name: str) -> float:
