@@ -208,3 +208,78 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.rollup("month", "day", "hour").agg(
         F.count("*").alias("n_events"), F.sum("v").alias("sum_value")
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        FROM events GROUP BY 1
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hourly),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.hour,
+               CAST(date_trunc('day', s.hour) AS TIMESTAMP) AS day,
+               hourly.n, hourly.sv
+        FROM spine s LEFT JOIN hourly ON s.hour = hourly.h
+    )
+    SELECT hour, day,
+           COALESCE(n, 0) AS n_events,
+           last_value(sv IGNORE NULLS) OVER (
+               PARTITION BY day ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value_ff
+    FROM j
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine over the observed
+    range, hours with no events filled with count 0, and the hourly
+    value sum forward-filled (last observation carried forward) within
+    each day.
+
+    Scale shape: the spine is O(time-range), not O(events) — generated
+    by exploding one sequence() row off the 1-row min/max aggregate
+    (a year is 8 760 rows; never a concern) and joined against the
+    already-aggregated hourly relation (also O(time-range), both sides
+    tiny after the single map-side-combinable aggregate over events).
+    The forward-fill window partitions by DAY, so per-partition state
+    is 24 rows and the fill parallelizes across days — the global
+    ORDER BY variant (one partition holding the whole spine) is the
+    classic mistake; carrying values across midnight needs the same
+    two-pass prefix trick as corpus_pack_token_shards and is
+    deliberately not done here."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("h"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    j = spine.join(hourly, spine.hour == hourly.h, "left")
+    w = (
+        Window.partitionBy(F.date_trunc("day", "hour"))
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "hour",
+        F.date_trunc("day", "hour").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("sv", ignorenulls=True).over(w).alias("sum_value_ff"),
+    )
