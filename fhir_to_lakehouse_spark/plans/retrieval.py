@@ -86,6 +86,12 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").isin(*_QUERY_TERMS))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+        # referenced twice (df derivation + score join); without a
+        # persist Spark recomputes the tokenizing scan for the df
+        # branch — AQE exchange reuse does NOT fire here (different
+        # grouping keys, verified in the executed plan). Cache cost is
+        # O(matching (doc, term) rows · 24 B), tiny vs the corpus.
+        .persist()
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
 
