@@ -225,3 +225,52 @@ def pagerank(
     edges_n.unpersist()
     vertices.unpersist()
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seed,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Level-synchronous BFS: (node, hops) with the MINIMUM hop count
+    from ``seed`` for every node reachable within ``max_hops``.
+
+    Semi-naive evaluation — each round joins only the current FRONTIER
+    (nodes first reached last round) against the edge list, then
+    anti-joins the visited set, so work per round is proportional to
+    newly-discovered nodes, not to everything seen so far. The edge
+    list is persisted once; frontier and visited are
+    localCheckpoint-ed per round (logical-lineage truncation — see
+    :func:`pagerank` for the measured persist-vs-localCheckpoint
+    planning-cost cliff). Equivalent to a recursive-CTE min-hop query
+    (the DuckDB oracle for graph_reachability_bfs states it that way).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    spark = edges.sparkSession
+    edges = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).persist()
+    edges.count()
+    seed_df = spark.createDataFrame([(seed, 0)], ["node", "hops"])
+    visited = seed_df.localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier), edges["_src"] == frontier["node"]
+            )
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(h).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges.unpersist()
+    return visited

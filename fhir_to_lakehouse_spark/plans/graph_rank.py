@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fhir_to_lakehouse_spark.functions.graph import pagerank
+from fhir_to_lakehouse_spark.functions.graph import bfs_hops, pagerank
 from fhir_to_lakehouse_spark.plans.registry import query
 from fhir_to_lakehouse_spark.sources.tables import load_table
 
@@ -130,3 +130,53 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranks is the operator's persisted final vector; the driver only
     # collects `out` once, so hand ownership to this plan's consumer.
     return out
+
+
+@query(
+    "graph_reachability_bfs",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey <> b.l_suppkey
+    ),
+    r(node, hops) AS (
+        SELECT CAST(1 AS BIGINT), 0
+        UNION
+        SELECT e.dst, r.hops + 1
+        FROM r JOIN edges e ON e.src = r.node
+        WHERE r.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops FROM r GROUP BY node
+    """,
+)
+def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop reachability from supplier 1 over the supplier
+    co-occurrence graph (two suppliers are adjacent when they ship
+    lineitems of the same order), capped at 3 hops.
+
+    Spark has no recursive CTE; the semi-naive BFS loop in
+    functions/graph.py::bfs_hops computes the identical min-hop
+    relation (the oracle IS the recursive CTE, so the equivalence is
+    value-checked, not asserted). The expensive distributed step is the
+    edge derivation — a lineitem self-join co-partitioned on
+    l_orderkey (one shuffle; per-order groups are small so the
+    within-group pair fan-out is bounded) followed by a distinct on
+    the pair."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    reach = bfs_hops(edges, seed=1, max_hops=3)
+    return reach.select("node", F.col("hops").cast("int").alias("hops"))

@@ -101,3 +101,27 @@ def test_pagerank_rejects_zero_iterations(spark):
 
     with _pytest.raises(ValueError):
         pagerank(edges, iterations=0)
+
+
+def test_bfs_hops_chain_cycle_and_cap(spark):
+    from fhir_to_lakehouse_spark.functions.graph import bfs_hops
+
+    # chain with a back-edge (cycle): A->B->C->D, D->A
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("D", "A")], "src string, dst string"
+    )
+    got = {r.node: r.hops for r in bfs_hops(edges, seed="A", max_hops=2).collect()}
+    assert got == {"A": 0, "B": 1, "C": 2}  # D beyond cap; cycle no infinite loop
+    full = {r.node: r.hops for r in bfs_hops(edges, seed="A", max_hops=10).collect()}
+    assert full == {"A": 0, "B": 1, "C": 2, "D": 3}  # early exit at frontier drain
+
+
+def test_bfs_hops_min_hop_wins_on_diamond(spark):
+    from fhir_to_lakehouse_spark.functions.graph import bfs_hops
+
+    # two paths to D: A->D (1 hop) and A->B->C->D (3 hops) -> min is 1
+    edges = spark.createDataFrame(
+        [("A", "D"), ("A", "B"), ("B", "C"), ("C", "D")], "src string, dst string"
+    )
+    got = {r.node: r.hops for r in bfs_hops(edges, seed="A", max_hops=3).collect()}
+    assert got["D"] == 1
