@@ -283,3 +283,51 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.last("sv", ignorenulls=True).over(w).alias("sum_value_ff"),
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events
+        GROUP BY user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    )
+    SELECT path, COUNT(*) AS n
+    FROM p GROUP BY path
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis (sequence mining lite): the 20 most common ordered
+    event-type journeys, one journey per (user, day).
+
+    Spark has no ordered string_agg; the deterministic equivalent is
+    collect_list of (ts, event_id, event_type) structs -> sort_array
+    (lexicographic struct order == the oracle's ORDER BY ts, event_id)
+    -> transform + array_join, all inside one hash aggregate. Shape:
+    one shuffle keyed (user_id, day) whose per-group state is that
+    day's events for one user (bounded by user activity, not corpus
+    size), then a path-keyed count whose map-side combine collapses
+    popular journeys before the second, tiny shuffle; top-k runs as
+    TakeOrdered with the path itself as tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    per_user_day = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(path.alias("path"))
+    return (
+        per_user_day.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
