@@ -63,3 +63,27 @@ def test_no_cartesian_or_rogue_nested_loop(spark, sf_dir, name):
         assert name in BNLJ_ALLOWED, (
             f"{name} plans BroadcastNestedLoopJoin but is not whitelisted"
         )
+
+
+def test_bm25_tokenizes_corpus_once(spark, sf_dir):
+    """The df branch must read the persisted tf relation, not re-derive
+    it: regression net for the round-4 fix (AQE exchange reuse does not
+    fire across different grouping keys, so without the persist the
+    corpus is tokenized twice)."""
+    df = QUERIES["search_bm25_topk"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "bm25 tf cache not used"
+
+
+def test_iterative_queries_return_flat_plans(spark, sf_dir):
+    """pagerank/BFS results must be lineage-truncated: a logical plan
+    that still embeds the iteration DAG re-executes subplans O(3^iters)
+    times (round-4 finding, SCALING.md)."""
+    for name in ("graph_pagerank_trade", "graph_reachability_bfs"):
+        df = QUERIES[name](spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in logical, f"{name} returned un-truncated lineage"
+        assert "LogicalRDD" in logical or "Scan ExistingRDD" in logical, (
+            f"{name} not backed by a checkpointed RDD"
+        )
