@@ -310,3 +310,34 @@ def ratio_to_parent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(w_all).cast("double"), 6
         ).alias("share_of_total"),
     )
+
+
+@query(
+    "agg_correlation_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                                         AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6)      AS corr_qty_price,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_samp_qp,
+           ROUND(var_samp(l_quantity), 6)                   AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.10 statistical aggregates: Pearson correlation,
+    population/sample covariance, and sample variance per return flag —
+    single-pass co-moment aggregation (Spark and DuckDB both use
+    streaming co-moment updates; results agree to far below the 1e-4/
+    1e-6 rounding guards at these magnitudes). For accumulation-order-
+    exact moments on money columns see quality_outlier_zscore's
+    decimal-sum formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_samp_qp"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    )

@@ -200,3 +200,87 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
+
+
+@query(
+    "scalar_json_map_family",
+    oracle="""
+    SELECT event_id,
+           event_type                                  AS jt_type,
+           CAST(value AS VARCHAR)                      AS jt_value,
+           map_keys(MAP {'a': value, 'b': value * 2})  AS mkeys,
+           map_values(MAP {'a': value, 'b': value * 2}) AS mvals,
+           'STRUCT<a: BIGINT, b: STRING, c: ARRAY<DOUBLE>>' AS json_schema
+    FROM events
+    """,
+)
+def scalar_json_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.10 map/json rounding-out: json_tuple (multi-field JSON
+    extraction as a generator), map construction + map_keys/map_values,
+    and schema_of_json (whose output on a literal is a constant the
+    oracle pins as a golden — DuckDB has no analog, but the VALUE is
+    what the driver hashes).
+
+    json_tuple is exercised on a JSON document built from the row
+    itself (to_json of a struct), so extraction is verified against
+    the known source columns; map entry order is the construction
+    order in both engines, making keys/values arrays deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.to_json(F.struct("event_type", "value"))
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.col("value"), F.col("value") * 2),
+    )
+    return (
+        ev.select("event_id", js.alias("js"), m.alias("m"))
+        .select(
+            "event_id",
+            F.json_tuple(F.col("js"), "event_type", "value").alias(
+                "jt_type", "jt_value"
+            ),
+            F.map_keys("m").alias("mkeys"),
+            F.map_values("m").alias("mvals"),
+            F.schema_of_json(F.lit('{"a":1,"b":"x","c":[1.5]}')).alias(
+                "json_schema"
+            ),
+        )
+    )
+
+
+@query(
+    "scalar_date_convert_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE)  AS as_date,
+           CAST(datediff('month', DATE '1995-01-01',
+                         date_trunc('month', o_orderdate)) AS DOUBLE)
+                                                            AS months_since_95,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE)
+             + INTERVAL 10 DAY = CAST(strftime(o_orderdate + INTERVAL 10 DAY,
+                                               '%Y-%m-%d') AS DATE) AS add_roundtrip
+    FROM orders
+    """,
+)
+def scalar_date_convert_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.10 date rounding-out: to_date (string -> DATE
+    conversion through an explicit format round-trip) and
+    months_between. The months_between operands are truncated to month
+    starts so the fractional 31-day-rule component is exactly zero and
+    DuckDB's month-boundary datediff is the precise equivalent."""
+    orders = load_table(spark, sf_dir, "orders")
+    as_date = F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd")
+    mb = F.months_between(
+        F.date_trunc("month", "o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    return orders.select(
+        "o_orderkey",
+        as_date.alias("as_date"),
+        mb.alias("months_since_95"),
+        (
+            F.date_add(as_date, 10)
+            == F.to_date(
+                F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 10), "yyyy-MM-dd"),
+                "yyyy-MM-dd",
+            )
+        ).alias("add_roundtrip"),
+    )
