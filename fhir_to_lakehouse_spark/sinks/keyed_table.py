@@ -456,6 +456,73 @@ class KeyedTable:
         )
         return df.filter(F.col("commit_version") >= starting_version)
 
+    def as_of(self, version: int) -> DataFrame:
+        """Time-travel read: the table state as of changelog commit
+        ``version`` (inclusive) — the ``VERSION AS OF`` analog,
+        reconstructed by folding the change feed distributedly (one
+        hash aggregate: max_by commit_version per key, then drop
+        deletes). Partition pruning on commit_version bounds the read
+        to versions <= ``version``. Requires ``changelog=True``."""
+        if not self.changelog:
+            raise ValueError("as_of requires changelog=True on this table")
+        effects = (
+            self.table_changes(0)
+            .filter(F.col("commit_version") <= version)
+            .filter(F.col("_change_type") != "update_preimage")
+        )
+        data_cols = [c for c in effects.columns if c != "commit_version"]
+        latest = (
+            effects.groupBy(self.key)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in data_cols]),
+                    F.col("commit_version"),
+                ).alias("w")
+            )
+            .select("w.*")
+        )
+        return latest.filter(F.col("_change_type") != "delete").drop(
+            "_change_type"
+        )
+
+    def restore_to(self, version: int) -> None:
+        """``RESTORE TABLE ... TO VERSION`` analog: rewrite the table to
+        its :meth:`as_of` state. Like Delta's RESTORE, the restore is
+        itself a NEW commit — the diff (current vs target) is appended
+        to the change feed, so history is preserved, never rewritten,
+        and incremental consumers see the restore as ordinary changes."""
+        target = self.as_of(version).persist()
+        target.count()  # snapshot BEFORE the swap invalidates to_df()
+        current = self.to_df()
+        key = self.key
+        dels = current.join(target.select(key), key, "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        ins = target.join(current.select(key), key, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        cur_k = current.select(
+            F.col(key), F.struct(*current.columns).alias("_cur")
+        )
+        tgt_k = target.select(F.col(key).alias("_k"), F.struct(*target.columns).alias("_tgt"))
+        changed = cur_k.join(tgt_k, cur_k[key] == tgt_k["_k"]).filter(
+            F.col("_cur") != F.col("_tgt")
+        )
+        pre = changed.select("_cur.*").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = changed.select("_tgt.*").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        diff = (
+            dels.unionByName(ins, allowMissingColumns=True)
+            .unionByName(pre, allowMissingColumns=True)
+            .unionByName(post, allowMissingColumns=True)
+        )
+        self._append_changes(diff)
+        self._swap_write(target)
+        target.unpersist()
+
     def _append_changes(self, changes: DataFrame) -> None:
         """Materialize one commit's changes under a new
         commit_version=N directory. Must run BEFORE the table swap:

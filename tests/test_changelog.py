@@ -90,3 +90,54 @@ def test_changelog_off_by_default(spark, tmp_path):
     t = KeyedTable(spark, str(tmp_path / "t.parquet"), key="id")
     t.merge_upsert(_df(spark, [("a", 1)]))
     assert t.changelog_version() == -1
+
+
+def test_as_of_reconstructs_each_version(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge_upsert(_df(spark, [("a", 1), ("b", 2)]))        # v0
+    t.merge_upsert(_df(spark, [("a", 10), ("c", 3)]))       # v1
+    t.merge_delete(_df(spark, [("b", 0)]).select("id"))     # v2
+
+    def snap(v):
+        return {r["id"]: r["v"] for r in t.as_of(v).collect()}
+
+    assert snap(0) == {"a": 1, "b": 2}
+    assert snap(1) == {"a": 10, "b": 2, "c": 3}
+    assert snap(2) == {"a": 10, "c": 3}
+    assert snap(-1) == {}
+
+
+def test_restore_to_is_a_new_commit_preserving_history(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge_upsert(_df(spark, [("a", 1), ("b", 2)]))        # v0
+    t.merge_upsert(_df(spark, [("a", 10), ("c", 3)]))       # v1
+    t.merge_delete(_df(spark, [("b", 0)]).select("id"))     # v2
+    v_before = t.changelog_version()
+
+    t.restore_to(0)
+
+    # table content is the v0 state
+    assert {r["id"]: r["v"] for r in t.to_df().collect()} == {"a": 1, "b": 2}
+    # the restore appended exactly one new commit (history intact)
+    assert t.changelog_version() == v_before + 1
+    # the restore diff reads as ordinary changes: c deleted, b re-inserted,
+    # a updated 10 -> 1
+    diff = t.table_changes(v_before + 1).collect()
+    by_type = {}
+    for r in diff:
+        by_type.setdefault(r["_change_type"], set()).add((r["id"], r["v"]))
+    assert by_type["delete"] == {("c", 3)}
+    assert by_type["insert"] == {("b", 2)}
+    assert by_type["update_preimage"] == {("a", 10)}
+    assert by_type["update_postimage"] == {("a", 1)}
+    # and as_of still reproduces the pre-restore state
+    assert {r["id"]: r["v"] for r in t.as_of(2).collect()} == {"a": 10, "c": 3}
+
+
+def test_as_of_requires_changelog(spark, tmp_path):
+    t = KeyedTable(spark, str(tmp_path / "t.parquet"), key="id")
+    t.merge_upsert(_df(spark, [("a", 1)]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="changelog"):
+        t.as_of(0)
