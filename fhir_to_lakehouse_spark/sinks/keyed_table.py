@@ -345,17 +345,84 @@ class KeyedTable:
 
     # -- maintenance (reference S13/S14, lakehousekeeper parity) ---------
 
-    def optimize(self, target_files: int | None = None) -> None:
-        """Compaction: Delta OPTIMIZE, or coalesced rewrite in fallback
-        (reference /root/reference/src/bundle_processor.py:310)."""
+    def optimize(
+        self,
+        target_files: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> None:
+        """Compaction: Delta OPTIMIZE (plain or ZORDER BY), or a
+        rewrite in the parquet fallback (reference
+        /root/reference/src/bundle_processor.py:310).
+
+        With ``zorder_by``, the fallback performs the real OPTIMIZE
+        ZORDER BY layout change: numeric dimensions are normalized to
+        bucket ordinals against their observed min/max (one aggregate
+        pass -> a handful of driver scalars), interleaved into a
+        Morton key (functions/layout.py — pure Catalyst bit
+        expressions), and the table is range-partitioned + sorted by
+        that key so per-file min/max statistics tighten in ALL z-order
+        dimensions (the point of Z-ordering: multi-dimensional range
+        predicates prune files). The write preserves the z-layout
+        (presorted=True skips the default key sort)."""
         if self._delta:
             from delta.tables import DeltaTable
 
-            DeltaTable.forPath(self.spark, self.path).optimize().executeCompaction()
+            opt = DeltaTable.forPath(self.spark, self.path).optimize()
+            if zorder_by:
+                opt.executeZOrderBy(*zorder_by)
+            else:
+                opt.executeCompaction()
             return
-        if self.exists():
-            df = self.to_df().coalesce(target_files or 1)
-            self._swap_write(df)
+        if not self.exists():
+            return
+        df = self.to_df()
+        if zorder_by:
+            zkey = self._zorder_expr(df, zorder_by)
+            df = df.repartitionByRange(
+                target_files or 1, zkey
+            ).sortWithinPartitions(zkey)
+            self._swap_write(df, presorted=True)
+        else:
+            self._swap_write(df.coalesce(target_files or 1))
+
+    def _zorder_expr(self, df: DataFrame, cols: list[str]):
+        """Morton key over min/max-normalized numeric columns; string
+        columns are rejected (rank-based bucketing — what Delta does
+        via range ids — needs a sampling pass; numeric covers the
+        clustering keys this engine uses)."""
+        from fhir_to_lakehouse_spark.functions.layout import morton_key
+
+        numeric = {"int", "bigint", "smallint", "tinyint", "double", "float",
+                   "date", "timestamp", "timestamp_ntz"}
+        for c in cols:
+            base = dict(df.dtypes)[c].split("(")[0]
+            if base not in numeric and not base.startswith("decimal"):
+                raise ValueError(
+                    f"zorder_by column {c!r} has non-numeric type "
+                    f"{dict(df.dtypes)[c]!r}; only numeric/temporal "
+                    "dimensions are supported in the parquet fallback"
+                )
+        bits = min(16, 62 // max(len(cols), 1))
+        aggs = []
+        for i, c in enumerate(cols):
+            cd = F.col(c).cast("double")
+            aggs += [F.min(cd).alias(f"mn{i}"), F.max(cd).alias(f"mx{i}")]
+        row = df.agg(*aggs).collect()[0]
+        ordinals = []
+        for i, c in enumerate(cols):
+            mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+            span = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+            ordinals.append(
+                F.least(
+                    F.lit(2**bits - 1),
+                    F.floor(
+                        (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
+                        / F.lit(span)
+                        * F.lit(2**bits - 1)
+                    ),
+                ).cast("long")
+            )
+        return morton_key(ordinals, bits)
 
     # Delta's default deletedFileRetentionDuration: 1 week
     RETENTION_FLOOR_HOURS = 168.0
@@ -534,7 +601,7 @@ class KeyedTable:
 
     # -- internals -------------------------------------------------------
 
-    def _swap_write(self, df: DataFrame) -> None:
+    def _swap_write(self, df: DataFrame, presorted: bool = False) -> None:
         """Copy-on-write directory swap. Readers see the old or the new
         table, never a partial write. The swap itself is two renames,
         so a crash between them can leave ``path`` momentarily absent —
@@ -542,7 +609,7 @@ class KeyedTable:
         the pre-swap directory in that window, so no committed rows are
         ever lost."""
         suffix = f".tmp-{uuid.uuid4().hex[:8]}"
-        if self.sort_on_write and self.key in df.columns:
+        if not presorted and self.sort_on_write and self.key in df.columns:
             df = df.sortWithinPartitions(self.key)
         # Spark writes via the URI form; the renames below are plain
         # filesystem moves on the local equivalent

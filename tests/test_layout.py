@@ -110,3 +110,48 @@ def test_zorder_write_skips_files_on_nonleading_dimension(spark, sf_dir, tmp_pat
     assert lin_touched == lin_total
     # Z-order: a 1/8th by-slice overlaps only a fraction of the files
     assert z_touched <= z_total // 2, (z_touched, z_total)
+
+
+def test_optimize_zorder_by_clusters_files_in_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER BY in the parquet fallback: the rewritten table
+    holds identical data, the requested file count, and the files are
+    range-disjoint in MORTON KEY space — so per-file min/max stats
+    tighten in both z-order dimensions at once."""
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "t.parquet"), key="id")
+    rows = [(f"k{i}", i % 37, (i * 7) % 53) for i in range(500)]
+    df = spark.createDataFrame(rows, "id string, a long, b long")
+    t.merge_upsert(df)
+
+    t.optimize(target_files=4, zorder_by=["a", "b"])
+
+    out = t.to_df()
+    assert {(r.id, r.a, r.b) for r in out.collect()} == set(rows)
+    files = out.select(F.input_file_name().alias("f")).distinct().collect()
+    assert len(files) == 4
+    # recompute the z-key per row and check per-file ranges are disjoint
+    zkey = t._zorder_expr(t.to_df(), ["a", "b"])
+    per_file = (
+        t.to_df()
+        .select(F.input_file_name().alias("f"), zkey.alias("z"))
+        .groupBy("f")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file z-ranges overlap: {spans}"
+
+
+def test_optimize_zorder_rejects_string_dims(spark, tmp_path):
+    import pytest as _pytest
+
+    from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "t.parquet"), key="id")
+    t.merge_upsert(spark.createDataFrame([("a", 1)], "id string, a long"))
+    with _pytest.raises(ValueError, match="non-numeric"):
+        t.optimize(zorder_by=["id"])
