@@ -127,13 +127,32 @@ def vacuum_all(
     return done
 
 
-def optimize_all(spark: SparkSession, warehouse_dir: str) -> list[str]:
-    """OPTIMIZE (compaction) every table (reference :238-240)."""
+def optimize_all(
+    spark: SparkSession,
+    warehouse_dir: str,
+    zorder_by: list[str] | None = None,
+) -> list[str]:
+    """OPTIMIZE (compaction) every table (reference :238-240);
+    ``zorder_by`` adds the OPTIMIZE ZORDER BY layout change (tables
+    missing any requested column fall back to plain compaction)."""
     done = []
     for path in discover_tables(warehouse_dir, spark):
-        KeyedTable(spark, path).optimize()
+        t = KeyedTable(spark, path)
+        cols = set(t.to_df().columns) if zorder_by else set()
+        if zorder_by and set(zorder_by) <= cols:
+            t.optimize(zorder_by=zorder_by)
+        else:
+            t.optimize()
         done.append(path)
     return done
+
+
+def restore_table(
+    spark: SparkSession, table_path: str, version: int
+) -> None:
+    """RESTORE one table to a changelog version (new commit, history
+    preserved — sinks/keyed_table.py::restore_to)."""
+    KeyedTable(spark, table_path, changelog=True).restore_to(version)
 
 
 def register_all(
@@ -158,9 +177,19 @@ def register_all(
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="lakehousekeeper")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for cmd in ("vacuum", "optimize", "register"):
+    for cmd in ("vacuum", "optimize", "register", "restore"):
         p = sub.add_parser(cmd)
-        p.add_argument("--warehouse", required=True)
+        if cmd == "restore":
+            p.add_argument("--table", required=True)
+            p.add_argument("--version", type=int, required=True)
+        else:
+            p.add_argument("--warehouse", required=True)
+        if cmd == "optimize":
+            p.add_argument(
+                "--zorder-by",
+                default=None,
+                help="comma-separated numeric columns to Z-order by",
+            )
         if cmd == "vacuum":
             # reference CLI defaults (lakehousekeeper.py:106-133):
             # retention None -> 1-week default, DRY-RUN by default
@@ -200,7 +229,15 @@ def main(argv: list[str] | None = None) -> int:
             args.enforce_retention_duration,
         )
     elif args.cmd == "optimize":
-        out = optimize_all(spark, args.warehouse)
+        zcols = (
+            [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+            if args.zorder_by
+            else None
+        )
+        out = optimize_all(spark, args.warehouse, zorder_by=zcols)
+    elif args.cmd == "restore":
+        restore_table(spark, args.table, args.version)
+        out = [f"{args.table} restored to v{args.version}"]
     else:
         out = register_all(spark, args.warehouse, args.schema)
     for line in out:

@@ -236,3 +236,23 @@ def test_register_cli_passes_metastore_uri(spark, tmp_path, monkeypatch):
     # without the flag, no hive conf is injected
     M.main(["register", "--warehouse", str(tmp_path)])
     assert seen["extra"] is None
+
+
+def test_cli_restore_and_zorder_optimize(spark, tmp_path, monkeypatch):
+    """The restore and optimize --zorder-by CLI paths end to end."""
+    import fhir_to_lakehouse_spark.maintenance as m
+    from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
+
+    monkeypatch.setattr(m, "get_spark", lambda *a, **k: spark)
+    path = str(tmp_path / "t.parquet")
+    t = KeyedTable(spark, path, key="id", changelog=True)
+    t.merge_upsert(spark.createDataFrame([("a", 1), ("b", 2)], "id string, v long"))
+    t.merge_upsert(spark.createDataFrame([("a", 9)], "id string, v long"))
+
+    assert m.main(["restore", "--table", path, "--version", "0"]) == 0
+    assert {r.id: r.v for r in t.to_df().collect()} == {"a": 1, "b": 2}
+
+    assert m.main(
+        ["optimize", "--warehouse", str(tmp_path), "--zorder-by", "v"]
+    ) == 0
+    assert {r.id: r.v for r in t.to_df().collect()} == {"a": 1, "b": 2}
