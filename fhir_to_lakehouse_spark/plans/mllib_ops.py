@@ -74,3 +74,73 @@ def text_mllib_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", F.round(max_w, 6).alias("max_tfidf_weight")
     )
+
+
+def _embedding_vectors(spark: SparkSession, sf_dir: str):
+    """embeddings.embedding (array<float>) -> MLlib dense vectors."""
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+
+
+@query("cluster_kmeans_mllib")
+def cluster_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering (the cluster-balanced-sampling / SemDeDup-cell
+    primitive at training-data scale): seeded MLlib KMeans (k=8) over
+    the embedding column, returning per-cluster sizes and centroid
+    norms. Rows-only check (Lloyd's iterations from a seeded k-means||
+    init aren't SQL-reproducible); quality is pytest-asserted
+    (tests/test_mllib_agreement.py: full coverage partition, k cluster
+    ids, within-cluster variance < global variance).
+
+    Scale shape: each Lloyd iteration is one broadcast of k centroids
+    + one map-side assignment + one partial-aggregated centroid
+    update — the same join/agg loop as functions/graph.py::pagerank,
+    run inside MLlib's optimized implementation."""
+    from pyspark.ml.clustering import KMeans
+
+    vecs = _embedding_vectors(spark, sf_dir)
+    km = KMeans(k=8, seed=42, maxIter=20, featuresCol="features")
+    model = km.fit(vecs)
+    pred = model.transform(vecs)
+    return (
+        pred.groupBy(F.col("prediction").alias("cluster_id"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("embedding_pca_mllib")
+def embedding_pca_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction (seeded-free, deterministic up to
+    component sign): project the embedding column onto its top-8
+    principal components and report per-component projected variance.
+    Rows-only check (eigendecomposition isn't SQL-reproducible);
+    pytest asserts the variance ordering, orthonormal loadings, and
+    that explained variance sums below 1.
+
+    Scale shape: PCA over d=64 is a d x d Gramian aggregated
+    distributedly (one pass, map-side combinable) + a driver-side
+    eigendecomposition of the tiny 64x64 matrix — exactly how
+    covariance-based PCA should split work at 100 TB."""
+    from pyspark.ml.feature import PCA
+
+    vecs = _embedding_vectors(spark, sf_dir)
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(vecs)
+    proj = model.transform(vecs)
+    # per-component variance of the projected coordinates: vector -> array
+    from pyspark.ml.functions import vector_to_array
+
+    arr = proj.select(vector_to_array("pc").alias("a"))
+    return (
+        arr.select(F.posexplode("a").alias("component", "v"))
+        .groupBy("component")
+        .agg(
+            F.round(F.var_samp("v"), 4).alias("projected_variance"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -108,3 +108,59 @@ def test_mllib_tfidf_max_weight_matches_idf_formula(spark, sf_dir, buckets):
             assert got[doc_id] is None
         else:
             assert got[doc_id] == pytest.approx(want, abs=1e-6)
+
+
+def test_kmeans_partitions_corpus_and_reduces_variance(spark, sf_dir):
+    """Value assertions for the rows-only cluster_kmeans_mllib entry:
+    clusters partition the corpus exactly, ids live in [0, k), and the
+    mean within-cluster squared distance is strictly below the global
+    variance (clustering beats the trivial one-cluster baseline)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.plans import QUERIES
+    from fhir_to_lakehouse_spark.plans.mllib_ops import _embedding_vectors
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    out = QUERIES["cluster_kmeans_mllib"](spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in out) == n_total
+    assert {r.cluster_id for r in out} <= set(range(8))
+
+    vecs = _embedding_vectors(spark, sf_dir)
+    model = KMeans(k=8, seed=42, maxIter=20, featuresCol="features").fit(vecs)
+    pred = model.transform(vecs)
+    X = np.array(
+        [r.features.toArray() for r in pred.select("features").collect()]
+    )
+    labels = np.array([r.prediction for r in pred.select("prediction").collect()])
+    centers = np.array(model.clusterCenters())
+    within = float(np.mean(np.sum((X - centers[labels]) ** 2, axis=1)))
+    global_var = float(np.mean(np.sum((X - X.mean(axis=0)) ** 2, axis=1)))
+    assert within < global_var
+
+
+def test_pca_variances_ordered_and_loadings_orthonormal(spark, sf_dir):
+    """Value assertions for the rows-only embedding_pca_mllib entry."""
+    import numpy as np
+    from pyspark.ml.feature import PCA
+
+    from fhir_to_lakehouse_spark.plans import QUERIES
+    from fhir_to_lakehouse_spark.plans.mllib_ops import _embedding_vectors
+
+    rows = sorted(
+        QUERIES["embedding_pca_mllib"](spark, sf_dir).collect(),
+        key=lambda r: r.component,
+    )
+    variances = [r.projected_variance for r in rows]
+    assert len(variances) == 8
+    assert all(a >= b for a, b in zip(variances, variances[1:]))
+    assert all(v > 0 for v in variances)
+
+    vecs = _embedding_vectors(spark, sf_dir)
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(vecs)
+    W = model.pc.toArray()  # d x k loading matrix
+    gram = W.T @ W
+    assert np.allclose(gram, np.eye(8), atol=1e-8)
+    assert sum(model.explainedVariance) <= 1.0 + 1e-9
