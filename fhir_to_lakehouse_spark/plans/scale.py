@@ -75,3 +75,46 @@ def agg_two_level_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").cast("double").alias("total"),
         F.sum("c").alias("n"),
     )
+
+
+@query(
+    "profile_join_key_skew",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT COUNT(*)                                   AS n_keys,
+           CAST(MAX(cnt) AS BIGINT)                   AS max_cnt,
+           ROUND(AVG(cnt), 6)                         AS avg_cnt,
+           ROUND(quantile_cont(cnt, 0.5), 6)          AS p50_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 6)         AS p99_cnt,
+           ROUND(MAX(cnt) / AVG(cnt), 6)              AS skew_ratio,
+           ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_key_share
+    FROM c
+    """,
+)
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the profiling pass that decides
+    whether a planned shuffle join needs salting or AQE skew handling
+    BEFORE it runs at 100 TB: per-key row counts reduced to key count,
+    max/avg/percentiles, the max:avg skew ratio, and the heaviest
+    key's share of all rows.
+
+    Shape: one map-side-combinable count per key, then a global
+    aggregate over one row per key (the second stage's input is the
+    key cardinality, not the table). skew_ratio near 1 = uniform;
+    a ratio of k means the hottest reducer gets k times the average
+    partition's work — the threshold this repo's salted-join guard
+    (functions/skew.py) keys off."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    cnt = F.col("cnt")
+    return c.agg(
+        F.count("*").alias("n_keys"),
+        F.max(cnt).alias("max_cnt"),
+        F.round(F.avg(cnt), 6).alias("avg_cnt"),
+        F.round(F.percentile(cnt, F.lit(0.5)), 6).alias("p50_cnt"),
+        F.round(F.percentile(cnt, F.lit(0.99)), 6).alias("p99_cnt"),
+        F.round(F.max(cnt) / F.avg(cnt), 6).alias("skew_ratio"),
+        F.round(F.max(cnt) / F.sum(cnt).cast("double"), 6).alias("top_key_share"),
+    )
