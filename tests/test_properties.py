@@ -204,3 +204,43 @@ def test_scd2_matches_model_for_any_batching(spark, records, n_batches):
             open_per_key[r["id"]] = open_per_key.get(r["id"], 0) + 1
         assert r["is_current"] == (r["valid_to"] is None)
     assert all(n == 1 for n in open_per_key.values())
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=20,
+    ),
+    max_hops=st.integers(0, 4),
+)
+def test_bfs_hops_matches_python_reference(spark, edges, max_hops):
+    """bfs_hops on arbitrary small digraphs (self-loops, cycles,
+    duplicates) equals a pure-Python level-synchronous BFS."""
+    from fhir_to_lakehouse_spark.functions.graph import bfs_hops
+
+    seed = edges[0][0]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.hops for r in bfs_hops(df, seed=seed, max_hops=max_hops).collect()}
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want = {seed: 0}
+    frontier = {seed}
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj.get(u, set())
+        nxt -= set(want)
+        for v in nxt:
+            want[v] = h
+        frontier = nxt
+        if not frontier:
+            break
+    assert got == want
