@@ -452,3 +452,70 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
     )
+
+
+@query(
+    "sample_temperature_mixing",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n) AS nn FROM counts),
+    w AS (SELECT lang, n, pow(n / (SELECT nn FROM tot), 0.7) AS q_un FROM counts),
+    z AS (SELECT SUM(q_un) AS zz FROM w),
+    rates AS (
+        SELECT lang,
+               (q_un / (SELECT zz FROM z)) * (SELECT nn FROM tot) / n AS r
+        FROM w
+    ),
+    final AS (SELECT lang, r / (SELECT MAX(r) FROM rates) AS accept FROM rates)
+    SELECT d.doc_id, d.lang, ROUND(f.accept, 6) AS accept_rate
+    FROM documents d JOIN final f USING (lang)
+    WHERE ('0x' || substr(md5('temp#' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+            ::UBIGINT / 4294967296.0 < f.accept
+    """,
+)
+def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the mBERT/XLM-R
+    multilingual sampling rule): target shares q_i proportional to
+    p_i^T with T = 0.7, which up-samples rare languages and
+    down-samples dominant ones; each document is then kept with
+    probability proportional to q_i/p_i (normalized so the most
+    up-weighted language keeps everything), decided by the same
+    deterministic hash-uniform as sample_domain_mixing.
+
+    Scale shape: per-language counts are one map-side-combinable
+    aggregate collapsing to |langs| rows; the q/p/max-normalization
+    chain runs over that tiny relation and broadcasts back onto the
+    corpus, which filters map-side in a single scan — no shuffle of
+    document rows, no RNG state across task retries."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("nn"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "nn",
+        F.pow(F.col("n") / F.col("nn"), 0.7).alias("q_un"),
+    )
+    z = w.agg(F.sum("q_un").alias("zz"))
+    rates = w.crossJoin(F.broadcast(z)).select(
+        "lang", ((F.col("q_un") / F.col("zz")) * F.col("nn") / F.col("n")).alias("r")
+    )
+    mr = rates.agg(F.max("r").alias("mr"))
+    final = rates.crossJoin(F.broadcast(mr)).select(
+        "lang", (F.col("r") / F.col("mr")).alias("accept")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp#"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(final), "lang")
+        .filter(u < F.col("accept"))
+        .select("doc_id", "lang", F.round("accept", 6).alias("accept_rate"))
+    )

@@ -221,3 +221,33 @@ def test_epoch_shuffle_is_exact_permutation(spark, sf_dir):
     }
     first = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in out.collect()}
     assert first == again
+
+
+def test_temperature_mixing_upsamples_rare_languages(spark, sf_dir):
+    """T=0.7 must give rare languages a strictly higher per-doc keep
+    rate than dominant ones, rates live in (0, 1], and the most
+    up-weighted language keeps everything (rate exactly 1)."""
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.plans import QUERIES
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    out = QUERIES["sample_temperature_mixing"](spark, sf_dir)
+    rates = {
+        r.lang: r.accept_rate
+        for r in out.select("lang", "accept_rate").distinct().collect()
+    }
+    counts = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(0 < v <= 1 for v in rates.values())
+    assert max(rates.values()) == 1.0
+    # monotone: bigger language -> smaller (or equal) keep rate
+    ordered = sorted(rates, key=lambda k: counts[k])
+    for small, big in zip(ordered, ordered[1:]):
+        if counts[small] < counts[big]:
+            assert rates[small] >= rates[big]
