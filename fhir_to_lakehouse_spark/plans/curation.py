@@ -519,3 +519,90 @@ def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("accept"))
         .select("doc_id", "lang", F.round("accept", 6).alias("accept_rate"))
     )
+
+
+_GOPHER_STOPS = "['the','and','of','to','a','in','is','it','that','for']"
+
+
+@query(
+    "quality_gopher_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS wc,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE list_sum(list_transform(toks, x -> CAST(len(x) AS DOUBLE)))
+                         / len(toks) END AS mwl,
+               len(list_filter(toks,
+                   x -> list_contains({_GOPHER_STOPS}, x))) AS n_stop,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                         / CAST(len(toks) AS DOUBLE) END AS alpha_ratio
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(wc AS BIGINT)        AS word_count,
+           ROUND(mwl, 6)             AS mean_word_len,
+           wc BETWEEN 50 AND 100000  AS ok_word_count,
+           mwl BETWEEN 3 AND 10      AS ok_mean_word_len,
+           n_stop >= 2               AS ok_stopwords,
+           alpha_ratio >= 0.8        AS ok_alpha,
+           (wc BETWEEN 50 AND 100000) AND (mwl BETWEEN 3 AND 10)
+             AND n_stop >= 2 AND alpha_ratio >= 0.8 AS passes_all
+    FROM m
+    """,
+)
+def quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-set document filter (Rae et al. 2021, the
+    standard pre-training quality gate), adapted to this corpus's
+    tokenization: word-count bounds [50, 100k], mean word length
+    [3, 10], at least 2 stop-word hits, and >= 80% alphabetic words.
+    Emits per-rule flags plus the conjunction, so downstream funnels
+    can report per-rule attrition (corpus_curation_funnel pattern).
+
+    One scan, all rules as Catalyst array expressions over a single
+    materialized token array — adding a rule adds an expression, not a
+    pass. Repetition-based Gopher signals (dup-bigram mass) live in
+    text_repetition_quality; this query is the lexical rule family."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    d = docs.select("doc_id", toks.alias("toks"))
+    wc = F.size("toks")
+    mwl = F.when(wc == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / wc
+    )
+    stops = F.array(*[F.lit(s) for s in
+                      ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]])
+    n_stop = F.size(F.filter("toks", lambda x: F.array_contains(stops, x)))
+    alpha_ratio = F.when(wc == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter("toks", lambda x: x.rlike("[a-z]"))) / wc.cast("double")
+    )
+    m = d.select(
+        "doc_id",
+        wc.alias("wc"),
+        mwl.alias("mwl"),
+        n_stop.alias("n_stop"),
+        alpha_ratio.alias("alpha_ratio"),
+    )
+    ok_wc = F.col("wc").between(50, 100000)
+    ok_mwl = F.col("mwl").between(3, 10)
+    ok_stop = F.col("n_stop") >= 2
+    ok_alpha = F.col("alpha_ratio") >= 0.8
+    return m.select(
+        "doc_id",
+        F.col("wc").alias("word_count"),
+        F.round("mwl", 6).alias("mean_word_len"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_wc & ok_mwl & ok_stop & ok_alpha).alias("passes_all"),
+    )
