@@ -606,3 +606,135 @@ def quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_alpha.alias("ok_alpha"),
         (ok_wc & ok_mwl & ok_stop & ok_alpha).alias("passes_all"),
     )
+
+
+@query(
+    "decontaminate_bloom_prefilter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {_DUCK_SHINGLES3} AS sh FROM t),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM s WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, unnest(sh) AS s FROM s WHERE doc_id % 50 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+    hits AS (SELECT train.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+             FROM train JOIN bench ON train.s = bench.s GROUP BY train.doc_id)
+    SELECT tot.doc_id,
+           tot.n_shingles,
+           hits.n_overlap,
+           ROUND(hits.n_overlap / CAST(tot.n_shingles AS DOUBLE), 6) AS overlap_frac
+    FROM tot JOIN hits USING (doc_id)
+    WHERE hits.n_overlap / CAST(tot.n_shingles AS DOUBLE) >= 0.2
+    """,
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a hash prefilter + exact verify —
+    the two-phase shape Spark's own runtime row-level filtering uses
+    (``bloom_filter_agg`` + ``might_contain``): probe a compact 8-byte
+    xxhash64 digest of the benchmark shingle set first, then remove
+    hash collisions with an exact string match, so the result is
+    EXACTLY the contaminated-document set (>= 20% shingle overlap),
+    independent of the prefilter's false-positive rate.
+
+    100 TB shape: the broadcast probe structure is 8 bytes per
+    benchmark shingle (a 10M-shingle eval suite costs 80 MB, or ~12 MB
+    as a real Bloom filter at 10 bits/key) instead of the multi-GB
+    string set — the corpus-side scan stays one pass with a broadcast
+    semi-join probe, and only the rare prefilter survivors reach the
+    exact-string verify join. Both per-doc aggregates key on doc_id
+    and are map-side combinable. Reference analog: none (the reference
+    stops at exact dedup, src/bundle_processor.py:114-128)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", TX.shingles_from_tokens(TX.tokens("text"), 3).alias("sh")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    bench_h = bench.select(F.xxhash64("s").alias("h")).distinct()
+    train = sh.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # phase 1: cheap 8-byte prefilter (broadcast hash semi-join)
+    cand = train.withColumn("h", F.xxhash64("s")).join(
+        F.broadcast(bench_h), "h", "left_semi"
+    )
+    # phase 2: exact verify — removes any hash collision survivors
+    hits = (
+        cand.join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    frac = F.col("n_overlap") / F.col("n_shingles").cast("double")
+    return (
+        tot.join(hits, "doc_id")
+        .filter(frac >= 0.2)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(frac, 6).alias("overlap_frac"),
+        )
+    )
+
+
+@query(
+    "quality_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents),
+    counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    total AS (SELECT SUM(n) AS total FROM counts),
+    score AS (
+      SELECT doc_id,
+             ROUND(AVG(-ln(counts.n / (total.total * 1.0))), 6) AS avg_neg_logprob
+      FROM tok JOIN counts USING (token), total
+      GROUP BY doc_id)
+    SELECT s.doc_id, d.lang, s.avg_neg_logprob,
+           (['head', 'middle', 'tail'])[
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_neg_logprob, s.doc_id)] AS bucket
+    FROM score s JOIN documents d USING (doc_id)
+    """,
+)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: score every document by
+    its average unigram negative log-probability (perplexity proxy),
+    then split each language into equal-size thirds — "head" = most
+    fluent, "tail" = rare-token-heavy. Downstream pipelines keep head,
+    sample middle, and drop or re-filter tail.
+
+    The NTILE runs over a per-language window on the ROUNDED score
+    (ties broken by doc_id), so bucket boundaries are identical across
+    engines despite floating-point accumulation-order differences.
+
+    100 TB shape: the scoring pass is the broadcast-vocab single scan
+    of text_unigram_logprob_score. The per-lang NTILE sort is the one
+    stage that concentrates a language into a task lineage; at corpus
+    scale swap it for the real CCNet procedure — fixed per-lang
+    perplexity cutoffs computed once on a sample (or one
+    approx_percentile pass, broadcast back) — turning bucket
+    assignment into a stateless comparison with no global sort. The
+    window form here is the exact-rank reference semantics."""
+    from fhir_to_lakehouse_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    vocab = counts.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("n") / (F.col("total") * F.lit(1.0))).alias("p")
+    )
+    score = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(-F.log("p")), 6).alias("avg_neg_logprob"))
+    )
+    w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
+    labels = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    return (
+        score.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.element_at(labels, F.ntile(3).over(w)))
+        .select("doc_id", "lang", "avg_neg_logprob", "bucket")
+    )

@@ -317,3 +317,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 8)
     )
+
+
+@query(
+    "dedup_survivor_pick",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents),
+    ranked AS (
+      SELECT fp, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fp) AS group_size
+      FROM fp)
+    SELECT fp,
+           doc_id  AS survivor_doc_id,
+           n_chars AS survivor_n_chars,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster survivorship: for every exact-duplicate group
+    (normalized-text md5 fingerprint), elect ONE canonical document by
+    a quality policy — here longest-content-wins, ties broken by the
+    smallest doc_id. This is the step after duplicate detection in a
+    real curation pipeline: the cluster's best member is kept, the
+    rest are dropped.
+
+    Shape: a single hash aggregate with ``max_by`` over a
+    lexicographically ordered struct (n_chars, -doc_id) — no window,
+    no sort, map-side combinable, hot-key safe (a fingerprint with a
+    million duplicates folds down in partial aggregation instead of
+    materializing one task's sort buffer, same rewrite as the W1
+    min_by dedup in operators/bundles.py). Shuffles only (fp, 16-byte
+    struct), never document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    best = F.max_by(
+        F.struct("doc_id", "n_chars"),
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(best.alias("best"), F.count("*").alias("group_size"))
+        .select(
+            "fp",
+            F.col("best.doc_id").alias("survivor_doc_id"),
+            F.col("best.n_chars").alias("survivor_n_chars"),
+            "group_size",
+        )
+    )

@@ -297,3 +297,35 @@ def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log("p")), 6).alias("avg_neg_logprob"),
         )
     )
+
+
+@query(
+    "text_hapax_spectrum",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKS}) AS token FROM documents),
+    counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token)
+    SELECT n AS token_freq,
+           COUNT(*) AS n_types,
+           CAST(SUM(n) AS BIGINT) AS token_mass
+    FROM counts GROUP BY n
+    """,
+)
+def text_hapax_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies spectrum (Zipf / Good-Turing
+    view): for each occurrence count f, how many vocabulary types
+    occur exactly f times and how much token mass they carry. The f=1
+    row is the hapax legomena count — the standard corpus-health
+    signal (a bloated hapax tail flags OCR noise / tokenizer damage),
+    and the spectrum is the direct input to Good-Turing smoothing.
+
+    Shape: two stacked hash aggregates, both map-side combinable; the
+    second keys on the tiny frequency domain (~hundreds of distinct
+    counts), so the final shuffle is near-zero bytes. No windows, no
+    joins — survives any corpus size the vocab aggregate survives."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy(F.col("n").alias("token_freq")).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("token_mass"),
+    )

@@ -34,6 +34,8 @@ BNLJ_ALLOWED = {
     "text_unigram_logprob_score",  # 1-row corpus-total broadcast
     "search_bm25_topk",           # 1-row (N, avgdl) corpus-stats broadcast
     "graph_pagerank_trade",       # 1-row |V| / dangling-mass broadcasts
+    "sample_temperature_mixing",  # 1-row total/Z/max-rate broadcasts over |langs| rows
+    "quality_ccnet_buckets",      # 1-row corpus-total broadcast (vocab p table)
 }
 
 _SKIP = {
