@@ -418,3 +418,91 @@ def minhash_lsh_pairs(
         .filter(F.col("est_sim") >= threshold)
         .select("id_a", "id_b", F.round("est_sim", 6).alias("est_sim"))
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    set_col: str = "sh",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (the
+    AllPairs / PPJoin candidate scheme, Bayardo et al. WWW'07): return
+    every unordered pair with Jaccard(set_a, set_b) >= threshold as
+    (doc_a < doc_b, n_common, jaccard), with NO blocking key and NO
+    all-pairs comparison.
+
+    Sets are ordered by ascending global document frequency (ties by
+    element value); each set contributes only its first
+    n - ceil(t*n) + 1 elements — its rarest — as candidate join keys.
+    The prefix lemma guarantees completeness: any pair with overlap
+    >= ceil(t/(1+t)*(na+nb)) must collide on at least one prefix
+    element, and J >= t implies that overlap. Collisions are then
+    length-filtered (min >= t*max, a necessary condition for J >= t)
+    and verified with the exact intersection, so the result is exact.
+
+    100 TB shape: the join key distribution is the *low-df tail* of
+    the element universe by construction — the frequent head elements
+    that would explode a naive element-inverted join never enter a
+    prefix, so candidate volume is sum(df_prefix^2) over rare
+    elements, inherently skew-resistant. The df ranking is a
+    map-side-combinable aggregate; ordering each set costs one
+    shuffle join keyed on element (one row per (doc, element)) plus a
+    per-doc collect; only verified-candidate pairs (rare) ever move
+    full sets. Contrast candidate_pairs_blocked, which is quadratic
+    within a block, and minhash_lsh_pairs, which is probabilistic —
+    this operator is exact with a deterministic cost bound."""
+    sets = df.select(id_col, set_col).filter(F.size(set_col) > 0)
+    elem = sets.select(id_col, F.explode(set_col).alias("e"))
+    # sets are distinct element lists, so COUNT(*) per element == df
+    dfreq = elem.groupBy("e").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        elem.join(dfreq, "e")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "e"))).alias("oe")
+        )
+        .select(id_col, F.transform("oe", lambda s: s["e"]).alias("oe"))
+    )
+    n = F.size("oe")
+    plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    pref = ordered.select(
+        F.col(id_col).alias("id"),
+        n.alias("n"),
+        F.explode(F.slice("oe", F.lit(1), plen)).alias("p"),
+    )
+    a = pref.select(
+        F.col("id").alias("doc_a"), F.col("n").alias("na"), "p"
+    )
+    b = pref.select(
+        F.col("id").alias("doc_b"), F.col("n").alias("nb"), "p"
+    )
+    cand = (
+        a.join(b, "p")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("na", "nb")
+            >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = ordered.select(F.col(id_col).alias("doc_a"), F.col("oe").alias("ea"))
+    sb = ordered.select(F.col(id_col).alias("doc_b"), F.col("oe").alias("eb"))
+    inter = F.size(F.array_intersect("ea", "eb"))
+    union = F.size("ea") + F.size("eb") - inter
+    jac = inter / union.cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            jac.alias("_j"),
+        )
+        .filter(F.col("_j") >= threshold)
+        .select(
+            "doc_a", "doc_b", "n_common", F.round("_j", 6).alias("jaccard")
+        )
+    )

@@ -376,3 +376,40 @@ def dedup_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size",
         )
     )
+
+
+@query(
+    "dedup_prefix_filter_join",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh)) AS i,
+                 len(a.sh) AS na, len(b.sh) AS nb
+          FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(i AS INT) AS n_common,
+           ROUND(i / CAST(na + nb - i AS DOUBLE), 6) AS jaccard
+    FROM p
+    WHERE i / CAST(na + nb - i AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 near-duplicate pairs over word-3-shingle
+    sets via prefix filtering (AllPairs/PPJoin) — the third candidate
+    strategy in the dedup family, alongside LSH banding
+    (probabilistic) and (lang, length)-blocking (quadratic within a
+    block). Prefix filtering is exact AND subquadratic: candidates
+    come only from collisions on each document's rarest
+    n - ceil(t*n) + 1 shingles under a global df ordering, then are
+    length-filtered and verified. The oracle is the brute-force
+    all-pairs join — tractable at sf0.01, which is exactly why the
+    Spark side must not use it. See
+    functions/dedup.py::prefix_filter_pairs for the scale analysis."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", TX.shingles_from_tokens(TX.tokens("text"), 3).alias("sh")
+    )
+    return DD.prefix_filter_pairs(
+        sh, set_col="sh", id_col="doc_id", threshold=0.5
+    )

@@ -244,3 +244,54 @@ def test_bfs_hops_matches_python_reference(spark, edges, max_hops):
         if not frontier:
             break
     assert got == want
+
+
+# --- prefix-filtered set-similarity join (AllPairs/PPJoin) -----------
+
+# docs as small integer-element sets drawn from a 20-element universe:
+# small universe forces overlaps, so near-dup pairs actually occur
+sets_strategy = st.lists(
+    st.sets(st.integers(min_value=0, max_value=19), min_size=0, max_size=12),
+    min_size=2,
+    max_size=14,
+)
+
+
+def _model_prefix_pairs(doc_sets, t):
+    """Spec: every unordered id pair with Jaccard >= t, brute force."""
+    out = set()
+    for i in range(len(doc_sets)):
+        for j in range(i + 1, len(doc_sets)):
+            a, b = doc_sets[i], doc_sets[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter / (len(a) + len(b) - inter) >= t:
+                out.add((i, j, inter))
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    doc_sets=sets_strategy,
+    t=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_prefix_filter_pairs_matches_brute_force(spark, doc_sets, t):
+    """Completeness AND precision: the prefix-filter join returns
+    exactly the brute-force Jaccard >= t pair set for arbitrary input
+    sets and thresholds (the prefix lemma's guarantee, end to end)."""
+    df = spark.createDataFrame(
+        [(i, [str(x) for x in sorted(s)]) for i, s in enumerate(doc_sets)],
+        "doc_id long, sh array<string>",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in DD.prefix_filter_pairs(
+            df, set_col="sh", id_col="doc_id", threshold=t
+        ).collect()
+    }
+    assert got == _model_prefix_pairs(doc_sets, t)
