@@ -58,6 +58,11 @@ HEADLINE = [
     "search_inverted_postings",
     "quality_constraint_checks",
     "graph_pagerank_trade",
+    # round 4 continued: curation-depth family
+    "dedup_prefix_filter_join",
+    "decontaminate_bloom_prefilter",
+    "quality_ccnet_buckets",
+    "quality_gopher_filter",
 ]
 
 

@@ -463,6 +463,12 @@ def prefix_filter_pairs(
             F.array_sort(F.collect_list(F.struct("df", "e"))).alias("oe")
         )
         .select(id_col, F.transform("oe", lambda s: s["e"]).alias("oe"))
+        # referenced three times (prefix generation + both verify
+        # sides); without a persist each reference re-runs the
+        # element explode + df join + collect shuffle chain — 3x the
+        # stages for identical bytes. Cache cost is one ordered
+        # element list per doc, the same order as the input.
+        .persist()
     )
     n = F.size("oe")
     plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")

@@ -60,7 +60,11 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans are deliberately avoided. Docs with < 2 tokens have no
     bigrams and drop out (both engines)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
+    # staged: the bigram expression references the token array three
+    # times (size guard, sequence bound, transform); tokens in their
+    # own projection are computed once (multi-use non-cheap aliases
+    # survive CollapseProject)
+    toks = F.col("_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - 1)
     bigrams = F.when(
@@ -68,7 +72,8 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
     per_bigram = (
-        docs.select("doc_id", bigrams.alias("bgs"))
+        docs.select("doc_id", TX.tokens("text").alias("_toks"))
+        .select("doc_id", bigrams.alias("bgs"))
         .select("doc_id", F.explode("bgs").alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("cnt"))
@@ -113,8 +118,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingles per doc are pre-deduped, so the left join cannot fan out
     rows. Docs with < 3 tokens have no shingles and drop out."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", TX.shingles_from_tokens(TX.tokens("text"), 3).alias("sh")
+    # staged materialization (see shingles_from_tokens docstring): the
+    # convenience single-select form embeds the regex tokenizer 4x per
+    # row; tokens in their own projection are computed once
+    sh = docs.select("doc_id", TX.tokens("text").alias("_toks")).select(
+        "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("sh")
     )
     bench = (
         sh.filter(F.col("doc_id") % 50 == 0)
@@ -644,19 +652,33 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     and are map-side combinable. Reference analog: none (the reference
     stops at exact dedup, src/bundle_processor.py:114-128)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", TX.shingles_from_tokens(TX.tokens("text"), 3).alias("sh")
+    # staged materialization (see shingles_from_tokens docstring): the
+    # convenience single-select form embeds the regex tokenizer 4x per
+    # row; tokens in their own projection are computed once
+    sh = docs.select("doc_id", TX.tokens("text").alias("_toks")).select(
+        "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("sh")
     )
     bench = (
         sh.filter(F.col("doc_id") % 50 == 0)
         .select(F.explode("sh").alias("s"))
         .distinct()
+        # the benchmark shingle set is eval-suite-sized (small by
+        # definition) and feeds BOTH broadcast probe structures; one
+        # persist stops the tokenize/shingle/distinct chain running
+        # twice
+        .persist()
     )
     bench_h = bench.select(F.xxhash64("s").alias("h")).distinct()
     train = sh.filter(F.col("doc_id") % 50 != 0).select(
         "doc_id", F.explode("sh").alias("s")
     )
-    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # the per-doc denominator comes from an AGGREGATE over the exploded
+    # frame, not from size(sh) in a projection: the final frac filter
+    # makes InferFiltersFromConstraints derive isnotnull(n_shingles),
+    # and a projection-born alias gets that filter pushed below it with
+    # the full shingle expression re-substituted (measured 3.3 s of
+    # re-tokenization at sf0.1); an aggregate is a pushdown barrier.
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # phase 1: cheap 8-byte prefilter (broadcast hash semi-join)
     cand = train.withColumn("h", F.xxhash64("s")).join(
         F.broadcast(bench_h), "h", "left_semi"
@@ -721,7 +743,10 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # vocab-sized (bounded) cache: `counts` feeds both the corpus
+    # total and the probability table — without it the corpus is
+    # tokenized once per reference (3x total with the scoring branch)
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
     total = counts.agg(F.sum("n").alias("total"))
     vocab = counts.crossJoin(F.broadcast(total)).select(
         "token", (F.col("n") / (F.col("total") * F.lit(1.0))).alias("p")

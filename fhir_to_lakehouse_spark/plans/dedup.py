@@ -407,8 +407,11 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side must not use it. See
     functions/dedup.py::prefix_filter_pairs for the scale analysis."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", TX.shingles_from_tokens(TX.tokens("text"), 3).alias("sh")
+    # staged materialization (see shingles_from_tokens docstring): the
+    # convenience single-select form embeds the regex tokenizer 4x per
+    # row; tokens in their own projection are computed once
+    sh = docs.select("doc_id", TX.tokens("text").alias("_toks")).select(
+        "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("sh")
     )
     return DD.prefix_filter_pairs(
         sh, set_col="sh", id_col="doc_id", threshold=0.5

@@ -285,7 +285,10 @@ def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # vocab-sized (bounded) cache: `counts` feeds both the corpus
+    # total and the probability table — without it the corpus is
+    # tokenized once per reference (3x total with the scoring branch)
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
     total = counts.agg(F.sum("n").alias("total"))
     p = (F.col("n") / (F.col("total") * F.lit(1.0))).alias("p")
     vocab = counts.crossJoin(F.broadcast(total)).select("token", p)

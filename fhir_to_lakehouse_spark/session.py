@@ -65,6 +65,18 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS) which the Spark
         # vectorized reader rejects; read as long and convert at load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate inserts size(arr)>0 BELOW the
+        # projection that computes the array, re-substituting the full
+        # expression: explode(shingles(text)) evaluates the tokenizer
+        # 3x per row (measured 6.8s -> 1.0s warm on the sf0.1
+        # decontamination scan; SPARK-36926 is the upstream report).
+        # This library always computes exploded arrays inline from raw
+        # text, so the rule's benefit case (pre-filtering stored array
+        # columns) never applies. SCALING.md "Round-4 findings".
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if master:
         builder = builder.master(master)

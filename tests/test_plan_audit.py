@@ -89,3 +89,40 @@ def test_iterative_queries_return_flat_plans(spark, sf_dir):
         assert "LogicalRDD" in logical or "Scan ExistingRDD" in logical, (
             f"{name} not backed by a checkpointed RDD"
         )
+
+
+def test_no_reinlined_tokenizer_in_explode_plans(spark, sf_dir):
+    """Regression net for the round-4 optimizer findings (SCALING.md
+    "two optimizer rules that re-inline expensive expressions"):
+
+    - InferFiltersFromGenerate is excluded session-wide, so an
+      explode over an inline-computed array must NOT carry a
+      size(...)>0 pre-filter that re-substitutes the tokenizer;
+    - scalar aliases constrained by downstream filters must be
+      derived through pushdown barriers (aggregate/persist), so
+      InferFiltersFromConstraints cannot re-inline them either.
+
+    The tokenizer fingerprint `split(trim(lower(` must appear at most
+    once per source-scan branch of the optimized plan."""
+    per_query_scans = {
+        "decontaminate_ngram_overlap": 2,   # bench + train branches
+        # tot + cand branches + the persisted bench subtree, whose
+        # plan TEXT prints at both of its InMemoryTableScan sites
+        # (one real evaluation)
+        "decontaminate_bloom_prefilter": 4,
+        "text_repetition_quality": 1,
+        # scoring branch + persisted vocab-counts subtree, whose plan
+        # text prints at both InMemoryTableScan sites (one real eval)
+        "text_unigram_logprob_score": 3,
+        "text_hapax_spectrum": 1,
+        "text_term_frequency": 1,
+    }
+    for name, max_evals in per_query_scans.items():
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n = plan.count("split(trim(lower(")
+        assert n <= max_evals, (
+            f"{name}: tokenizer evaluated {n}x in the optimized plan "
+            f"(expected <= {max_evals}) — an inferred filter is "
+            "re-inlining the expression"
+        )
