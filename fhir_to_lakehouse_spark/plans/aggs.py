@@ -195,17 +195,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokens("text")).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     # document frequency derives FROM tf (its key set IS the distinct
     # (doc_id, token) pairs), replacing the naive tok.distinct() +
     # countDistinct(doc_id) branch: same answer without countDistinct's
-    # expand rewrite or the extra distinct shuffle. Spark still
-    # evaluates the shared tf subtree once per join branch (verified:
-    # no ReusedExchange fires here — the branches' aggregates
-    # canonicalize differently), so at 100 TB the production form
-    # materializes tf (checkpoint/cache/table) and computes df from
-    # the materialization; for a declared single-plan query the
-    # double-scan is the honest trade.
+    # expand rewrite or the extra distinct shuffle. tf feeds both the
+    # df derivation and the score join, and ReusedExchange does NOT
+    # fire across the differently-keyed aggregates (verified), so it
+    # is persisted — the same bounded (doc, term) materialization
+    # search_bm25_topk uses; without it the corpus is tokenized twice.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     df_ = tf.groupBy("token").agg(F.count("tf").alias("df"))
     n_docs = docs.count()  # scalar; documents table is the small input
     return (

@@ -332,3 +332,58 @@ def text_hapax_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         F.sum("n").alias("token_mass"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM e GROUP BY s)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT)                       AS n_shingles,
+           CAST(COUNT(*) FILTER (df.df = 1) AS BIGINT)    AS n_unique,
+           ROUND(COUNT(*) FILTER (df.df = 1)
+                 / CAST(COUNT(*) AS DOUBLE), 6)           AS novelty_frac
+    FROM e JOIN df USING (s)
+    GROUP BY e.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word-3-shingles that appear in NO other document
+    (corpus-wide document frequency 1). Low novelty = boilerplate /
+    template text repeated across the corpus (drop or downweight);
+    and the inverse signal bounds verbatim-memorization risk when the
+    corpus feeds model training.
+
+    100 TB shape: one tokenizing scan feeds a (shingle -> df) hash
+    aggregate — map-side combinable, shuffle key is the shingle
+    fingerprint (uniform) — and the per-doc rollup joins the exploded
+    frame with the df table on the same shingle partitioning before
+    re-keying on doc_id. No broadcast of the (corpus-sized) shingle
+    vocabulary, no windows; both aggregates survive any corpus the
+    vocabulary aggregate survives. At scale the df table would be
+    frequency-floored like the unigram table (SCALING.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", TX.tokens("text").alias("_toks")).select(
+        "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("sh")
+    )
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum((F.col("df") == 1).cast("long"))
+    return (
+        e.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.alias("n_unique"),
+            F.round(uniq / F.count(F.lit(1)).cast("double"), 6).alias(
+                "novelty_frac"
+            ),
+        )
+    )
