@@ -272,3 +272,73 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+_HARDNEG_ORACLE = f"""
+    WITH c AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS query_label, v AS qv
+      FROM c WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, q.query_label, c.vec_id,
+             c.label AS neg_label,
+             ROUND({{cos}}, 6) AS cos_sim
+      FROM c JOIN q
+        ON q.query_id <> c.vec_id AND q.query_label <> c.label
+    )
+    SELECT query_id, query_label, vec_id, neg_label, cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_K}
+""".format(cos=_duck_cos("q.qv", "c.v"))
+
+
+@query("similarity_hard_negatives", oracle=_HARDNEG_ORACLE)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / metric training: for
+    each query vector, the k most-similar corpus vectors with a
+    DIFFERENT class label — the pairs that maximize training signal
+    for embedding models and cross-encoder rerankers.
+
+    Same scale shape as similarity_brute_topk (broadcast query set,
+    one corpus scan, per-partition partial top-k under the window's
+    TakeOrdered) with the label-mismatch predicate fused into the
+    broadcast join, so same-label rows never reach scoring. The
+    production path for large query sets swaps in the matmul/IVF
+    machinery unchanged — the mining predicate stays a join filter."""
+    from pyspark.sql import Window
+
+    from fhir_to_lakehouse_spark.functions.similarity import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("vec_id"))
+            & (F.col("query_label") != F.col("neg_label")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "query_label", "vec_id", "neg_label", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _K
+    )

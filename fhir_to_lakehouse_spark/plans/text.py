@@ -387,3 +387,43 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents),
+    c AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ch GROUP BY doc_id, ch)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT)                       AS n_chars_counted,
+           COUNT(*)                                     AS n_distinct_chars,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS char_entropy
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    encoding-damage / OCR-garbage / key-mash detector: natural text
+    sits in a narrow entropy band, binary-in-text and repeated-char
+    spam fall outside it. Computed as H = ln(n) - sum(c*ln c)/n so a
+    single aggregate pass needs no second traversal for the total.
+
+    Shape: explode chars -> (doc, char) count -> per-doc rollup; both
+    aggregates are map-side combinable and the first collapses each
+    document's characters to its alphabet locally before any shuffle
+    (a 1 MB document becomes <=|alphabet| rows). The second agg reuses
+    the doc_id-compatible partitioning. No joins, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    counts = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    s2 = F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+    return counts.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.round(F.log(n.cast("double")) - s2 / n.cast("double"), 6).alias(
+            "char_entropy"
+        ),
+    )
