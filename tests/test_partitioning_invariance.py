@@ -1,0 +1,70 @@
+"""Parallelism invariance: query results must not depend on HOW the
+data is split — scan partitioning, shuffle partition count, or the
+per-partition evaluation order they induce. This is the miniature form
+of the 1000-executor guarantee: a query whose answer changes when
+spark.sql.shuffle.partitions changes is wrong at scale even if every
+single-layout oracle check passes.
+
+The queries picked here are the ones with a theoretical sensitivity:
+argmin/argmax aggregates (tie-break discipline), window ranks over
+rounded floats, distributed rank/shuffle (epoch permutation), mergeable
+sampling sketches, candidate-pair generation (prefix join), and salted
+two-level aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+from fhir_to_lakehouse_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SENSITIVE = [
+    "dedup_exact_groups",
+    "dedup_survivor_pick",
+    "dedup_prefix_filter_join",
+    "window_topk_orders_per_customer",
+    "quality_ccnet_buckets",
+    "corpus_epoch_shuffle",
+    "sample_bottomk_mergeable",
+    "sample_weighted_es",
+    "agg_two_level_skew_safe",
+    "text_hapax_spectrum",
+]
+
+# (shuffle partitions, max scan partition bytes): one layout splits the
+# small parquet into many tiny scan tasks with a near-serial shuffle,
+# the other is the standard test layout
+LAYOUTS = [("3", "32768"), ("32", "134217728")]
+
+
+def _rows(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    cols = sorted(df.columns)
+    out = []
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        out.append(tuple(repr(d[c]) for c in cols))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_invariant_to_partitioning(spark, name):
+    results = []
+    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for sp, mpb in LAYOUTS:
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            results.append(_rows(spark, name))
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", orig_mpb)
+    a, b = results
+    assert a == b, (
+        f"{name}: result depends on physical layout "
+        f"({len(a)} vs {len(b)} rows; first diff: "
+        f"{next((x for x, y in zip(a, b) if x != y), 'row count')})"
+    )
