@@ -214,6 +214,52 @@ def bench_stream_session_window(spark, sf_dir: str) -> float:
         shutil.rmtree(src_dir, ignore_errors=True)
 
 
+def bench_stream_dedup_watermark(spark, sf_dir: str) -> float:
+    """Cross-batch streaming dedup through the REAL shell:
+    dropDuplicatesWithinWatermark over the events feed (keys =
+    event_id, 1h watermark) -> noop sink with availableNow. The state
+    store holds one entry per key only until the watermark passes, so
+    state is bounded by the redelivery horizon x key arrival rate —
+    the streaming counterpart of the batch min_by dedup (W1), and the
+    guarantee the reference approximates with MERGE idempotency."""
+    import shutil
+    import tempfile
+
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+    from fhir_to_lakehouse_spark.streaming.windows import dedup_stream
+
+    src_dir = tempfile.mkdtemp(prefix="bench-dedup-")
+    cold = os.environ.get("BENCH_COLD") == "1"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        reps = 1 if cold else 1 + max(1, int(os.environ.get("BENCH_REPS", "3")))
+        times = []
+        for i in range(reps):
+            ck = tempfile.mkdtemp(prefix="bench-dedup-ck-")
+            try:
+                stream = spark.readStream.schema(schema).parquet(src_dir)
+                t0 = time.perf_counter()
+                q = (
+                    dedup_stream(stream, ["event_id"])
+                    .writeStream.outputMode("append")
+                    .format("noop")
+                    .option("checkpointLocation", ck)
+                    .queryName(f"bench_dedup_{i}")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                times.append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(ck, ignore_errors=True)
+        timed = times if cold else sorted(times[1:])
+        return timed[len(timed) // 2]
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cold = os.environ.get("BENCH_COLD") == "1"
@@ -286,6 +332,7 @@ def main() -> None:
         ("etl_pipeline_batch", bench_etl_pipeline),
         ("etl_stream_availablenow", bench_etl_stream),
         ("stream_session_window", bench_stream_session_window),
+        ("stream_dedup_watermark", bench_stream_dedup_watermark),
     ):
         if only and name not in only:
             continue
