@@ -251,3 +251,56 @@ def test_temperature_mixing_upsamples_rare_languages(spark, sf_dir):
     for small, big in zip(ordered, ordered[1:]):
         if counts[small] < counts[big]:
             assert rates[small] >= rates[big]
+
+
+def test_bloom_prefilter_agrees_with_exact_decontamination(spark, sf_dir):
+    """Cross-query consistency: the two-phase hash-prefilter path must
+    flag EXACTLY the docs the single-pass exact overlap query flags as
+    contaminated, with identical shingle/overlap counts — the
+    prefilter is an execution strategy, not a semantics change."""
+    from fhir_to_lakehouse_spark.plans import QUERIES
+
+    exact = {
+        (r["doc_id"], r["n_shingles"], r["n_overlap"])
+        for r in QUERIES["decontaminate_ngram_overlap"](spark, sf_dir)
+        .filter("contaminated")
+        .collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shingles"], r["n_overlap"])
+        for r in QUERIES["decontaminate_bloom_prefilter"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert bloom == exact
+    assert bloom, "fixture should contain at least one contaminated doc"
+
+
+def test_survivor_pick_policy(spark, sf_dir):
+    """Survivorship policy: one survivor per fingerprint group, and the
+    survivor is the longest member (smallest doc_id on ties), checked
+    against a pandas recomputation from the raw table."""
+    from fhir_to_lakehouse_spark.plans import QUERIES
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    got = {
+        r["fp"]: (r["survivor_doc_id"], r["survivor_n_chars"], r["group_size"])
+        for r in QUERIES["dedup_survivor_pick"](spark, sf_dir).collect()
+    }
+    import hashlib
+    import re
+
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        norm = re.sub(r"\s+", " ", r["text"].strip().lower())
+        fp = hashlib.md5(norm.encode()).hexdigest()
+        groups.setdefault(fp, []).append((r["doc_id"], r["n_chars"]))
+    want = {
+        fp: (
+            min(members, key=lambda m: (-m[1], m[0]))[0],
+            max(m[1] for m in members),
+            len(members),
+        )
+        for fp, members in groups.items()
+    }
+    assert got == want
