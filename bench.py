@@ -260,6 +260,84 @@ def bench_stream_dedup_watermark(spark, sf_dir: str) -> float:
         shutil.rmtree(src_dir, ignore_errors=True)
 
 
+def bench_curation_pipeline(spark, sf_dir: str) -> float:
+    """End-to-end corpus-curation throughput (the LLM-data counterpart
+    of etl_pipeline_batch): one composed job — quality gate ->
+    exact-dedup canonical election (min_by, hot-key safe) -> benchmark
+    decontamination excision (broadcast shingle probe) -> cleaned
+    corpus MATERIALIZED to parquet. Measures the write-inclusive cost
+    a production curation pass pays, not a reporting projection."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.functions import text as TX
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    cold = os.environ.get("BENCH_COLD") == "1"
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            (TX.quality_score("text") >= 0.4).alias("q_pass"),
+            TX.fingerprint("text").alias("fp"),
+        )
+        canon = (
+            base.filter("q_pass")
+            .groupBy("fp")
+            .agg(
+                F.min_by(
+                    F.struct("doc_id", "text", "lang", "source"), F.col("doc_id")
+                ).alias("d")
+            )
+            .select("d.doc_id", "d.text", "d.lang", "d.source")
+        )
+        sh = canon.select(
+            "doc_id", TX.tokens("text").alias("_toks")
+        ).select(
+            "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("sh")
+        )
+        bench_set = (
+            sh.filter(F.col("doc_id") % 50 == 0)
+            .select(F.explode("sh").alias("s"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        overlap = (
+            sh.select("doc_id", F.explode("sh").alias("s"))
+            .join(F.broadcast(bench_set), "s", "left")
+            .groupBy("doc_id")
+            .agg(
+                (F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1))).alias(
+                    "frac"
+                )
+            )
+            .filter(F.col("frac") >= 0.2)
+            .select("doc_id")
+        )
+        return canon.join(overlap, "doc_id", "left_anti")
+
+    reps = 1 if cold else 1 + max(1, int(os.environ.get("BENCH_REPS", "3")))
+    times = []
+    for _ in range(reps):
+        out = tempfile.mkdtemp(prefix="bench-cur-")
+        try:
+            cleaned = build()
+            t0 = time.perf_counter()
+            cleaned.write.mode("overwrite").parquet(out)
+            times.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+            spark.catalog.clearCache()
+    timed = times if cold else sorted(times[1:])
+    return timed[len(timed) // 2]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cold = os.environ.get("BENCH_COLD") == "1"
@@ -333,6 +411,7 @@ def main() -> None:
         ("etl_stream_availablenow", bench_etl_stream),
         ("stream_session_window", bench_stream_session_window),
         ("stream_dedup_watermark", bench_stream_dedup_watermark),
+        ("curation_pipeline_batch", bench_curation_pipeline),
     ):
         if only and name not in only:
             continue
