@@ -324,3 +324,54 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(pos / 64).cast("long").alias("shard"),
         (pos % 64).cast("long").alias("pos_in_shard"),
     )
+
+
+@query(
+    "corpus_leakproof_split",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id, fp,
+             CASE WHEN substr(md5('split-1:' || fp), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5('split-1:' || fp), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM fp
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT)           AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints
+    FROM assigned GROUP BY split
+    """,
+)
+def corpus_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split (~80/10/10): the split is a
+    deterministic function of the CONTENT FINGERPRINT, not the doc id,
+    so exact duplicates land in the same split by construction — the
+    train/test contamination that doc-id or random splits silently
+    admit is structurally impossible. Seeded ('split-1:') so re-keying
+    the split is a string change, and reproducible on any cluster size
+    (rand() is neither). Thresholds are lexicographic on the first md5
+    hex byte: < 'cd' (205/256 ~ 80.1%) train, < 'e6' (~9.8%) val,
+    rest test.
+
+    Shape: one scan, two md5s per row, one map-side-combinable
+    aggregate (the distinct-fp count shuffles 16-byte fingerprints
+    keyed by split). Assignment itself is embarrassingly parallel —
+    the aggregate here is the reporting layer."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    b = F.substring(F.md5(F.concat(F.lit("split-1:"), F.col("fp"))), 1, 2)
+    assigned = docs.select("doc_id", fp.alias("fp")).select(
+        "doc_id",
+        "fp",
+        F.when(b < "cd", "train").when(b < "e6", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
