@@ -331,3 +331,62 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 6)                 AS value,
+           ROUND(m.med, 6)                   AS med,
+           ROUND(d.mad, 6)                   AS mad,
+           ROUND(abs(e.value - m.med), 6)    AS abs_dev
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE abs(e.value - m.med) > 3 * d.mad
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on event values: per event type,
+    median and MAD (median absolute deviation), then flag events
+    deviating more than 3 MADs from the median. Unlike mean/stddev
+    z-scores (quality_outlier_zscore), median/MAD do not move when the
+    outliers themselves get bigger — the estimator the anomalies are
+    judged against is not contaminated by them.
+
+    Shape: two grouped exact percentiles on the tiny event_type key
+    set, broadcast back over one more corpus scan each; comparisons
+    are exact doubles so the >3*MAD boundary cannot flip between
+    engines. At 100 TB swap the exact percentile for
+    approx_percentile per SCALING.md — same plan shape, bounded
+    memory."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .filter(dev > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(dev, 6).alias("abs_dev"),
+        )
+    )
