@@ -390,3 +390,66 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dev, 6).alias("abs_dev"),
         )
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, AVG(value) AS mean_v FROM events GROUP BY event_type
+    ), c AS (
+      SELECT e.event_type, e.event_id, e.ts,
+             SUM(e.value - m.mean_v) OVER (
+               PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+             ) AS cusum
+      FROM events e JOIN m USING (event_type)
+    )
+    SELECT event_type, event_id AS changepoint_event_id,
+           ts AS changepoint_ts,
+           ROUND(cusum, 6) AS peak_cusum,
+           ROUND(abs(cusum), 6) AS peak_abs_cusum
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, ts ASC, event_id ASC) AS rn
+      FROM c
+    ) WHERE rn = 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the running sum of
+    deviations from the series mean peaks (in absolute value) exactly
+    where the level shifts — the classic single-changepoint locator.
+    Returns, per type, the event where |CUSUM| is maximal with
+    deterministic tie-breaks.
+
+    Shape: one grouped mean (broadcast back), one window cumulative
+    sum ordered by event time within each type, one argmax via
+    row_number over the same partitioning — the second window reuses
+    the first's hash partitioning (one Exchange total). Per-type
+    ordering concentrates a type's events into one task lineage; at
+    100 TB, segment the CUSUM per day via the distributed prefix-sum
+    pattern of corpus_pack_token_shards (per-day partial sums, tiny
+    prefix-sum of day totals, offset + local cumsum) — same answer,
+    no single-task series."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(F.avg("value").alias("mean_v"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = (
+        ev.join(F.broadcast(m), "event_type")
+        .withColumn("cusum", F.sum(F.col("value") - F.col("mean_v")).over(w))
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("changepoint_event_id"),
+            F.col("ts").alias("changepoint_ts"),
+            F.round("cusum", 6).alias("peak_cusum"),
+            F.round(F.abs("cusum"), 6).alias("peak_abs_cusum"),
+        )
+    )
