@@ -338,6 +338,56 @@ def bench_curation_pipeline(spark, sf_dir: str) -> float:
     return timed[len(timed) // 2]
 
 
+def bench_stream_incremental_dedup(spark, sf_dir: str) -> float:
+    """Incremental corpus ingest through the REAL shell: documents
+    file-source -> foreachBatch (in-batch min_by first-occurrence +
+    anti-join vs the fingerprint index) -> append corpus + index
+    (streaming/corpus_ingest.py). Measures the write-inclusive daily-
+    ingest cost; replay-idempotence is covered in pytest."""
+    import shutil
+    import tempfile
+
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+    from fhir_to_lakehouse_spark.streaming.corpus_ingest import (
+        CorpusIngestConfig,
+        IncrementalDedupIngest,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="bench-ing-src-")
+    cold = os.environ.get("BENCH_COLD") == "1"
+    try:
+        load_table(spark, sf_dir, "documents").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        reps = 1 if cold else 1 + max(1, int(os.environ.get("BENCH_REPS", "3")))
+        times = []
+        for i in range(reps):
+            root = tempfile.mkdtemp(prefix="bench-ing-")
+            try:
+                ing = IncrementalDedupIngest(
+                    spark,
+                    CorpusIngestConfig(
+                        corpus_dir=os.path.join(root, "corpus"),
+                        fingerprint_dir=os.path.join(root, "fps"),
+                        checkpoint_dir=os.path.join(root, "ck"),
+                    ),
+                )
+                stream = spark.readStream.schema(schema).parquet(src_dir)
+                t0 = time.perf_counter()
+                q = ing.start_stream(
+                    stream, f"bench_ingest_{i}", available_now=True
+                )
+                q.awaitTermination()
+                times.append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        timed = times if cold else sorted(times[1:])
+        return timed[len(timed) // 2]
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cold = os.environ.get("BENCH_COLD") == "1"
@@ -412,6 +462,7 @@ def main() -> None:
         ("stream_session_window", bench_stream_session_window),
         ("stream_dedup_watermark", bench_stream_dedup_watermark),
         ("curation_pipeline_batch", bench_curation_pipeline),
+        ("stream_incremental_dedup", bench_stream_incremental_dedup),
     ):
         if only and name not in only:
             continue

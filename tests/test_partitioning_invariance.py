@@ -30,6 +30,10 @@ SENSITIVE = [
     "sample_weighted_es",
     "agg_two_level_skew_safe",
     "text_hapax_spectrum",
+    "corpus_leakproof_split",
+    "events_anomaly_mad",
+    "events_changepoint_cusum",
+    "similarity_hard_negatives",
 ]
 
 # (shuffle partitions, max scan partition bytes): one layout splits the
