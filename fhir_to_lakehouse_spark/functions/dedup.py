@@ -451,7 +451,11 @@ def prefix_filter_pairs(
     per-doc collect; only verified-candidate pairs (rare) ever move
     full sets. Contrast candidate_pairs_blocked, which is quadratic
     within a block, and minhash_lsh_pairs, which is probabilistic —
-    this operator is exact with a deterministic cost bound."""
+    this operator is exact with a deterministic cost bound. One
+    inherent limit: a cluster of k near-identical documents must emit
+    O(k^2) pairs because they ARE all pairwise similar — run exact
+    dedup first (collapse byte-identical docs to canonicals) so k
+    counts distinct variants, not copies."""
     sets = df.select(id_col, set_col).filter(F.size(set_col) > 0)
     elem = sets.select(id_col, F.explode(set_col).alias("e"))
     # sets are distinct element lists, so COUNT(*) per element == df
@@ -463,52 +467,99 @@ def prefix_filter_pairs(
             F.array_sort(F.collect_list(F.struct("df", "e"))).alias("oe")
         )
         .select(id_col, F.transform("oe", lambda s: s["e"]).alias("oe"))
-        # referenced three times (prefix generation + both verify
-        # sides); without a persist each reference re-runs the
-        # element explode + df join + collect shuffle chain — 3x the
-        # stages for identical bytes. Cache cost is one ordered
-        # element list per doc, the same order as the input.
+    )
+    # Identical-set collapse (the PPJoin duplicate hardening): a
+    # duplicate-heavy corpus makes candidate volume quadratic in COPY
+    # count — every copy shares the same rare prefix shingles, so a
+    # 10x-duplicated corpus measured 191x the 1x cost. Grouping by a
+    # canonical set fingerprint runs candidate generation AND
+    # verification once per DISTINCT set; duplicate ids expand back at
+    # the end (within-group pairs have Jaccard exactly 1 by identity).
+    # Measured: the 10x synthetic corpus drops 135s -> seconds
+    # (SCALING.md round-4 stress curves).
+    groups = (
+        ordered.withColumn("sfp", F.md5(F.concat_ws("\x01", "oe")))
+        .groupBy("sfp")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.first("oe").alias("oe"),
+        )
+        # referenced by prefix generation, both verify sides, and both
+        # expansion joins; cache cost is one ordered element list per
+        # DISTINCT set
         .persist()
     )
+
+    # (1) within-group pairs: identical sets, jaccard exactly 1
+    ga = groups.filter(F.size("ids") > 1).select(
+        "sfp", F.size("oe").alias("n"), F.explode("ids").alias("ia")
+    )
+    gb = groups.filter(F.size("ids") > 1).select(
+        "sfp", F.explode("ids").alias("ib")
+    )
+    within = (
+        ga.join(gb, "sfp")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.col("n").alias("n_common"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    # (2) cross-group pairs: prefix-filter join over distinct sets
+    reps = groups.select("sfp", "oe")
     n = F.size("oe")
     plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
-    pref = ordered.select(
-        F.col(id_col).alias("id"),
+    pref = reps.select(
+        F.col("sfp").alias("fp_"),
         n.alias("n"),
         F.explode(F.slice("oe", F.lit(1), plen)).alias("p"),
     )
-    a = pref.select(
-        F.col("id").alias("doc_a"), F.col("n").alias("na"), "p"
-    )
-    b = pref.select(
-        F.col("id").alias("doc_b"), F.col("n").alias("nb"), "p"
-    )
+    a = pref.select(F.col("fp_").alias("fa"), F.col("n").alias("na"), "p")
+    b = pref.select(F.col("fp_").alias("fb"), F.col("n").alias("nb"), "p")
     cand = (
         a.join(b, "p")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("fa") < F.col("fb"))
         .filter(
             F.least("na", "nb")
             >= F.lit(threshold) * F.greatest("na", "nb")
         )
-        .select("doc_a", "doc_b")
+        .select("fa", "fb")
         .distinct()
     )
-    sa = ordered.select(F.col(id_col).alias("doc_a"), F.col("oe").alias("ea"))
-    sb = ordered.select(F.col(id_col).alias("doc_b"), F.col("oe").alias("eb"))
+    sa = reps.select(F.col("sfp").alias("fa"), F.col("oe").alias("ea"))
+    sb = reps.select(F.col("sfp").alias("fb"), F.col("oe").alias("eb"))
     inter = F.size(F.array_intersect("ea", "eb"))
     union = F.size("ea") + F.size("eb") - inter
     jac = inter / union.cast("double")
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("n_common"),
-            jac.alias("_j"),
-        )
+    verified = (
+        cand.join(sa, "fa")
+        .join(sb, "fb")
+        .select("fa", "fb", inter.alias("n_common"), jac.alias("_j"))
         .filter(F.col("_j") >= threshold)
+    )
+    cross = (
+        verified.join(
+            groups.select(F.col("sfp").alias("fa"), F.col("ids").alias("ids_a")),
+            "fa",
+        )
+        .join(
+            groups.select(F.col("sfp").alias("fb"), F.col("ids").alias("ids_b")),
+            "fb",
+        )
         .select(
-            "doc_a", "doc_b", "n_common", F.round("_j", 6).alias("jaccard")
+            F.explode("ids_a").alias("x"), "ids_b", "n_common", "_j"
+        )
+        .select(
+            "x", F.explode("ids_b").alias("y"), "n_common", "_j"
+        )
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "n_common",
+            F.round("_j", 6).alias("jaccard"),
         )
     )
+    return within.unionByName(cross)

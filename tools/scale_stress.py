@@ -1,0 +1,148 @@
+"""Scaling-curve stress: synthesize a 10x corpus (sf1-equivalent) from
+sf0.1 and time the single-table workloads at sf0.01 / sf0.1 / sf1 to
+measure how cost grows with data. No oracle at sf1 — this is the
+perf-shape check behind SCALING.md's 100x claims, run on demand:
+
+    python tools/scale_stress.py            # all default queries
+    python tools/scale_stress.py q1 q2 ...  # subset
+
+The synthetic sf1 documents table has deliberate duplicate structure:
+each sf0.1 doc appears 10x — 5 copies byte-identical (exact-dup load)
+and 5 with one extra token appended (near-dup load, J ~ 0.9) — so the
+dedup operators face a WORSE duplicate mix than real data, not a
+trivially unique corpus. Events/embeddings are id-shifted copies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/sfscale"
+
+QUERIES_TO_RUN = [
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_prefix_filter_join",
+    "decontaminate_bloom_prefilter",
+    "text_term_frequency",
+    "text_trigram_lm_counts",
+    "corpus_curation_funnel",
+    "corpus_leakproof_split",
+    "events_sessionize",
+    "events_time_rollup",
+    "events_changepoint_cusum",
+    "similarity_matmul_topk",
+    "similarity_ivf_topk",
+]
+
+
+def synthesize(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    os.makedirs(OUT, exist_ok=True)
+    # single-table workloads scale documents/embeddings/events 10x;
+    # the relational tables are linked copies (not consistently
+    # scalable without key rewrites) for load_table compatibility
+    for t in (
+        "region nation customer supplier part orders lineitem".split()
+    ):
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(OUT, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
+
+    docs = load_table(spark, BASE, "documents")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for i in range(10):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+        if i >= 5:  # near-dup copies: one appended token re-keys the
+            # fingerprint but leaves ~95% of shingles shared
+            c = c.withColumn(
+                "text", F.concat("text", F.lit(f" copytoken{i}"))
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT, "documents.parquet")
+    )
+
+    ev = load_table(spark, BASE, "events")
+    m = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    um = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    eparts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * m))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * um))
+        for i in range(10)
+    ]
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT, "events.parquet")
+    )
+
+    emb = load_table(spark, BASE, "embeddings")
+    vm = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    vparts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vm))
+        for i in range(10)
+    ]
+    vout = vparts[0]
+    for p in vparts[1:]:
+        vout = vout.unionByName(p)
+    vout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT, "embeddings.parquet")
+    )
+
+
+def main() -> int:
+    from fhir_to_lakehouse_spark.plans import QUERIES
+    from fhir_to_lakehouse_spark.session import get_spark
+
+    names = sys.argv[1:] or QUERIES_TO_RUN
+    spark = get_spark("scale-stress")
+    synthesize(spark)
+
+    results: dict[str, dict[str, float]] = {}
+    for name in names:
+        results[name] = {}
+        for label, sf_dir in (
+            ("sf0.01", "/root/testdata/sf0.01"),
+            ("sf0.1", BASE),
+            ("sf1", OUT),
+        ):
+            # warm-up + median of 3, same policy as bench.py
+            times = []
+            for i in range(4):
+                df = QUERIES[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            timed = sorted(times[1:])
+            results[name][label] = round(timed[1], 3)
+        r = results[name]
+        ratio = r["sf1"] / max(r["sf0.1"], 1e-9)
+        print(
+            f"{name:36s} {r['sf0.01']:7.2f} {r['sf0.1']:7.2f} "
+            f"{r['sf1']:7.2f}   x{ratio:.1f} for 10x data",
+            flush=True,
+        )
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
