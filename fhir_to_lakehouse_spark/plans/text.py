@@ -427,3 +427,49 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_entropy"
         ),
     )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM t),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM s),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df,
+                  MIN(doc_id) AS example_doc_id
+           FROM e GROUP BY s)
+    SELECT s AS shingle, df, example_doc_id
+    FROM df
+    ORDER BY df DESC, s ASC
+    LIMIT 20
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the 20 word-3-shingles shared by the most
+    documents, each with an example doc — the phrases a cleaning
+    pipeline turns into strip rules (cookie banners, license headers,
+    navigation chrome). The complement of text_ngram_novelty: that
+    scores documents by their unique tail, this surfaces the shared
+    head itself.
+
+    Shape: one tokenizing scan -> (shingle -> df, min doc) hash
+    aggregate -> TakeOrdered top-20 (per-partition partial top-k, no
+    global sort). Scales exactly as far as the df aggregate does."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", TX.tokens("text").alias("_toks")).select(
+        "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("sh")
+    )
+    e = sh.select("doc_id", F.explode("sh").alias("s"))
+    return (
+        e.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .select(F.col("s").alias("shingle"), "df", "example_doc_id")
+        .orderBy(F.col("df").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
