@@ -83,8 +83,19 @@ def quality_score(col: Column | str) -> Column:
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language marker-hit counts (the n-gram-heuristic language ID:
-    word-unigram variant so the oracle stays expressible)."""
-    toks = tokens(col)
+    word-unigram variant so the oracle stays expressible).
+
+    Convenience form — embeds the tokenizer in EVERY language's score
+    expression; in multi-stage pipelines stage the token array once
+    and use :func:`lang_scores_from_tokens`."""
+    return lang_scores_from_tokens(tokens(col))
+
+
+def lang_scores_from_tokens(toks: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts from an existing token-array
+    column (stage tokens in their own projection first — a plan-level
+    audit found the convenience form evaluating the regex tokenizer
+    35x per row across the score/argmax expressions)."""
     out = {}
     for lang, markers in LANG_MARKERS.items():
         marr = F.array(*[F.lit(m) for m in markers])

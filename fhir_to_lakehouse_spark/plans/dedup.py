@@ -146,9 +146,14 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn). Same LSH shape as dedup_minhash_lsh; rows-only check (no
     xxhash64 in DuckDB), equivalence covered in pytest."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select(
-        F.col("doc_id").alias("id"),
-        DD.sig_xxhash(TX.shingles("text", 3), 16).alias("sig"),
+    # staged: the convenience shingles() form embedded the tokenizer
+    # in all 16 signature components — 96 regex evaluations per row
+    # (plan-audit sweep); tokens and shingles in their own projections
+    # are computed once each
+    sigs = (
+        docs.select(F.col("doc_id").alias("id"), TX.tokens("text").alias("_toks"))
+        .select("id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("_sh"))
+        .select("id", DD.sig_xxhash(F.col("_sh"), 16).alias("sig"))
     )
     banded = sigs.select(
         "id",

@@ -91,15 +91,24 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed alphabetical tie-break (the synthetic corpus is English-ish
     word salad; determinism is what's under test, not accuracy)."""
     docs = load_table(spark, sf_dir, "documents")
-    scores = TX.lang_scores("text")
-    best = F.greatest(*[scores[lang] for lang in _LANGS])
-    pred = None
-    for lang in _LANGS:
-        cond = scores[lang] == best
-        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
-    return docs.select(
+    # two staged projections: tokens once, then each language's score
+    # once — the convenience form evaluated the tokenizer 35x per row
+    # across the score/greatest/argmax expressions (plan-audit sweep)
+    staged = docs.select("doc_id", TX.tokens("text").alias("_toks"))
+    scores = TX.lang_scores_from_tokens(F.col("_toks"))
+    scored = staged.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in _LANGS],
+    )
+    cols = {lang: F.col(f"score_{lang}") for lang in _LANGS}
+    best = F.greatest(*[cols[lang] for lang in _LANGS])
+    pred = None
+    for lang in _LANGS:
+        cond = cols[lang] == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored.select(
+        "doc_id",
+        *[f"score_{lang}" for lang in _LANGS],
         pred.alias("predicted_lang"),
     )
 
