@@ -44,7 +44,12 @@ def bag_of_words_signature(col: Column | str) -> Column:
     equal for any word-order permutation of the same tokens, so it
     catches shuffled/templated boilerplate exact-hash dedup misses.
     DuckDB twin: md5(array_to_string(list_sort(toks), ' '))."""
-    return F.md5(F.concat_ws(" ", F.sort_array(tokens(col))).cast("binary"))
+    return bag_of_words_from_tokens(tokens(col))
+
+
+def bag_of_words_from_tokens(toks: Column) -> Column:
+    """bag_of_words_signature from an existing token-array column."""
+    return F.md5(F.concat_ws(" ", F.sort_array(toks)).cast("binary"))
 
 
 def punct_ratio(col: Column | str) -> Column:
@@ -60,7 +65,14 @@ def digit_ratio(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    toks = tokens(col)
+    return stopword_ratio_from_tokens(tokens(col), stopwords)
+
+
+def stopword_ratio_from_tokens(
+    toks: Column, stopwords: list[str] | None = None
+) -> Column:
+    """stopword_ratio from an existing token-array column (the
+    convenience form evaluates the tokenizer twice: filter + size)."""
     sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return n_sw / F.greatest(F.size(toks), F.lit(1))
@@ -72,12 +84,19 @@ def quality_score(col: Column | str) -> Column:
     formula is arbitrary but fixed — the oracle mirrors it digit for
     digit."""
     c = F.col(col) if isinstance(col, str) else col
+    return quality_score_from_tokens(c, tokens(c))
+
+
+def quality_score_from_tokens(col: Column | str, toks: Column) -> Column:
+    """quality_score with the token array supplied as a staged column
+    (the convenience form re-tokenizes inside the stopword term)."""
+    c = F.col(col) if isinstance(col, str) else col
     length_term = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
     return (
         0.4 * length_term
         + 0.3 * (1 - punct_ratio(c))
         + 0.2 * (1 - digit_ratio(c))
-        + 0.1 * F.least(stopword_ratio(c) * 5, F.lit(1.0))
+        + 0.1 * F.least(stopword_ratio_from_tokens(toks) * 5, F.lit(1.0))
     )
 
 

@@ -48,16 +48,26 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     score -> threshold + length filter -> exact-dedup keep-canonical ->
     per-language corpus stats. One shuffle for the dedup window, one
     for the final aggregate; scoring is pure codegen over the scan."""
-    from fhir_to_lakehouse_spark.functions.text import fingerprint, quality_score
+    from fhir_to_lakehouse_spark.functions.text import (
+        fingerprint,
+        quality_score_from_tokens,
+        tokens,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        fingerprint("text").alias("fp"),
-        quality_score("text").alias("q"),
-    ).filter((F.col("q") >= 0.5) & (F.col("n_chars") >= 100))
+    scored = (
+        docs.select(
+            "doc_id", "lang", "n_chars", "text", tokens("text").alias("_toks")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            fingerprint("text").alias("fp"),
+            quality_score_from_tokens("text", F.col("_toks")).alias("q"),
+        )
+        .filter((F.col("q") >= 0.5) & (F.col("n_chars") >= 100))
+    )
     w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
     kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return kept.groupBy("lang").agg(

@@ -338,7 +338,10 @@ def quality_linear_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-row expressions + one map-side-combinable
     aggregate on lang. The text column never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
+    # staged token array: the inline form evaluated the tokenizer 5x
+    # per row across the feature expressions (plan-audit sweep)
+    staged = docs.select("lang", "text", TX.tokens("text").alias("_toks"))
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     mean_len = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
@@ -346,12 +349,12 @@ def quality_linear_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (
         F.lit(-1.2)
         + 0.004 * F.least(n_tokens, F.lit(500))
-        + 2.5 * TX.stopword_ratio("text")
+        + 2.5 * TX.stopword_ratio_from_tokens(toks)
         - 3.0 * TX.punct_ratio("text")
         - 2.0 * TX.digit_ratio("text")
         + 0.15 * mean_len
     )
-    scored = docs.select(
+    scored = staged.select(
         "lang", (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score")
     )
     return scored.groupBy("lang").agg(
@@ -604,11 +607,15 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
+        "doc_id", "text", TX.tokens("text").alias("_toks")
+    ).select(
         "doc_id",
-        F.size(TX.tokens("text")).alias("n_tokens"),
-        (quality_score("text") >= 0.5).alias("q_pass"),
+        F.size("_toks").alias("n_tokens"),
+        (TX.quality_score_from_tokens("text", F.col("_toks")) >= 0.5).alias(
+            "q_pass"
+        ),
         fingerprint("text").alias("fp"),
-        bag_of_words_signature("text").alias("bow"),
+        TX.bag_of_words_from_tokens(F.col("_toks")).alias("bow"),
     )
     w_fp = Window.partitionBy("fp").orderBy(
         F.col("q_pass").desc(), F.col("doc_id").asc()
