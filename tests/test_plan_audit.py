@@ -117,6 +117,13 @@ def test_no_reinlined_tokenizer_in_explode_plans(spark, sf_dir):
         "text_unigram_logprob_score": 3,
         "text_hapax_spectrum": 1,
         "text_term_frequency": 1,
+        "text_lang_id": 1,           # was 35x before staging
+        "dedup_minhash_xxhash": 2,   # was 96x before staging
+        "quality_linear_filter": 1,  # was 5x before staging
+        "corpus_curation_funnel": 1,  # was 4x before staging
+        # quality-threshold predicate pushed below the projection IS
+        # the filter's work; staging removed the rest (was 4)
+        "corpus_clean_pipeline": 3,
     }
     for name, max_evals in per_query_scans.items():
         df = QUERIES[name](spark, sf_dir)
