@@ -381,18 +381,23 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences per task, and the join streams them. At 100 TB you
     would persist the chunk-frequency table between the passes."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", TX.tokens("text").alias("t")).filter(
-        F.size("t") > 0
-    )
+    toks = docs.select("doc_id", TX.tokens("text").alias("t"))
     n_chunks = F.ceil(F.size("t") / F.lit(5.0)).cast("int")
+    # empty-doc guard lives INSIDE the projection (when/otherwise), not
+    # in a Filter: a size(t)>0 Filter would be pushed below this
+    # projection with the tokenizer re-substituted (the round-4
+    # re-inlining trap); posexplode of the empty array drops the row
+    # with identical semantics
+    chunk_arr = F.when(
+        F.size("t") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(F.col("t"), i * 5 + 1, 5), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     chunks = toks.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(F.col("t"), i * 5 + 1, 5), " "),
-            )
-        ).alias("pos", "chunk"),
+        F.posexplode(chunk_arr).alias("pos", "chunk"),
     )
     freq = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("c"))
     j = chunks.join(freq, "chunk")

@@ -165,8 +165,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-shingle count per document (the MinHash input)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.size(TX.shingles("text", 3)).alias("n_shingles")
+    return docs.select("doc_id", TX.tokens("text").alias("_toks")).select(
+        "doc_id",
+        F.size(TX.shingles_from_tokens(F.col("_toks"), 3)).alias("n_shingles"),
     )
 
 
