@@ -295,3 +295,36 @@ def test_prefix_filter_pairs_matches_brute_force(spark, doc_sets, t):
         ).collect()
     }
     assert got == _model_prefix_pairs(doc_sets, t)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    copies=st.lists(st.integers(min_value=0, max_value=2), min_size=4, max_size=16),
+    t=st.sampled_from([0.3, 0.5, 0.9]),
+)
+def test_prefix_filter_pairs_duplicate_heavy(spark, copies, t):
+    """The identical-set collapse path (PPJoin duplicate hardening):
+    corpora that are mostly COPIES of a few base sets must still yield
+    exactly the brute-force pair set — within-group (Jaccard=1) and
+    cross-group expansions both correct."""
+    bases = [
+        {"a", "b", "c", "d"},          # base 0
+        {"a", "b", "c", "e"},          # near-dup of 0 (J = 0.6)
+        {"x", "y"},                    # unrelated
+    ]
+    doc_sets = [bases[c] for c in copies]
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(doc_sets)],
+        "doc_id long, sh array<string>",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in DD.prefix_filter_pairs(
+            df, set_col="sh", id_col="doc_id", threshold=t
+        ).collect()
+    }
+    assert got == _model_prefix_pairs(doc_sets, t)
