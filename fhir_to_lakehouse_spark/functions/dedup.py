@@ -477,8 +477,15 @@ def prefix_filter_pairs(
     # the end (within-group pairs have Jaccard exactly 1 by identity).
     # Measured: the 10x synthetic corpus drops 135s -> seconds
     # (SCALING.md round-4 stress curves).
+    # Fingerprint via to_json, not concat_ws: JSON escapes every byte
+    # that could appear inside an element (the whitespace tokenizer
+    # passes control characters through into shingles), so distinct
+    # sets can never collapse into one group the way a raw
+    # '\x01'-joined encoding could when elements themselves contain
+    # the separator — a collapse would emit false jaccard=1.0 pairs
+    # AND skip the pair's real comparison.
     groups = (
-        ordered.withColumn("sfp", F.md5(F.concat_ws("\x01", "oe")))
+        ordered.withColumn("sfp", F.md5(F.to_json("oe")))
         .groupBy("sfp")
         .agg(
             F.sort_array(F.collect_list(id_col)).alias("ids"),

@@ -399,15 +399,15 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, AVG(value) AS mean_v FROM events GROUP BY event_type
     ), c AS (
       SELECT e.event_type, e.event_id, e.ts,
-             SUM(e.value - m.mean_v) OVER (
+             ROUND(SUM(e.value - m.mean_v) OVER (
                PARTITION BY e.event_type ORDER BY e.ts, e.event_id
-             ) AS cusum
+             ), 6) AS cusum
       FROM events e JOIN m USING (event_type)
     )
     SELECT event_type, event_id AS changepoint_event_id,
            ts AS changepoint_ts,
-           ROUND(cusum, 6) AS peak_cusum,
-           ROUND(abs(cusum), 6) AS peak_abs_cusum
+           cusum AS peak_cusum,
+           abs(cusum) AS peak_abs_cusum
     FROM (
       SELECT *, ROW_NUMBER() OVER (
                PARTITION BY event_type
@@ -435,9 +435,16 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     m = ev.groupBy("event_type").agg(F.avg("value").alias("mean_v"))
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # round the cumulative sum BEFORE the argmax ranking: the peak is
+    # picked on the rounded value in both engines, so cross-engine
+    # floating-point accumulation-order noise cannot flip the winner
+    # on a near-tie peak (same rounded-rank discipline as
+    # quality_ccnet_buckets)
     c = (
         ev.join(F.broadcast(m), "event_type")
-        .withColumn("cusum", F.sum(F.col("value") - F.col("mean_v")).over(w))
+        .withColumn(
+            "cusum", F.round(F.sum(F.col("value") - F.col("mean_v")).over(w), 6)
+        )
     )
     pick = Window.partitionBy("event_type").orderBy(
         F.abs(F.col("cusum")).desc(), F.col("ts").asc(), F.col("event_id").asc()
@@ -449,7 +456,7 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("event_id").alias("changepoint_event_id"),
             F.col("ts").alias("changepoint_ts"),
-            F.round("cusum", 6).alias("peak_cusum"),
-            F.round(F.abs("cusum"), 6).alias("peak_abs_cusum"),
+            F.col("cusum").alias("peak_cusum"),
+            F.abs("cusum").alias("peak_abs_cusum"),
         )
     )

@@ -17,8 +17,6 @@ import pytest
 
 from fhir_to_lakehouse_spark.plans import QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
-
 SENSITIVE = [
     "dedup_exact_groups",
     "dedup_survivor_pick",
@@ -42,8 +40,8 @@ SENSITIVE = [
 LAYOUTS = [("3", "32768"), ("32", "134217728")]
 
 
-def _rows(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
+def _rows(spark, name, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
     cols = sorted(df.columns)
     out = []
     for r in df.collect():
@@ -53,7 +51,7 @@ def _rows(spark, name):
 
 
 @pytest.mark.parametrize("name", SENSITIVE)
-def test_result_invariant_to_partitioning(spark, name):
+def test_result_invariant_to_partitioning(spark, sf_dir, name):
     results = []
     orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
     orig_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -61,7 +59,7 @@ def test_result_invariant_to_partitioning(spark, name):
         for sp, mpb in LAYOUTS:
             spark.conf.set("spark.sql.shuffle.partitions", sp)
             spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
-            results.append(_rows(spark, name))
+            results.append(_rows(spark, name, sf_dir))
             spark.catalog.clearCache()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
