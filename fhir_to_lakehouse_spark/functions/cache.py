@@ -1,0 +1,74 @@
+"""Persist lifecycle contract for library query builders.
+
+Several builders persist() a small derived relation that the plan they
+return consumes more than once (minhash signatures, the bm25/tf-idf
+(doc, term) aggregate, vocab counts, the decontamination benchmark
+shingle set, the prefix join's distinct-set groups). The persist is
+load-bearing — without it Spark re-executes the expensive subtree per
+reference, and AQE exchange reuse does not fire across differently
+keyed aggregates — but Spark's CacheManager does NOT release the entry
+when the Python DataFrame goes out of scope, so a caller composing
+many builders in one long-lived session accumulates orphaned cache
+entries (bench.py measured 2-4x wall-time inflation before it started
+clearing the cache between entries).
+
+The contract:
+
+- One-shot runs (the driver harness, bench.py, the oracle checker)
+  simply ``spark.catalog.clearCache()`` between queries — blunt and
+  correct when nothing else shares the session.
+- Long-lived callers wrap each composition in :func:`persist_scope`;
+  every cache a builder creates inside the scope is registered and
+  unpersisted on exit, after the caller has consumed the results:
+
+      with persist_scope():
+          pairs = prefix_filter_pairs(shingled).collect()
+      # all builder-created cache entries are released here
+
+Builders opt in by calling :func:`scoped_persist` instead of
+``df.persist()`` — outside any scope it degrades to a plain persist,
+so the default driver path is unchanged.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from contextvars import ContextVar
+
+from pyspark.sql import DataFrame
+
+_ACTIVE: ContextVar[list | None] = ContextVar("persist_scope", default=None)
+
+
+def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() ``df`` and register it with the innermost active
+    :func:`persist_scope`, so the scope's exit releases the cache
+    entry deterministically. With no active scope this is a plain
+    ``df.persist()`` (the documented default for one-shot runs that
+    clear the whole cache between queries)."""
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    reg = _ACTIVE.get()
+    if reg is not None:
+        reg.append(df)
+    return df
+
+
+@contextmanager
+def persist_scope(blocking: bool = False):
+    """Release every :func:`scoped_persist` cache created inside the
+    block on exit. Scopes nest: an inner scope owns (and releases) only
+    its own caches. Yields the registry list so a caller can append
+    DataFrames it persisted itself. Unpersisting a frame twice is a
+    Spark no-op, so builders that also release internally are safe to
+    register."""
+    reg: list[DataFrame] = []
+    token = _ACTIVE.set(reg)
+    try:
+        yield reg
+    finally:
+        _ACTIVE.reset(token)
+        for df in reg:
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fhir_to_lakehouse_spark.functions.cache import scoped_persist
 from fhir_to_lakehouse_spark.functions.text import fingerprint, shingles, tokens
 
 # the split-md5 minhash derives this many signature components from each
@@ -239,8 +240,9 @@ def candidate_pairs_blocked(
         shingle_hashes_from_tokens(F.col("_toks"), shingle_k).alias("sh"),
     )
     # both sides of the self-join read `base`; persist so shingling
-    # runs once (at warehouse scale this is a staged signatures table)
-    base = base.persist()
+    # runs once (at warehouse scale this is a staged signatures table).
+    # Released by the caller's persist_scope (functions/cache.py).
+    base = scoped_persist(base)
     # per-block sizes: one map-side-combinable count over the block key,
     # broadcast back (the distinct-block frame is tiny by construction)
     counts = base.groupBy(*block_cols).agg(
@@ -394,7 +396,7 @@ def minhash_lsh_pairs(
     # materialization Spark computes the (md5-heavy) signature pipeline
     # twice. At warehouse scale signatures would be written to a table;
     # in-session we persist the tiny (id, sig, bk) frame instead.
-    banded = banded.persist()
+    banded = scoped_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -493,8 +495,10 @@ def prefix_filter_pairs(
         )
         # referenced by prefix generation, both verify sides, and both
         # expansion joins; cache cost is one ordered element list per
-        # DISTINCT set
-        .persist()
+        # DISTINCT set. Lifecycle: functions/cache.py persist contract
+        # (released by the caller's persist_scope; one-shot runs
+        # clearCache between queries).
+        .transform(scoped_persist)
     )
 
     # (1) within-group pairs: identical sets, jaccard exactly 1

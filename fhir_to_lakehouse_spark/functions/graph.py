@@ -23,6 +23,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+
 
 class UnconvergedComponentsError(RuntimeError):
     """Label propagation hit max_iterations with labels still changing:
@@ -92,7 +94,11 @@ def connected_components(
         # superlinearly on long-running jobs
         if i % 4 == 3:
             new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
+        # registered with any active persist_scope so long-lived
+        # callers release the final labels without remembering the
+        # docstring contract (intermediate rounds are unpersisted
+        # below; double-unpersist is a no-op)
+        new_labels = scoped_persist(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

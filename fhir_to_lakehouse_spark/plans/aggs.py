@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+
 from fhir_to_lakehouse_spark.plans.registry import query
 from fhir_to_lakehouse_spark.sources.tables import load_table
 
@@ -206,7 +208,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         tok.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .transform(scoped_persist)
     )
     df_ = tf.groupBy("token").agg(F.count("tf").alias("df"))
     n_docs = docs.count()  # scalar; documents table is the small input

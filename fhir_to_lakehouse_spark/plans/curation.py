@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
 from fhir_to_lakehouse_spark.sources.tables import load_table
@@ -670,8 +672,8 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         # the benchmark shingle set is eval-suite-sized (small by
         # definition) and feeds BOTH broadcast probe structures; one
         # persist stops the tokenize/shingle/distinct chain running
-        # twice
-        .persist()
+        # twice. Lifecycle: functions/cache.py persist contract.
+        .transform(scoped_persist)
     )
     bench_h = bench.select(F.xxhash64("s").alias("h")).distinct()
     train = sh.filter(F.col("doc_id") % 50 != 0).select(
@@ -751,7 +753,9 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab-sized (bounded) cache: `counts` feeds both the corpus
     # total and the probability table — without it the corpus is
     # tokenized once per reference (3x total with the scoring branch)
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
+    counts = scoped_persist(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    )
     total = counts.agg(F.sum("n").alias("total"))
     vocab = counts.crossJoin(F.broadcast(total)).select(
         "token", (F.col("n") / (F.col("total") * F.lit(1.0))).alias("p")

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+
 from fhir_to_lakehouse_spark.plans.registry import query
 from fhir_to_lakehouse_spark.sources.tables import load_table
 
@@ -43,7 +45,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-        .persist()  # both sides of the self-join
+        .transform(scoped_persist)  # both sides of the self-join
     )
     a, b = base.alias("a"), base.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / F.greatest(

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
 from fhir_to_lakehouse_spark.sources.tables import load_table
@@ -91,7 +93,8 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branch — AQE exchange reuse does NOT fire here (different
         # grouping keys, verified in the executed plan). Cache cost is
         # O(matching (doc, term) rows · 24 B), tiny vs the corpus.
-        .persist()
+        # Lifecycle: functions/cache.py persist contract.
+        .transform(scoped_persist)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
 

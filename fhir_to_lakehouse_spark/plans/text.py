@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
 from fhir_to_lakehouse_spark.sources.tables import load_table
@@ -298,7 +300,9 @@ def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab-sized (bounded) cache: `counts` feeds both the corpus
     # total and the probability table — without it the corpus is
     # tokenized once per reference (3x total with the scoring branch)
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).persist()
+    counts = scoped_persist(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    )
     total = counts.agg(F.sum("n").alias("total"))
     p = (F.col("n") / (F.col("total") * F.lit(1.0))).alias("p")
     vocab = counts.crossJoin(F.broadcast(total)).select("token", p)
