@@ -143,6 +143,23 @@ def dedup_keep_canonical(
     ).drop("node", "component")
 
 
+def _small_enough_to_broadcast(n_rows: int, setting: bool | int) -> bool:
+    """Resolve a broadcast_threshold setting: True = always broadcast,
+    False = never, int = broadcast only when the side has at most that
+    many rows. bool is checked first — isinstance(True, int) is True."""
+    if isinstance(setting, bool):
+        return setting
+    return n_rows <= int(setting)
+
+
+# Default vertex-count ceiling for broadcasting the O(|V|) rank/frontier
+# relations: 5M (node:long, r:double) rows is ~100 MB serialized — near
+# the practical executor broadcast comfort zone. Above it the iteration
+# join switches to a shuffle join against edges pre-partitioned on the
+# join key, so only the small rank vector moves each round.
+DEFAULT_BROADCAST_VERTICES = 5_000_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -150,6 +167,8 @@ def pagerank(
     weight: str = "w",
     iterations: int = 3,
     damping: float = 0.85,
+    broadcast_threshold: bool | int = DEFAULT_BROADCAST_VERTICES,
+    _plan_probe=None,
 ) -> DataFrame:
     """Weighted PageRank with uniform dangling-mass redistribution:
     ``iterations`` rounds of r'(v) = (1-d)/N + d * (sum_{u->v} r(u) *
@@ -159,21 +178,35 @@ def pagerank(
     Execution discipline (the part that matters at scale):
 
     - Out-weight-normalized edges are computed ONCE and persisted; every
-      iteration joins the (broadcast) rank vector against that cache.
-      Left lazy instead, iteration i's plan embeds iteration i-1's
-      three times, so the unrolled DAG re-executes subplans O(3^i)
-      times — measured 81 redundant edge-join subtrees for 3
-      iterations before this materialization.
+      iteration joins the rank vector against that cache. Left lazy
+      instead, iteration i's plan embeds iteration i-1's three times,
+      so the unrolled DAG re-executes subplans O(3^i) times — measured
+      81 redundant edge-join subtrees for 3 iterations before this
+      materialization.
+    - The iteration join strategy is governed by
+      ``broadcast_threshold`` (True = always broadcast the O(|V|) rank
+      vector, False = never, int = broadcast only when |V| <= the
+      threshold; default 5M). Below the threshold the rank vector is
+      broadcast — zero edge movement per round. Above it broadcasting
+      the rank vector would OOM the driver/executors, so the edge cache
+      is pre-partitioned on the source key and each round runs a
+      shuffle join where ONLY the rank vector moves (the cached edges
+      keep their partitioning; Exchange is planned solely on the rank
+      side — asserted in tests/test_plan_audit.py).
     - Each iteration's rank vector (and contribution relation) is
       localCheckpoint-ed, which truncates LOGICAL lineage, not just
       data lineage: persist alone keeps the deepening plan tree and
       Catalyst re-analysis made iterations slow down 0.8 s -> 3.6 s on
       local[32]. At web-scale vertex counts swap localCheckpoint for
-      reliable checkpoint() and the broadcast for a shuffle join on
-      ``node``.
+      reliable checkpoint() to fault-tolerant storage.
     - Dangling mass needs no anti-join scan: rank mass is conserved at
       exactly 1 per iteration, so dm = 1 - sum(contributions), a
       25-row aggregate collected as one scalar.
+
+    ``_plan_probe`` is test instrumentation: called with each
+    iteration's pre-checkpoint contribution DataFrame so tests can
+    assert the planned join strategy (the returned result is
+    lineage-truncated and no longer shows it).
 
     The returned DataFrame is backed by the final iteration's
     localCheckpoint; the edge cache is released before returning.
@@ -182,45 +215,57 @@ def pagerank(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     edges = edges.persist()  # referenced twice below (out-weights + join)
     outw = edges.groupBy(src).agg(F.sum(weight).alias("_ow"))
-    edges_n = (
-        edges.join(outw, src)
-        .select(
-            F.col(src).alias("_src"),
-            F.col(dst).alias("_dst"),
-            (F.col(weight) / F.col("_ow")).alias("_wn"),
-        )
-        .persist()
+    edges_n = edges.join(outw, src).select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        (F.col(weight) / F.col("_ow")).alias("_wn"),
     )
-    edges_n.count()  # populate before the iteration loop references it
-    edges.unpersist()
+    # |V| decides the join strategy, so it must be known before the
+    # edge cache is laid out (shuffle mode pre-partitions on _src).
+    # Derived from the RAW edge cache, not edges_n: the vertex set is
+    # identical (the out-weight join preserves every edge row) and this
+    # avoids executing the un-cached normalization join twice at setup.
     vertices = (
-        edges_n.select(F.col("_src").alias("node"))
-        .union(edges_n.select("_dst"))
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
         .distinct()
         .persist()
     )
     n = vertices.count()  # |V| is a bounded scalar (also warms the cache)
+    use_bcast = _small_enough_to_broadcast(n, broadcast_threshold)
+    if not use_bcast:
+        # pre-partition the edge cache on the join key: the cached
+        # InMemoryTableScan keeps hash partitioning on _src, so every
+        # iteration's shuffle join moves ONLY the rank vector — the
+        # (much larger) edge relation never re-shuffles
+        edges_n = edges_n.repartition("_src")
+    edges_n = edges_n.persist()
+    edges_n.count()  # populate before the iteration loop references it
+    edges.unpersist()
 
     ranks = vertices.select("node", F.lit(1.0 / n).alias("r"))
     for _ in range(iterations):
+        rank_side = F.broadcast(ranks) if use_bcast else ranks
         contrib = (
-            edges_n.join(
-                F.broadcast(ranks), edges_n["_src"] == ranks["node"]
-            )
+            edges_n.join(rank_side, edges_n["_src"] == ranks["node"])
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum(F.col("r") * F.col("_wn")).alias("c"))
-            # localCheckpoint (not persist): persist caches the DATA but
-            # keeps the full logical plan, so Catalyst re-analyzes a
-            # plan that deepens every iteration — measured per-iteration
-            # wall time GROWING 0.8 s -> 3.6 s over 3 iterations from
-            # driver-side planning alone. localCheckpoint truncates the
-            # logical lineage to the materialized RDD (cluster-reliable
-            # variant: checkpoint() to fault-tolerant storage).
-            .localCheckpoint(eager=True)
         )
+        if _plan_probe is not None:
+            _plan_probe(contrib)
+        # localCheckpoint (not persist): persist caches the DATA but
+        # keeps the full logical plan, so Catalyst re-analyzes a
+        # plan that deepens every iteration — measured per-iteration
+        # wall time GROWING 0.8 s -> 3.6 s over 3 iterations from
+        # driver-side planning alone. localCheckpoint truncates the
+        # logical lineage to the materialized RDD (cluster-reliable
+        # variant: checkpoint() to fault-tolerant storage).
+        contrib = contrib.localCheckpoint(eager=True)
         out_mass = contrib.agg(F.sum("c")).collect()[0][0] or 0.0
         dm = 1.0 - out_mass
-        ranks = vertices.join(F.broadcast(contrib), "node", "left").select(
+        # contrib is O(|V|) like the rank vector — same strategy switch
+        contrib_side = F.broadcast(contrib) if use_bcast else contrib
+        ranks = vertices.join(contrib_side, "node", "left").select(
             "node",
             (
                 F.lit((1 - damping) / n)
@@ -239,6 +284,8 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     max_hops: int = 3,
+    broadcast_threshold: bool | int = DEFAULT_BROADCAST_VERTICES,
+    _plan_probe=None,
 ) -> DataFrame:
     """Level-synchronous BFS: (node, hops) with the MINIMUM hop count
     from ``seed`` for every node reachable within ``max_hops``.
@@ -246,8 +293,15 @@ def bfs_hops(
     Semi-naive evaluation — each round joins only the current FRONTIER
     (nodes first reached last round) against the edge list, then
     anti-joins the visited set, so work per round is proportional to
-    newly-discovered nodes, not to everything seen so far. The edge
-    list is persisted once; frontier and visited are
+    newly-discovered nodes, not to everything seen so far. The
+    frontier-vs-edges join strategy is decided PER ROUND from the
+    frontier's actual row count (a scalar each round already pays for
+    to test termination): at or below ``broadcast_threshold`` rows the
+    frontier is broadcast (zero edge movement); above it — a frontier
+    on a dense graph can approach |V| within two hops — the round runs
+    a shuffle join where only the frontier moves against the
+    pre-partitioned edge cache. True/False force one strategy. The
+    edge list is persisted once; frontier and visited are
     localCheckpoint-ed per round (logical-lineage truncation — see
     :func:`pagerank` for the measured persist-vs-localCheckpoint
     planning-cost cliff). Equivalent to a recursive-CTE min-hop query
@@ -256,25 +310,35 @@ def bfs_hops(
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     spark = edges.sparkSession
-    edges = edges.select(
-        F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).persist()
+    edges = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if broadcast_threshold is not True:
+        # a shuffle round may happen: lay the edge cache out
+        # hash-partitioned on the join key so those rounds move only
+        # the frontier (see pagerank)
+        edges = edges.repartition("_src")
+    edges = edges.persist()
     edges.count()
     seed_df = spark.createDataFrame([(seed, 0)], ["node", "hops"])
     visited = seed_df.localCheckpoint(eager=True)
     frontier = visited
+    frontier_rows = 1
     for h in range(1, max_hops + 1):
+        if _small_enough_to_broadcast(frontier_rows, broadcast_threshold):
+            frontier_side = F.broadcast(frontier)
+        else:
+            frontier_side = frontier
         nxt = (
-            edges.join(
-                F.broadcast(frontier), edges["_src"] == frontier["node"]
-            )
+            edges.join(frontier_side, edges["_src"] == frontier["node"])
             .select(F.col("_dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(h).alias("hops"))
-            .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if _plan_probe is not None:
+            _plan_probe(nxt)
+        nxt = nxt.localCheckpoint(eager=True)
+        frontier_rows = nxt.count()  # termination test + next strategy pick
+        if frontier_rows == 0:
             break
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt

@@ -125,3 +125,60 @@ def test_bfs_hops_min_hop_wins_on_diamond(spark):
     )
     got = {r.node: r.hops for r in bfs_hops(edges, seed="A", max_hops=3).collect()}
     assert got["D"] == 1
+
+
+# --- iterative-join strategy switch (VERDICT r4 item 1) ---------------
+
+_TRADE_EDGES = [
+    (a, b, 1 + (a * 7 + b * 3) % 5)
+    for a in range(12)
+    for b in range(12)
+    if a != b and (a + b) % 3 == 0
+]
+
+
+def _pagerank_ranks(spark, **kw):
+    from fhir_to_lakehouse_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(_TRADE_EDGES, "src long, dst long, w long")
+    return {
+        r.node: round(r.r, 9) for r in pagerank(edges, iterations=3, **kw).collect()
+    }
+
+
+def test_pagerank_broadcast_and_shuffle_strategies_agree(spark):
+    bcast = _pagerank_ranks(spark, broadcast_threshold=True)
+    shuffle = _pagerank_ranks(spark, broadcast_threshold=False)
+    auto_small = _pagerank_ranks(spark, broadcast_threshold=1_000_000)
+    auto_forced = _pagerank_ranks(spark, broadcast_threshold=3)  # |V|=12 > 3
+    assert bcast == shuffle == auto_small == auto_forced
+    assert abs(sum(bcast.values()) - 1.0) < 1e-9
+
+
+def test_bfs_broadcast_and_shuffle_strategies_agree(spark):
+    from fhir_to_lakehouse_spark.functions.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b, _ in _TRADE_EDGES], "src long, dst long"
+    )
+    runs = [
+        {r.node: r.hops for r in bfs_hops(edges, seed=0, max_hops=4, **kw).collect()}
+        for kw in (
+            {"broadcast_threshold": True},
+            {"broadcast_threshold": False},
+            # per-round adaptivity: hop 1 frontier exceeds 2 rows, so the
+            # run mixes a broadcast round with shuffle rounds
+            {"broadcast_threshold": 2},
+        )
+    ]
+    assert runs[0] == runs[1] == runs[2]
+
+
+def test_pagerank_threshold_bool_is_not_treated_as_int(spark):
+    """True must mean 'always broadcast', never 'threshold of 1 row'."""
+    from fhir_to_lakehouse_spark.functions.graph import _small_enough_to_broadcast
+
+    assert _small_enough_to_broadcast(10**12, True) is True
+    assert _small_enough_to_broadcast(0, False) is False
+    assert _small_enough_to_broadcast(5, 5) is True
+    assert _small_enough_to_broadcast(6, 5) is False

@@ -134,3 +134,76 @@ def test_no_reinlined_tokenizer_in_explode_plans(spark, sf_dir):
             f"(expected <= {max_evals}) — an inferred filter is "
             "re-inlining the expression"
         )
+
+
+def _exec_node_names(df) -> list[str]:
+    """Physical-plan node class names via a tree walk. Unlike
+    plan-string matching, this excludes the internals of cached
+    relations: an InMemoryTableScanExec has no children in the plan
+    tree (its cached plan is a field), so the exchanges that BUILT a
+    cache are not counted against the query that READS it."""
+    def walk(node):
+        out = [node.getClass().getSimpleName()]
+        ch = node.children()
+        for i in range(ch.size()):
+            out += walk(ch.apply(i))
+        return out
+
+    return walk(df._jdf.queryExecution().sparkPlan())
+
+
+def test_iterative_graph_join_strategy_shapes(spark):
+    """VERDICT r4 item 1: the iteration join strategy is a parameter,
+    and both shapes actually plan. Forced shuffle mode must NOT
+    broadcast the O(|V|) rank/frontier relation (the 1B-vertex OOM
+    hazard) — it plans a shuffle join whose only exchanges are the
+    rank side + the aggregate, because the edge cache is
+    pre-partitioned on the join key. Broadcast mode plans
+    BroadcastHashJoin. autoBroadcastJoinThreshold is disabled so the
+    tiny test relations cannot be auto-promoted, simulating the
+    at-scale size estimates."""
+    from fhir_to_lakehouse_spark.functions.graph import bfs_hops, pagerank
+
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a in range(8) for b in range(8) if (a + b) % 2],
+        "src long, dst long, w long",
+    )
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffle_plans, bcast_plans = [], []
+        pagerank(
+            edges, iterations=1, broadcast_threshold=False,
+            _plan_probe=lambda df: shuffle_plans.append(_exec_node_names(df)),
+        )
+        pagerank(
+            edges, iterations=1, broadcast_threshold=True,
+            _plan_probe=lambda df: bcast_plans.append(_exec_node_names(df)),
+        )
+        nodes = shuffle_plans[0]
+        assert "BroadcastHashJoinExec" not in nodes, nodes
+        assert (
+            "SortMergeJoinExec" in nodes or "ShuffledHashJoinExec" in nodes
+        ), nodes
+        # pre-partitioned edge cache: the edge side must NOT re-shuffle.
+        # The only exchanges this query is allowed to RUN are the rank
+        # side's and the aggregate's partial->final boundary.
+        n_shuffles = nodes.count("ShuffleExchangeExec")
+        assert n_shuffles <= 2, (n_shuffles, nodes)
+        assert "BroadcastHashJoinExec" in bcast_plans[0], bcast_plans[0]
+
+        bfs_shuffle, bfs_bcast = [], []
+        bfs_hops(
+            edges.select("src", "dst"), seed=0, max_hops=2,
+            broadcast_threshold=False,
+            _plan_probe=lambda df: bfs_shuffle.append(_exec_node_names(df)),
+        )
+        bfs_hops(
+            edges.select("src", "dst"), seed=0, max_hops=2,
+            broadcast_threshold=True,
+            _plan_probe=lambda df: bfs_bcast.append(_exec_node_names(df)),
+        )
+        assert all("BroadcastHashJoinExec" not in p for p in bfs_shuffle)
+        assert any("BroadcastHashJoinExec" in p for p in bfs_bcast)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
