@@ -84,11 +84,26 @@ def brute_force_topk(
     )
 
 
+# IVF coarse quantizers use k ≈ sqrt(N) cells — hundreds to a few
+# thousand even at 100 TB corpus sizes. 4096 centroid literals is also
+# near the practical ceiling for a single projection expression; past
+# it the argmax should become a (tiny) broadcast join instead.
+MAX_COLLECTED_CENTROIDS = 4096
+
+
+class CentroidCollectError(ValueError):
+    """The centroid frame exceeds the bounded-collect contract: it is
+    not a coarse-quantizer set, and collecting it driver-side would be
+    the exact unbounded-collect hazard this module is designed to
+    avoid."""
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_centroids: int = MAX_COLLECTED_CENTROIDS,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid. Output:
     (vec_id, cell, embedding). At write time ``cell`` becomes the
@@ -106,13 +121,29 @@ def ivf_assign(
     across candidates. The previous implementation shuffled
     K×|corpus| rows (each carrying the full vector) through a
     Window.partitionBy(id) — a per-row argmax does not need a
-    shuffle, and at 100 TB that shuffle IS the job."""
+    shuffle, and at 100 TB that shuffle IS the job.
+
+    The bounded-collect contract is ENFORCED, not just documented:
+    more than ``max_centroids`` rows raises
+    :class:`CentroidCollectError` before anything large crosses the
+    driver (the check piggybacks on a limit(max+1) collect — no extra
+    count job, and at most max+1 rows ever move)."""
     import math
 
     cen = []
-    for r in centroids.select(
-        "cell", as_double(F.col(vec_col)).alias("cv")
-    ).collect():
+    rows = (
+        centroids.select("cell", as_double(F.col(vec_col)).alias("cv"))
+        .limit(max_centroids + 1)
+        .collect()
+    )
+    if len(rows) > max_centroids:
+        raise CentroidCollectError(
+            f"ivf_assign collected more than max_centroids="
+            f"{max_centroids} centroid rows; an IVF coarse quantizer "
+            "is k ~ sqrt(N) cells (hundreds). Pass a real centroid "
+            "set, or raise max_centroids deliberately if you mean it."
+        )
+    for r in rows:
         cv = [float(x) for x in r["cv"]]
         n = math.sqrt(sum(x * x for x in cv))
         cen.append(
@@ -166,19 +197,39 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return bucket.cast("int")
 
 
+# the query matrix rides in every task's pickled closure: Q×d doubles.
+# 16384 queries × 64 dims ≈ 8 MB — about the ceiling before the
+# closure itself becomes per-task I/O; larger query sets should be a
+# DataFrame side of a join, not a closure.
+MAX_CLOSURE_QUERY_ROWS = 16384
+
+
 def matmul_topk_pandas(
     corpus: DataFrame,
     query_rows: list[tuple[int, list[float]]],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = MAX_CLOSURE_QUERY_ROWS,
 ) -> DataFrame:
     """Arrow-batched matmul top-k: queries held as a numpy matrix in the
     closure (broadcast via task pickle), corpus streamed per Arrow batch
     through mapInPandas, numpy does the (B×d)·(d×Q) product. Partial
     top-k per batch, final exact top-k via groupBy window on the tiny
-    candidate set."""
+    candidate set.
+
+    The closure-size contract is enforced: more than ``max_query_rows``
+    query vectors raises ValueError — a query set that large belongs in
+    a DataFrame join (brute_force_topk / IVF), not a task closure."""
     from pyspark.sql import Window
+
+    if len(query_rows) > max_query_rows:
+        raise ValueError(
+            f"matmul_topk_pandas got {len(query_rows)} query rows; the "
+            f"closure contract caps at max_query_rows={max_query_rows} "
+            "— use brute_force_topk (broadcast-join path) or the IVF "
+            "index for large query sets."
+        )
 
     qids = np.array([q[0] for q in query_rows], dtype=np.int64)
     qmat = np.array([q[1] for q in query_rows], dtype=np.float64)
