@@ -63,6 +63,11 @@ HEADLINE = [
     "decontaminate_bloom_prefilter",
     "quality_ccnet_buckets",
     "quality_gopher_filter",
+    # round 5: the large-Q crossover pair (VERDICT r4 item 4) — same
+    # oracle, Q=500: HOF cost grows linearly in Q per corpus row, the
+    # Arrow matmul batches it; SCALING.md records the measured ratio
+    "similarity_brute_topk_q500",
+    "similarity_matmul_topk_q500",
 ]
 
 

@@ -66,13 +66,22 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    # norms are staged per ROW on each side before the join: cosine()
+    # inline would recompute both norms per PAIR — 3 dot products per
+    # (query, candidate) instead of 1 — tripling the O(N·Q·d) codegen
+    # work (measured ~3x on the Q=500 crossover bench, SCALING.md)
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_nrm", l2_norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("c_nrm", l2_norm(F.col("c_vec")))
+    sim = dot(F.col("q_vec"), F.col("c_vec")) / F.greatest(
+        F.col("q_nrm") * F.col("c_nrm"), F.lit(1e-12)
     )
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("c_vec"))
     scored = (
         c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("cos_sim", F.round(sim, 6))
         .select(query_id_col, id_col, "cos_sim")
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -14,13 +14,19 @@ from fhir_to_lakehouse_spark.sources.tables import load_table
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _K = 5
+# the large-Q twin set: where the Arrow matmul path's batched
+# (B×d)·(d×Q) product amortizes Python/Arrow overhead that the per-row
+# HOF path pays Q times per row (crossover measured in SCALING.md)
+_N_QUERIES_LARGE = 500
 
-_BRUTE_ORACLE = f"""
+
+def _brute_oracle(n_queries: int, k: int) -> str:
+    return f"""
     WITH c AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), q AS (
-      SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {_N_QUERIES}
+      SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {n_queries}
     ), scored AS (
       SELECT q.query_id, c.vec_id,
              ROUND(list_dot_product(q.qv, c.v)
@@ -33,13 +39,18 @@ _BRUTE_ORACLE = f"""
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos_sim DESC, vec_id ASC) AS rank
       FROM scored
-    ) WHERE rank <= {_K}
+    ) WHERE rank <= {k}
 """
 
 
-def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+_BRUTE_ORACLE = _brute_oracle(_N_QUERIES, _K)
+
+
+def _query_vectors(
+    spark: SparkSession, sf_dir: str, n_queries: int = _N_QUERIES
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("vec_id") < _N_QUERIES).select(
+    return emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
 
@@ -63,6 +74,38 @@ def similarity_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = [
         (int(r["query_id"]), list(r["embedding"]))
         for r in _query_vectors(spark, sf_dir).collect()  # Q rows only
+    ]
+    return SIM.matmul_topk_pandas(emb, qrows, k=_K)
+
+
+@query("similarity_brute_topk_q500", oracle=_brute_oracle(_N_QUERIES_LARGE, _K))
+def similarity_brute_topk_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOF path at Q=500: the SCALING.md crossover benchmark's
+    slow side. Per corpus row the plan evaluates 500 zip_with+aggregate
+    dot products inside codegen — O(N·Q·d) scalar expression work that
+    grows linearly in Q with no batching to amortize it. Correctness is
+    identical to the Q=5 entry (same oracle family); the point of the
+    pair of q500 entries is the measured wall-clock against the Arrow
+    matmul twin at the same Q."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        emb, _query_vectors(spark, sf_dir, _N_QUERIES_LARGE), k=_K
+    )
+
+
+@query("similarity_matmul_topk_q500", oracle=_brute_oracle(_N_QUERIES_LARGE, _K))
+def similarity_matmul_topk_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow matmul path at Q=500 (same oracle as the HOF twin):
+    one (B×d)·(d×Q) numpy product per Arrow batch scores all 500
+    queries against the batch at BLAS speed, then per-batch partial
+    top-k caps what leaves Python at Q·k rows per batch. This is the
+    claimed large-Q advantage ("beats per-row HOFs when Q is large",
+    functions/similarity.py) made measurable: both q500 entries run in
+    the headline bench and SCALING.md records the crossover."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = [
+        (int(r["query_id"]), list(r["embedding"]))
+        for r in _query_vectors(spark, sf_dir, _N_QUERIES_LARGE).collect()
     ]
     return SIM.matmul_topk_pandas(emb, qrows, k=_K)
 
@@ -145,14 +188,19 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= 2)
-        .select("query_id", "qv", "cell")
+        .select(
+            "query_id", "qv", SIM.l2_norm(F.col("qv")).alias("q_nrm"), "cell"
+        )
+    )
+    # corpus-row norms staged once per row (see brute_force_topk)
+    sim = SIM.dot(F.col("qv"), F.col("embedding")) / F.greatest(
+        F.col("q_nrm") * F.col("c_nrm"), F.lit(1e-12)
     )
     scored = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.withColumn("c_nrm", SIM.l2_norm(F.col("embedding")))
+        .join(F.broadcast(probes), "cell")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn(
-            "cos_sim", F.round(SIM.cosine(F.col("qv"), F.col("embedding")), 6)
-        )
+        .withColumn("cos_sim", F.round(sim, 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -215,19 +263,28 @@ def similarity_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        SIM.as_double(F.col("embedding")).alias("v"),
-    ).withColumn("bucket", SIM.hyperplane_bucket(F.col("v"), n_planes=4))
+    base = (
+        emb.select(
+            "vec_id",
+            SIM.as_double(F.col("embedding")).alias("v"),
+        )
+        .withColumn("bucket", SIM.hyperplane_bucket(F.col("v"), n_planes=4))
+        .withColumn("nrm", SIM.l2_norm(F.col("v")))
+    )
     q = base.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    # per-row staged norms: one dot product per bucket pair
+    sim = SIM.dot(F.col("qv"), F.col("v")) / F.greatest(
+        F.col("q_nrm") * F.col("nrm"), F.lit(1e-12)
     )
     scored = (
         base.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos_sim", F.round(SIM.cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("cos_sim", F.round(sim, 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -314,18 +371,27 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery unchanged — the mining predicate stays a join filter."""
     from pyspark.sql import Window
 
-    from fhir_to_lakehouse_spark.functions.similarity import as_double, cosine
+    from fhir_to_lakehouse_spark.functions.similarity import (
+        as_double,
+        dot,
+        l2_norm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms staged per ROW, not per pair — one dot product per
+    # (query, candidate) instead of three (see brute_force_topk)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         as_double(F.col("embedding")).alias("qv"),
-    )
+    ).withColumn("q_nrm", l2_norm(F.col("qv")))
     c = emb.select(
         "vec_id",
         F.col("label").alias("neg_label"),
         as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("c_nrm", l2_norm(F.col("cv")))
+    sim = dot(F.col("qv"), F.col("cv")) / F.greatest(
+        F.col("q_nrm") * F.col("c_nrm"), F.lit(1e-12)
     )
     scored = (
         c.join(
@@ -333,7 +399,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("query_id") != F.col("vec_id"))
             & (F.col("query_label") != F.col("neg_label")),
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos_sim", F.round(sim, 6))
         .select("query_id", "query_label", "vec_id", "neg_label", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
