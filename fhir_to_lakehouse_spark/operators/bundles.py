@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from fhir_to_lakehouse_spark.schemas import BUNDLE_SCHEMA, schema_for
+from fhir_to_lakehouse_spark.schemas import (
+    BUNDLE_SCHEMA,
+    normalize_references,
+    schema_for,
+)
 
 
 def parse_bundles(df: DataFrame) -> DataFrame:
@@ -49,6 +53,7 @@ def explode_entries(df: DataFrame) -> DataFrame:
     return (
         df.withColumn("entry", F.explode("parsed_bundle.entry"))
         .withColumn("resource", F.col("entry.resource"))
+        .withColumn("full_url", F.col("entry.fullUrl"))
         .withColumn("request_method", F.col("entry.request.method"))
         .withColumn("request_url", F.col("entry.request.url"))
         .withColumn("resource_type", url_split.getItem(0))
@@ -115,15 +120,34 @@ def split_by_method(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
 
-def encode_resources(df: DataFrame, resource_type: str) -> DataFrame:
+def encode_resources(
+    df: DataFrame, resource_type: str, normalize_refs: bool = True
+) -> DataFrame:
     """FHIR JSON string column -> typed columns (Pathling replacement).
 
     ``from_json`` with the curated schema for the type (SURVEY §7.3),
     plus ``resource_json`` carrying the full raw document so nothing
     outside the curated schema is lost. Replaces the JVM Pathling call
     at /root/reference/src/bundle_processor.py:162-166.
+
+    ``normalize_refs`` (default on) resolves Synthea-style
+    cross-references at encode time: every Reference's ``reference``
+    string drops its ``urn:uuid:`` / ``Type/`` prefix, leaving the bare
+    target id — so ``Observation.subject.reference`` joins
+    ``Patient.id`` with no string surgery (the reference gets this
+    implicitly from Pathling's resolution). The original form survives
+    in ``resource_json``. Only Reference-bearing subtrees are rebuilt
+    (schemas.normalize_references); everything else passes through the
+    same projection untouched.
     """
-    parsed = F.from_json(F.col("resource"), schema_for(resource_type))
-    return df.select(
-        parsed.alias("r"), F.col("resource").alias("resource_json")
-    ).select("r.*", "resource_json")
+    schema = schema_for(resource_type)
+    base = df.select(
+        F.from_json(F.col("resource"), schema).alias("r"),
+        F.col("resource").alias("resource_json"),
+    )
+    r = F.col("r")
+    if normalize_refs:
+        r = normalize_references(r, schema)
+    return base.select(r.alias("r"), "resource_json").select(
+        "r.*", "resource_json"
+    )

@@ -361,7 +361,8 @@ def pipeline_medication_request_decode(spark: SparkSession, sf_dir: str) -> Data
     oracle="""
     SELECT CAST(o_orderkey AS VARCHAR)                    AS id,
            'active'                                       AS status,
-           'Patient/' || CAST(o_custkey AS VARCHAR)       AS patient_ref,
+           -- encode_resources normalizes 'Patient/<id>' to the bare id
+           CAST(o_custkey AS VARCHAR)                     AS patient_ref,
            CAST(o_totalprice AS DECIMAL(18,2))            AS total_amount,
            2                                              AS n_items,
            CAST(o_totalprice AS DECIMAL(18,2))            AS items_net_sum
@@ -445,4 +446,128 @@ def pipeline_claim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total.value").alias("total_amount"),
         F.size("item").alias("n_items"),
         net_sum.alias("items_net_sum"),
+    )
+
+
+def _linked_bundle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthea-shaped TWO-entry transaction bundles: each bundle carries
+    a Patient (fullUrl urn:uuid:uuid-<user_id>, resource.id the same
+    uuid — Synthea's convention) and an Observation whose
+    subject.reference points at the patient THROUGH the urn form, the
+    way /root/reference/tests/unit/fixtures/resources/single-patient
+    .json addresses entries. The Patient payload is a pure function of
+    user_id so repeated PUTs are byte-identical and W1 dedup is
+    value-deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    patient_id = F.concat(F.lit("uuid-"), uid)
+    patient = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            patient_id.alias("id"),
+            (F.col("user_id") % 2 == 0).alias("active"),
+            F.when(F.col("user_id") % 2 == 0, "female")
+            .otherwise("male")
+            .alias("gender"),
+        )
+    )
+    observation = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(F.lit("heart-rate").alias("text")).alias("code"),
+            F.struct(
+                F.concat(F.lit("urn:uuid:"), patient_id).alias("reference")
+            ).alias("subject"),
+        )
+    )
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.array(
+                F.struct(
+                    F.concat(F.lit("urn:uuid:"), patient_id).alias("fullUrl"),
+                    patient.alias("resource"),
+                    F.struct(
+                        F.lit("PUT").alias("method"),
+                        F.concat_ws("/", F.lit("Patient"), patient_id).alias(
+                            "url"
+                        ),
+                    ).alias("request"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.lit("urn:uuid:obs-"), F.col("event_id").cast("string")
+                    ).alias("fullUrl"),
+                    observation.alias("resource"),
+                    F.struct(
+                        F.lit("PUT").alias("method"),
+                        F.concat_ws(
+                            "/",
+                            F.lit("Observation"),
+                            F.col("event_id").cast("string"),
+                        ).alias("url"),
+                    ).alias("request"),
+                ),
+            ).alias("entry"),
+        )
+    )
+    return ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        bundle.alias("value"),
+        F.col("ts").alias("timestamp"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+
+
+@query(
+    "pipeline_reference_join",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR)                 AS obs_id,
+           'uuid-' || CAST(user_id AS VARCHAR)       AS patient_id,
+           (user_id % 2 = 0)                         AS active,
+           CASE WHEN user_id % 2 = 0 THEN 'female'
+                ELSE 'male' END                      AS gender
+    FROM events
+    """,
+)
+def pipeline_reference_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 reference resolution (VERDICT r4 item 5): Synthea-shaped
+    two-entry bundles (Patient addressed by urn:uuid fullUrl +
+    Observation whose subject.reference uses the urn form) flow through
+    the REAL parse -> explode -> per-type split -> W1 dedup -> encode
+    chain, and the encoded Observation joins the encoded Patient
+    directly on ``subject.reference = id`` — no string surgery in the
+    query, because encode_resources normalized the urn prefix away.
+    The oracle rebuilds the joined rows straight from the source table.
+
+    Scale shape: one parse of the batch feeds both type branches
+    (same single-pass routing as the streaming pipeline); the join is
+    a plain equi-join on the resolved id — broadcastable when the
+    patient dimension is small, shuffle-joinable when it is not, with
+    no reference-parsing expression in the join key to defeat
+    pushdown."""
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    events = _linked_bundle_events(spark, sf_dir)
+    entries = prepare_stream(events)
+    patients_raw = latest_per_key(
+        entries.filter(F.col("resource_type") == "Patient"),
+        key="request_url",
+    )
+    patients = encode_resources(patients_raw, "Patient").select(
+        F.col("id").alias("patient_id"), "active", "gender"
+    )
+    observations = encode_resources(
+        entries.filter(F.col("resource_type") == "Observation"), "Observation"
+    ).select(
+        F.col("id").alias("obs_id"),
+        F.col("subject.reference").alias("patient_id"),
+    )
+    return observations.join(patients, "patient_id").select(
+        "obs_id", "patient_id", "active", "gender"
     )

@@ -46,6 +46,10 @@ BUNDLE_SCHEMA = T.StructType(
             T.ArrayType(
                 T.StructType(
                     [
+                        # Synthea transaction bundles address entries by
+                        # fullUrl (urn:uuid:<id>) and cross-reference
+                        # through it; carried for reference resolution
+                        T.StructField("fullUrl", T.StringType()),
                         # resource kept as raw JSON string at this stage —
                         # full typing is deferred to encode_resources()
                         T.StructField("resource", T.StringType()),
@@ -756,3 +760,65 @@ GENERIC_SCHEMA = T.StructType([T.StructField("id", T.StringType())])
 
 def schema_for(resource_type: str) -> T.StructType:
     return RESOURCE_SCHEMAS.get(resource_type, GENERIC_SCHEMA)
+
+
+# --- reference normalization (Bundle.entry.fullUrl resolution) -----------
+
+# Synthea transaction bundles cross-reference entries as
+# 'urn:uuid:<id>' (the entry fullUrl), and REST-shaped sources use
+# relative '<Type>/<id>'; in both shapes the suffix IS the target
+# resource id (Synthea sets resource.id to the fullUrl's uuid; the
+# reference ingests via Pathling which resolves this implicitly,
+# /root/reference/src/main.py:49). Stripping either prefix makes
+# Observation.subject.reference join Patient.id directly. Absolute
+# URLs ('https://...') and conditional references ('Patient?x=y')
+# contain ':' / '?' before any '/' and are deliberately NOT touched.
+_REFERENCE_PREFIX = "^(urn:uuid:|[A-Za-z]+/)"
+
+
+def _contains_reference(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.StructType):
+        return any(
+            (f.name == "reference" and isinstance(f.dataType, T.StringType))
+            or _contains_reference(f.dataType)
+            for f in dtype.fields
+        )
+    if isinstance(dtype, T.ArrayType):
+        return _contains_reference(dtype.elementType)
+    return False
+
+
+def normalize_references(col, dtype: T.DataType):
+    """Rebuild ``col`` (typed by ``dtype``) with every FHIR
+    Reference's ``reference`` string normalized to the bare target id
+    ('urn:uuid:X' and 'Type/X' -> 'X').
+
+    Only subtrees that actually contain a Reference are rebuilt — all
+    other columns pass through untouched, so the projection stays
+    minimal. Null structs are preserved as nulls (a naive struct
+    rebuild would turn a NULL subject into struct(NULL), changing
+    IS NULL semantics downstream).
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(dtype, T.StructType):
+        if not _contains_reference(dtype):
+            return col
+        fields = []
+        for f in dtype.fields:
+            child = col.getField(f.name)
+            if f.name == "reference" and isinstance(f.dataType, T.StringType):
+                child = F.regexp_replace(child, _REFERENCE_PREFIX, "")
+            else:
+                child = normalize_references(child, f.dataType)
+            fields.append(child.alias(f.name))
+        return F.when(
+            col.isNull(), F.lit(None).cast(dtype)
+        ).otherwise(F.struct(*fields))
+    if isinstance(dtype, T.ArrayType):
+        if not _contains_reference(dtype):
+            return col
+        return F.transform(
+            col, lambda x: normalize_references(x, dtype.elementType)
+        )
+    return col

@@ -119,7 +119,8 @@ def test_multiple_resource_types_routed_to_own_tables(spark, pipeline):
     assert pipeline.table("Condition").to_df().count() == 1
     assert pipeline.table("Observation").to_df().count() == 1
     cond = pipeline.table("Condition").to_df().collect()[0]
-    assert cond["subject"]["reference"] == "Patient/1"
+    # encode_resources resolves Type/<id> references to the bare id
+    assert cond["subject"]["reference"] == "1"
 
 
 def test_unknown_resource_type_keeps_raw_json(spark, pipeline):
@@ -162,7 +163,8 @@ def test_encounter_and_procedure_encode_typed(spark, pipeline):
     enc = pipeline.table("Encounter").to_df().collect()[0]
     assert enc["status"] == "finished"
     assert enc["period"]["start"] == "2024-01-01T10:00:00Z"
-    assert enc["subject"]["reference"] == "Patient/1"
+    # encode_resources resolves Type/<id> references to the bare id
+    assert enc["subject"]["reference"] == "1"
     pr = pipeline.table("Procedure").to_df().collect()[0]
     assert pr["status"] == "completed"
     assert pr["code"]["text"] == "appendectomy"

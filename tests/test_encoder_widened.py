@@ -53,7 +53,8 @@ CASES = [
                 {"role": [{"text": "doctor"}], "member": {"reference": "Practitioner/9"}}
             ],
         },
-        lambda r: r.participant[0].member.reference == "Practitioner/9",
+        # encode_resources normalizes Type/<id> references to the bare id
+        lambda r: r.participant[0].member.reference == "9",
     ),
     (
         "Claim",
@@ -114,7 +115,7 @@ CASES = [
             "context": {"encounter": [{"reference": "Encounter/5"}]},
         },
         lambda r: r.content[0].attachment.contentType == "text/plain"
-        and r.context.encounter[0].reference == "Encounter/5",
+        and r.context.encounter[0].reference == "5",
     ),
     (
         "Goal",
@@ -231,3 +232,99 @@ def test_curated_schemas_tolerate_extra_fields(spark, rtype, resource, probe):
     row = encode_resources(df, rtype).collect()[0]
     assert row.id == resource["id"]
     assert probe(row)
+
+
+# --- reference normalization (VERDICT r4 item 5) ----------------------
+
+
+def test_normalize_references_prefix_forms(spark):
+    """urn:uuid: and Type/ prefixes resolve to the bare id; absolute
+    URLs and conditional references are untouched; NULL Reference
+    structs stay NULL (not struct(NULL))."""
+    import json
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    def obs(oid, ref):
+        subject = {"reference": ref} if ref is not None else None
+        d = {"resourceType": "Observation", "id": oid, "status": "final"}
+        if subject is not None:
+            d["subject"] = subject
+        return json.dumps(d)
+
+    rows = [
+        (obs("a", "urn:uuid:pat-1"),),
+        (obs("b", "Patient/pat-2"),),
+        (obs("c", "https://example.org/fhir/Patient/pat-3"),),
+        (obs("d", "Patient?identifier=mrn|123"),),
+        (obs("e", None),),
+    ]
+    df = spark.createDataFrame(rows, "resource string")
+    got = {
+        r["id"]: (
+            r["subject"]["reference"] if r["subject"] is not None else None,
+            r["subject"] is None,
+        )
+        for r in encode_resources(df, "Observation").collect()
+    }
+    assert got["a"][0] == "pat-1"
+    assert got["b"][0] == "pat-2"
+    assert got["c"][0] == "https://example.org/fhir/Patient/pat-3"
+    assert got["d"][0] == "Patient?identifier=mrn|123"
+    assert got["e"] == (None, True)  # null struct preserved as null
+
+
+def test_normalize_references_inside_arrays(spark):
+    """Reference structs nested in arrays (e.g. reasonReference) are
+    rewritten element-wise; opting out keeps the raw form."""
+    import json
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    doc = json.dumps(
+        {
+            "resourceType": "MedicationRequest",
+            "id": "m1",
+            "status": "active",
+            "intent": "order",
+            "subject": {"reference": "urn:uuid:p9"},
+            "reasonReference": [
+                {"reference": "Condition/c1"},
+                {"reference": "urn:uuid:c2"},
+            ],
+        }
+    )
+    df = spark.createDataFrame([(doc,)], "resource string")
+    enc = encode_resources(df, "MedicationRequest").collect()[0]
+    assert enc["subject"]["reference"] == "p9"
+    assert [x["reference"] for x in enc["reasonReference"]] == ["c1", "c2"]
+    raw = encode_resources(
+        df, "MedicationRequest", normalize_refs=False
+    ).collect()[0]
+    assert raw["subject"]["reference"] == "urn:uuid:p9"
+
+
+def test_explode_entries_carries_full_url(spark):
+    import json
+
+    from fhir_to_lakehouse_spark.operators.bundles import prepare_stream
+    from tests.fixtures import KAFKA_SCHEMA, kafka_row
+
+    bundle = json.dumps(
+        {
+            "resourceType": "Bundle",
+            "type": "transaction",
+            "entry": [
+                {
+                    "fullUrl": "urn:uuid:abc",
+                    "resource": json.dumps({"resourceType": "Patient"}),
+                    "request": {"method": "PUT", "url": "Patient/abc"},
+                }
+            ],
+        }
+    )
+    df = prepare_stream(
+        spark.createDataFrame([kafka_row(bundle)], KAFKA_SCHEMA)
+    )
+    row = df.collect()[0]
+    assert row["full_url"] == "urn:uuid:abc"
