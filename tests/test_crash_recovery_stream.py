@@ -155,3 +155,141 @@ def test_recovery_processes_only_new_data_after_commit(spark, tmp_path):
         for r in p3.table("Patient").to_df().select("id", "active").collect()
     }
     assert rows == {"1": False, "2": True}
+
+
+# --- rate-limited backfill (VERDICT r4 item 6): maxFilesPerTrigger ----
+#
+# A large backfill arrives as MANY micro-batches when the source is
+# rate-limited (file source: maxFilesPerTrigger; the kafka double
+# implements the analogous maxOffsetsPerTrigger proportional split).
+# The merge path must compose across batch boundaries: within-batch W1
+# dedup + cross-batch last-writer-wins via idempotent merge — the
+# split into batches must never change the final table state.
+
+
+class RecordingPipeline(BundlePipeline):
+    def __init__(self, spark, cfg):
+        super().__init__(spark, cfg)
+        self.batch_ids: list[int] = []
+
+    def process_batch(self, batch_df, batch_id):
+        self.batch_ids.append(batch_id)
+        super().process_batch(batch_df, batch_id)
+
+
+def _backfill_files(src_dir):
+    """Three files whose batch-order semantics exercise cross-batch
+    update, delete-of-earlier-create, and late create. mtimes are
+    staggered so the file source's oldest-first pickup is
+    deterministic."""
+    import os
+    import time
+
+    batches = [
+        ("b0.json", [
+            kafka_row(put_bundle("Patient", "1", active=True), partition=0, offset=0),
+        ]),
+        ("b1.json", [
+            kafka_row(put_bundle("Patient", "1", active=False), partition=0, offset=1),
+            kafka_row(put_bundle("Patient", "2", active=True), partition=0, offset=2),
+        ]),
+        ("b2.json", [
+            kafka_row(delete_bundle("Patient", "2"), partition=0, offset=3),
+            kafka_row(put_bundle("Patient", "3", active=True), partition=0, offset=4),
+        ]),
+    ]
+    now = time.time()
+    for i, (name, rows) in enumerate(batches):
+        _write_batch(src_dir, name, rows)
+        os.utime(src_dir / name, (now - 30 + i * 10, now - 30 + i * 10))
+
+
+_EXPECTED = {"1": False, "3": True}  # 2 deleted after its create
+
+
+def _patient_state(pipeline):
+    return {
+        r["id"]: r["active"]
+        for r in pipeline.table("Patient").to_df().select("id", "active").collect()
+    }
+
+
+def test_rate_limited_backfill_splits_batches_same_final_state(spark, tmp_path):
+    """maxFilesPerTrigger=1 under availableNow: the backfill runs as
+    one micro-batch per file, and the final state equals an unlimited
+    single-batch run over the same files."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _backfill_files(src_dir)
+
+    limited = RecordingPipeline(
+        spark,
+        PipelineConfig(
+            warehouse_dir=str(tmp_path / "wh_lim"),
+            checkpoint_dir=str(tmp_path / "ck_lim"),
+        ),
+    )
+    stream = (
+        spark.readStream.schema(KAFKA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+        .withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    )
+    q = limited.start_stream(stream, query_name="bf_lim", available_now=True)
+    q.awaitTermination(120)
+    assert len(limited.batch_ids) == 3, limited.batch_ids
+
+    unlimited = RecordingPipeline(
+        spark,
+        PipelineConfig(
+            warehouse_dir=str(tmp_path / "wh_all"),
+            checkpoint_dir=str(tmp_path / "ck_all"),
+        ),
+    )
+    q2 = unlimited.start_stream(
+        _file_stream(spark, src_dir), query_name="bf_all", available_now=True
+    )
+    q2.awaitTermination(120)
+    assert len(unlimited.batch_ids) == 1, unlimited.batch_ids
+
+    assert _patient_state(limited) == _EXPECTED
+    assert _patient_state(unlimited) == _EXPECTED
+
+
+def test_crash_mid_backfill_replays_only_uncommitted_batches(spark, tmp_path):
+    """Crash after the FIRST rate-limited batch's merge but before its
+    commit; recovery must replay that batch (idempotently) plus the
+    remaining files — never the whole backfill twice — and converge to
+    the same final state."""
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _backfill_files(src_dir)
+    cfg = PipelineConfig(
+        warehouse_dir=str(tmp_path / "wh"), checkpoint_dir=str(tmp_path / "ck")
+    )
+
+    def limited_stream():
+        return (
+            spark.readStream.schema(KAFKA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src_dir))
+            .withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+        )
+
+    crashing = CrashingPipeline(spark, cfg, crash_batches=1)
+    q = crashing.start_stream(limited_stream(), query_name="bf_cr")
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.processAllAvailable()
+        q.awaitTermination()
+    # batch 0's merge landed before the crash (at-least-once half)
+    assert _patient_state(crashing) == {"1": True}
+
+    recovered = RecordingPipeline(spark, cfg)
+    q2 = recovered.start_stream(
+        limited_stream(), query_name="bf_cr", available_now=True
+    )
+    q2.awaitTermination(120)
+    # replayed batch 0 + fresh batches 1 and 2 — exactly three, not six
+    assert len(recovered.batch_ids) == 3, recovered.batch_ids
+    assert recovered.batch_ids[0] == 0  # the uncommitted batch replays
+    assert _patient_state(recovered) == _EXPECTED
