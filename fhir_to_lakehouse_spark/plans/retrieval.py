@@ -137,23 +137,46 @@ def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: explode -> (term, doc_id) hash aggregate (map-side
     combinable: a document's repeats of a term collapse locally) ->
-    per-term aggregate. df and total_tf are exact over the whole
-    corpus; only the materialized postings column is capped, which is
-    what a real index build does too (postings are sharded to the sink,
-    not returned to a driver). At 100 TB the second aggregate's shuffle
-    carries one row per distinct (term, doc) — the index's own size —
-    and heavy terms spread across partitions until the final per-term
-    combine; for truly adversarial vocabulary skew the same two-level
-    salting used by agg_two_level_skew_safe applies.
+    two term-keyed branches over the persisted tf relation:
+
+    - exact stats: df / total_tf as a plain per-term hash aggregate;
+    - postings head: rank-filter BEFORE collect. The original form —
+      slice(sort_array(collect_list(doc_id)), 1, 20) — capped the
+      OUTPUT but still buffered a term's ENTIRE postings list in one
+      aggregation buffer: for a stopword-frequency term at 100 TB that
+      buffer is the term's full document set on a single reducer, an
+      OOM by construction (round-5 stress finding, SCALING.md). The
+      row_number window + rank<=20 filter plans as WindowGroupLimit
+      (asserted in tests/test_plan_audit.py), so each map task forwards
+      at most 20 rows per term into the exchange and no aggregation
+      buffer ever holds more than the head.
+
+    Both branches end hash-partitioned on term, so the final join adds
+    no exchange. For truly adversarial vocabulary skew the same
+    two-level salting used by agg_two_level_skew_safe applies to the
+    stats branch (the postings branch is already bounded per task).
     """
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("c"))
+        # both branches read tf; persisting avoids a second
+        # tokenize+explode scan (functions/cache.py persist contract)
+        .transform(scoped_persist)
     )
-    return tf.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.sum("c").alias("total_tf"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings_head"),
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("c").alias("total_tf")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    head = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_head"))
+    )
+    return stats.join(head, "term").select(
+        "term", "df", "total_tf", "postings_head"
     )

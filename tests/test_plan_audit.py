@@ -207,3 +207,13 @@ def test_iterative_graph_join_strategy_shapes(spark):
         assert any("BroadcastHashJoinExec" in p for p in bfs_bcast)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+def test_inverted_postings_uses_window_group_limit(spark, sf_dir):
+    """The postings head must be rank-filtered BEFORE collection
+    (WindowGroupLimit caps map-side rows at k per term); a plan that
+    re-grows the unbounded collect_list buffer is the 100 TB stopword
+    OOM the round-5 rewrite removed (SCALING.md)."""
+    df = QUERIES["search_inverted_postings"](spark, sf_dir)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

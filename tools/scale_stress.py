@@ -40,6 +40,12 @@ QUERIES_TO_RUN = [
     "events_changepoint_cusum",
     "similarity_matmul_topk",
     "similarity_ivf_topk",
+    # retrieval family (VERDICT r4 item 7): bm25's persisted tf
+    # aggregate and the postings-list slice cap are the guards under
+    # validation — the 10x corpus has 10x docs per term, so an
+    # uncapped postings list would grow superlinearly in build+store
+    "search_bm25_topk",
+    "search_inverted_postings",
 ]
 
 
