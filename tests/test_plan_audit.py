@@ -17,6 +17,7 @@ from fhir_to_lakehouse_spark.plans import QUERIES
 # design — see SCALING.md):
 BNLJ_ALLOWED = {
     "similarity_brute_topk",    # broadcast query set x corpus scan
+    "similarity_brute_topk_q500",  # same shape, Q=500 crossover twin
     "similarity_hard_negatives",  # same shape + label-mismatch predicate
     "similarity_ivf_topk",      # broadcast centroids (non-equi argmin)
     "similarity_hyperplane_lsh_topk",
