@@ -571,3 +571,110 @@ def pipeline_reference_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return observations.join(patients, "patient_id").select(
         "obs_id", "patient_id", "active", "gender"
     )
+
+
+@query(
+    "pipeline_dangling_references",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR)             AS obs_id,
+           'uuid-' || CAST(user_id AS VARCHAR)   AS missing_patient_ref
+    FROM events WHERE user_id % 2 = 1
+    """,
+)
+def pipeline_dangling_references(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity check over the ingested lakehouse: find
+    Observations whose (normalized) subject reference has no matching
+    Patient row — the data-quality gate a healthcare deployment runs
+    after every ingest batch, and the first query reference
+    normalization makes expressible as a plain anti-join.
+
+    Bundles are synthesized so only even user_ids ship a Patient entry;
+    odd ones reference a patient that never arrives. The chain is the
+    real parse -> explode -> split -> dedup -> encode path; the check
+    itself is encoded_observations LEFT ANTI JOIN encoded_patients ON
+    subject.reference = id. At scale both sides are table scans and the
+    anti-join shuffles on the id key only (no reference-parsing
+    expression in the key; broadcastable when the patient dim fits)."""
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    ev = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    patient_id = F.concat(F.lit("uuid-"), uid)
+    patient = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            patient_id.alias("id"),
+            F.lit(True).alias("active"),
+        )
+    )
+    observation = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(
+                F.concat(F.lit("urn:uuid:"), patient_id).alias("reference")
+            ).alias("subject"),
+        )
+    )
+    entry_struct_type = (
+        "struct<fullUrl:string,resource:string,"
+        "request:struct<method:string,url:string>>"
+    )
+    patient_entry = F.when(
+        F.col("user_id") % 2 == 0,
+        F.struct(
+            F.concat(F.lit("urn:uuid:"), patient_id).alias("fullUrl"),
+            patient.alias("resource"),
+            F.struct(
+                F.lit("PUT").alias("method"),
+                F.concat_ws("/", F.lit("Patient"), patient_id).alias("url"),
+            ).alias("request"),
+        ),
+    ).otherwise(F.lit(None).cast(entry_struct_type))
+    obs_entry = F.struct(
+        F.concat(F.lit("urn:uuid:obs-"), F.col("event_id").cast("string")).alias(
+            "fullUrl"
+        ),
+        observation.alias("resource"),
+        F.struct(
+            F.lit("PUT").alias("method"),
+            F.concat_ws(
+                "/", F.lit("Observation"), F.col("event_id").cast("string")
+            ).alias("url"),
+        ).alias("request"),
+    )
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.filter(
+                F.array(patient_entry, obs_entry), lambda e: e.isNotNull()
+            ).alias("entry"),
+        )
+    )
+    events = ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        bundle.alias("value"),
+        F.col("ts").alias("timestamp"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+    entries = prepare_stream(events)
+    patients = encode_resources(
+        latest_per_key(
+            entries.filter(F.col("resource_type") == "Patient"),
+            key="request_url",
+        ),
+        "Patient",
+    ).select(F.col("id").alias("patient_id"))
+    observations = encode_resources(
+        entries.filter(F.col("resource_type") == "Observation"), "Observation"
+    ).select(
+        F.col("id").alias("obs_id"),
+        F.col("subject.reference").alias("patient_id"),
+    )
+    return observations.join(patients, "patient_id", "left_anti").select(
+        "obs_id", F.col("patient_id").alias("missing_patient_ref")
+    )

@@ -729,6 +729,252 @@ SUPPLY_DELIVERY_SCHEMA = T.StructType(
     ]
 )
 
+# --- round-5 widening: the common non-Synthea R4 types a hospital
+# integration feed carries (admin/master-data + workflow resources).
+# Same curation rule as the Synthea set: typed columns for the fields
+# real queries touch, lossless resource_json for the rest.
+
+LOCATION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("type", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("address", _ADDRESS.elementType),
+        T.StructField(
+            "position",
+            T.StructType(
+                [
+                    T.StructField("longitude", T.DoubleType()),
+                    T.StructField("latitude", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("managingOrganization", _REFERENCE),
+        T.StructField("partOf", _REFERENCE),
+    ]
+)
+
+MEDICATION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("manufacturer", _REFERENCE),
+        T.StructField("form", _CODEABLE_CONCEPT),
+        T.StructField(
+            "ingredient",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("itemCodeableConcept", _CODEABLE_CONCEPT),
+                        T.StructField("isActive", T.BooleanType()),
+                        T.StructField(
+                            "strength",
+                            T.StructType(
+                                [
+                                    T.StructField("numerator", _QUANTITY),
+                                    T.StructField("denominator", _QUANTITY),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+COVERAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField("subscriber", _REFERENCE),
+        T.StructField("beneficiary", _REFERENCE),
+        T.StructField("relationship", _CODEABLE_CONCEPT),
+        T.StructField("period", _PERIOD),
+        T.StructField("payor", T.ArrayType(_REFERENCE)),
+        T.StructField(
+            "class",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", _CODEABLE_CONCEPT),
+                        T.StructField("value", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+PROVENANCE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("target", T.ArrayType(_REFERENCE)),
+        T.StructField("recorded", T.StringType()),
+        T.StructField(
+            "agent",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", _CODEABLE_CONCEPT),
+                        T.StructField("who", _REFERENCE),
+                        T.StructField("onBehalfOf", _REFERENCE),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("activity", _CODEABLE_CONCEPT),
+    ]
+)
+
+RELATED_PERSON_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("relationship", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("name", _HUMAN_NAME),
+        T.StructField("gender", T.StringType()),
+        T.StructField("birthDate", T.DateType()),
+        T.StructField("telecom", _TELECOM),
+        T.StructField("address", _ADDRESS),
+    ]
+)
+
+SERVICE_REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("intent", T.StringType()),
+        T.StructField("priority", T.StringType()),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("category", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("requester", _REFERENCE),
+        T.StructField("performer", T.ArrayType(_REFERENCE)),
+        T.StructField("authoredOn", T.StringType()),
+        T.StructField("occurrenceDateTime", T.StringType()),
+        T.StructField("reasonReference", T.ArrayType(_REFERENCE)),
+    ]
+)
+
+SPECIMEN_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("receivedTime", T.StringType()),
+        T.StructField(
+            "collection",
+            T.StructType(
+                [
+                    T.StructField("collector", _REFERENCE),
+                    T.StructField("collectedDateTime", T.StringType()),
+                    T.StructField("quantity", _QUANTITY),
+                    T.StructField("bodySite", _CODEABLE_CONCEPT),
+                ]
+            ),
+        ),
+        T.StructField(
+            "container",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", _CODEABLE_CONCEPT),
+                        T.StructField("capacity", _QUANTITY),
+                        T.StructField("specimenQuantity", _QUANTITY),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+APPOINTMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("appointmentType", _CODEABLE_CONCEPT),
+        T.StructField("description", T.StringType()),
+        T.StructField("start", T.StringType()),
+        T.StructField("end", T.StringType()),
+        T.StructField("minutesDuration", T.IntegerType()),
+        T.StructField(
+            "participant",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("actor", _REFERENCE),
+                        T.StructField("required", T.StringType()),
+                        T.StructField("status", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+PRACTITIONER_ROLE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("period", _PERIOD),
+        T.StructField("practitioner", _REFERENCE),
+        T.StructField("organization", _REFERENCE),
+        T.StructField("code", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("specialty", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("location", T.ArrayType(_REFERENCE)),
+        T.StructField("telecom", _TELECOM),
+    ]
+)
+
+QUESTIONNAIRE_RESPONSE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("questionnaire", T.StringType()),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("authored", T.StringType()),
+        T.StructField(
+            "item",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("linkId", T.StringType()),
+                        T.StructField("text", T.StringType()),
+                        T.StructField(
+                            "answer",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("valueString", T.StringType()),
+                                        T.StructField(
+                                            "valueDecimal",
+                                            T.DecimalType(38, 18),
+                                        ),
+                                        T.StructField(
+                                            "valueBoolean", T.BooleanType()
+                                        ),
+                                        T.StructField("valueCoding", _CODING.elementType),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
 RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "Patient": PATIENT_SCHEMA,
     "Condition": CONDITION_SCHEMA,
@@ -751,6 +997,16 @@ RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "Device": DEVICE_SCHEMA,
     "ImagingStudy": IMAGING_STUDY_SCHEMA,
     "SupplyDelivery": SUPPLY_DELIVERY_SCHEMA,
+    "Location": LOCATION_SCHEMA,
+    "Medication": MEDICATION_SCHEMA,
+    "Coverage": COVERAGE_SCHEMA,
+    "Provenance": PROVENANCE_SCHEMA,
+    "RelatedPerson": RELATED_PERSON_SCHEMA,
+    "ServiceRequest": SERVICE_REQUEST_SCHEMA,
+    "Specimen": SPECIMEN_SCHEMA,
+    "Appointment": APPOINTMENT_SCHEMA,
+    "PractitionerRole": PRACTITIONER_ROLE_SCHEMA,
+    "QuestionnaireResponse": QUESTIONNAIRE_RESPONSE_SCHEMA,
 }
 
 # Fallback for resource types without a curated schema: id only (the

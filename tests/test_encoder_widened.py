@@ -183,6 +183,176 @@ CASES = [
         },
         lambda r: r.suppliedItem.itemCodeableConcept.text == "gauze",
     ),
+    # --- round-5 widening: common non-Synthea R4 admin/workflow types
+    (
+        "Location",
+        {
+            "id": "l1",
+            "status": "active",
+            "name": "Ward 3B",
+            "mode": "instance",
+            "position": {"longitude": -71.06, "latitude": 42.36},
+            "managingOrganization": {"reference": "Organization/o1"},
+        },
+        lambda r: r.name == "Ward 3B"
+        and abs(r.position.latitude - 42.36) < 1e-9
+        and r.managingOrganization.reference == "o1",
+    ),
+    (
+        "Medication",
+        {
+            "id": "med1",
+            "status": "active",
+            "code": {"text": "amoxicillin"},
+            "ingredient": [
+                {
+                    "itemCodeableConcept": {"text": "amoxicillin trihydrate"},
+                    "isActive": True,
+                    "strength": {
+                        "numerator": {"value": 500.0, "unit": "mg"},
+                        "denominator": {"value": 1.0, "unit": "tablet"},
+                    },
+                }
+            ],
+        },
+        lambda r: r.ingredient[0].strength.numerator.unit == "mg"
+        and float(r.ingredient[0].strength.numerator.value) == 500.0,
+    ),
+    (
+        "Coverage",
+        {
+            "id": "cov1",
+            "status": "active",
+            "beneficiary": {"reference": "Patient/1"},
+            "payor": [{"reference": "Organization/ins1"}],
+            "class": [
+                {"type": {"text": "group"}, "value": "G-77", "name": "Acme"}
+            ],
+        },
+        lambda r: r.beneficiary.reference == "1"
+        and r.payor[0].reference == "ins1"
+        and getattr(r, "class")[0].value == "G-77",
+    ),
+    (
+        "Provenance",
+        {
+            "id": "prov1",
+            "target": [{"reference": "urn:uuid:obs-9"}],
+            "recorded": "2024-03-01T12:00:00Z",
+            "agent": [
+                {
+                    "type": {"text": "author"},
+                    "who": {"reference": "Practitioner/p7"},
+                }
+            ],
+        },
+        lambda r: r.target[0].reference == "obs-9"
+        and r.agent[0].who.reference == "p7",
+    ),
+    (
+        "RelatedPerson",
+        {
+            "id": "rp1",
+            "active": True,
+            "patient": {"reference": "Patient/1"},
+            "relationship": [{"text": "mother"}],
+            "name": [{"family": "Doe", "given": ["Jane"]}],
+            "gender": "female",
+        },
+        lambda r: r.patient.reference == "1"
+        and r.relationship[0].text == "mother"
+        and r.name[0].given == ["Jane"],
+    ),
+    (
+        "ServiceRequest",
+        {
+            "id": "sr1",
+            "status": "active",
+            "intent": "order",
+            "priority": "routine",
+            "code": {"text": "MRI knee"},
+            "subject": {"reference": "Patient/1"},
+            "requester": {"reference": "Practitioner/p2"},
+            "reasonReference": [{"reference": "Condition/c3"}],
+        },
+        lambda r: r.code.text == "MRI knee"
+        and r.requester.reference == "p2"
+        and r.reasonReference[0].reference == "c3",
+    ),
+    (
+        "Specimen",
+        {
+            "id": "sp1",
+            "status": "available",
+            "type": {"text": "venous blood"},
+            "subject": {"reference": "Patient/1"},
+            "collection": {
+                "collector": {"reference": "Practitioner/p3"},
+                "collectedDateTime": "2024-05-05T08:00:00Z",
+                "quantity": {"value": 5.0, "unit": "mL"},
+            },
+        },
+        lambda r: r.collection.quantity.unit == "mL"
+        and r.collection.collector.reference == "p3",
+    ),
+    (
+        "Appointment",
+        {
+            "id": "ap1",
+            "status": "booked",
+            "description": "follow-up",
+            "start": "2024-06-01T09:00:00Z",
+            "minutesDuration": 30,
+            "participant": [
+                {"actor": {"reference": "Patient/1"}, "status": "accepted"},
+                {
+                    "actor": {"reference": "Practitioner/p4"},
+                    "status": "accepted",
+                },
+            ],
+        },
+        lambda r: r.minutesDuration == 30
+        and [p.actor.reference for p in r.participant] == ["1", "p4"],
+    ),
+    (
+        "PractitionerRole",
+        {
+            "id": "pr1",
+            "active": True,
+            "practitioner": {"reference": "Practitioner/p5"},
+            "organization": {"reference": "Organization/o2"},
+            "specialty": [{"text": "cardiology"}],
+            "location": [{"reference": "Location/l1"}],
+        },
+        lambda r: r.practitioner.reference == "p5"
+        and r.specialty[0].text == "cardiology"
+        and r.location[0].reference == "l1",
+    ),
+    (
+        "QuestionnaireResponse",
+        {
+            "id": "qr1",
+            "status": "completed",
+            "questionnaire": "Questionnaire/phq-9",
+            "subject": {"reference": "Patient/1"},
+            "authored": "2024-07-01T10:00:00Z",
+            "item": [
+                {
+                    "linkId": "q1",
+                    "text": "feeling down?",
+                    "answer": [{"valueBoolean": True}],
+                },
+                {
+                    "linkId": "q2",
+                    "text": "score",
+                    "answer": [{"valueDecimal": 7.5}],
+                },
+            ],
+        },
+        lambda r: r.item[0].answer[0].valueBoolean is True
+        and float(r.item[1].answer[0].valueDecimal) == 7.5
+        and r.subject.reference == "1",
+    ),
 ]
 
 
