@@ -177,3 +177,76 @@ def shingle_hashes_from_tokens(toks: Column, k: int = 3) -> Column:
             )
         ),
     ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+
+
+def learn_bpe_merges(
+    words,  # DataFrame (word string, freq long) — the corpus vocabulary
+    n_merges: int = 8,
+):
+    """Greedy BPE vocabulary induction (Sennrich et al. 2016), the
+    iterative continuation of the single-step pair count
+    (plans/text.py::text_bpe_pair_counts): learn ``n_merges`` merge
+    rules, each round picking the most frequent adjacent symbol pair
+    (weighted by word frequency; ties broken left-asc, right-asc for
+    engine determinism) and fusing it non-overlapping left-to-right in
+    every word. Returns the learned rules as a list of
+    ``(rank, left, right, pair_count)`` tuples.
+
+    Distribution discipline (the production-trainer shape):
+
+    - State is the VOCABULARY (distinct word -> symbol array, freq),
+      bounded by vocab size, never the corpus — the corpus collapsed
+      to word counts before this function.
+    - Each round is ONE map-side-combinable pair aggregate + a 1-row
+      argmax collect (the merge rule is a scalar by definition) + one
+      narrow per-row fold that applies the merge. No shuffle grows
+      with iteration count.
+    - The symbol frame is localCheckpoint-ed per round: the fold's
+      lineage would otherwise nest n_merges deep (same measured
+      planning cliff as functions/graph.py::pagerank).
+    - The left-to-right fold handles overlapping occurrences exactly
+      like the reference algorithm ('aaa' + (a,a) -> ['aa','a']):
+      a freshly merged symbol never re-matches as the left side within
+      the same pass.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    sym = words.select(chars.alias("sym"), "freq").localCheckpoint(eager=True)
+
+    pair_struct = F.expr(
+        "transform(sequence(1, size(sym) - 1),"
+        " i -> struct(element_at(sym, i) AS l, element_at(sym, i + 1) AS r))"
+    )
+    rules: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            sym.filter(F.size("sym") >= 2)
+            .select(F.col("freq"), F.explode(pair_struct).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.l").asc(), F.col("p.r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # no adjacent pairs left anywhere
+        left, right, n = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["n"]
+        rules.append((rank, left, right, int(n)))
+        fused = F.aggregate(
+            F.col("sym"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        sym = sym.select(fused.alias("sym"), "freq").localCheckpoint(
+            eager=True
+        )
+    return rules

@@ -487,3 +487,31 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("shingle").asc())
         .limit(20)
     )
+
+
+@query("text_bpe_learn_merges")  # rows-only: iterative argmax, no SQL oracle
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE training (8 merge rules) over the corpus
+    vocabulary — the tokenizer-training op itself, extending the
+    single-step text_bpe_pair_counts. Iterative greedy argmax is not
+    SQL-expressible, so this entry is rows-only for the driver;
+    tests/test_text_functions.py value-locks the ENTIRE merge sequence
+    against an independent pure-Python reference implementation of
+    Sennrich-style BPE on the same word counts (exact rule-by-rule
+    equality including tie-breaks and pair counts).
+
+    Scale shape: see functions/text.py::learn_bpe_merges — state is
+    the vocabulary, each round is one map-side-combinable aggregate +
+    a 1-row collect + a narrow fold, lineage checkpointed per round."""
+    from fhir_to_lakehouse_spark.functions.text import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(TX.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rules = learn_bpe_merges(words, n_merges=8)
+    return spark.createDataFrame(
+        rules, "merge_rank int, left string, right string, pair_count long"
+    )

@@ -45,6 +45,10 @@ _SKIP = {
     "media_resize",
     "media_features",
     "media_frame_sample",
+    # iterative trainer: the builder runs the merge loop (bounded
+    # 1-row collects per round); the returned frame is a local
+    # n_merges-row relation with no plan to audit
+    "text_bpe_learn_merges",
 }
 
 

@@ -125,3 +125,89 @@ def test_trigram_lm_counts_conservation(spark, sf_dir):
     # (ctx, nxt) rows are unique, so no duplicate inflation of the
     # continuation window
     assert out.count() == out.select("ctx", "nxt").distinct().count()
+
+
+# --- iterative BPE training golden (round 5) --------------------------
+
+
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """Independent pure-Python Sennrich-style BPE: per round, count
+    adjacent symbol pairs weighted by word freq, pick (count desc,
+    left asc, right asc), fuse non-overlapping left-to-right."""
+    vocab = {w: [c for c in w] for w in word_freqs}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((rank, left, right, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return rules
+
+
+def test_learn_bpe_merges_matches_reference_implementation(spark):
+    from fhir_to_lakehouse_spark.functions.text import learn_bpe_merges
+
+    freqs = {
+        "lower": 6,
+        "lowest": 3,
+        "newer": 8,
+        "newest": 5,
+        "wider": 2,
+        "low": 9,
+        "new": 4,
+        "a": 7,          # single char: contributes no pairs
+        "aaaa": 3,       # overlapping-run case: (a,a) fuses to aa aa
+    }
+    words = spark.createDataFrame(
+        list(freqs.items()), "word string, freq long"
+    )
+    got = learn_bpe_merges(words, n_merges=10)
+    want = _bpe_reference(freqs, 10)
+    assert got == want, f"\nspark: {got}\nref:   {want}"
+    # sanity on the shape: ranks are 1..k, counts non-increasing is NOT
+    # required by BPE (later merges can beat earlier residual counts),
+    # but every count must be positive
+    assert [r[0] for r in got] == list(range(1, len(got) + 1))
+    assert all(r[3] > 0 for r in got)
+
+
+def test_learn_bpe_merges_run_fusion_is_left_to_right(spark):
+    """'aaaa' under rule (a,a) must become ['aa','aa'], and the next
+    round's top pair is then (aa,aa) — the non-overlapping greedy fold,
+    exactly like the reference algorithm."""
+    from fhir_to_lakehouse_spark.functions.text import learn_bpe_merges
+
+    words = spark.createDataFrame([("aaaa", 5)], "word string, freq long")
+    got = learn_bpe_merges(words, n_merges=2)
+    assert got == [(1, "a", "a", 15), (2, "aa", "aa", 5)]
+
+
+def test_learn_bpe_merges_stops_when_no_pairs_remain(spark):
+    from fhir_to_lakehouse_spark.functions.text import learn_bpe_merges
+
+    words = spark.createDataFrame(
+        [("ab", 1), ("c", 4)], "word string, freq long"
+    )
+    got = learn_bpe_merges(words, n_merges=5)
+    assert got == [(1, "a", "b", 1)]  # after 'ab' fuses, nothing pairs
