@@ -32,6 +32,11 @@ SENSITIVE = [
     "events_anomaly_mad",
     "events_changepoint_cusum",
     "similarity_hard_negatives",
+    # round 5: WindowGroupLimit rank under re-partitioning; W1 dedup +
+    # anti-join through the bundle chain; iterative argmax tie-breaks
+    "search_inverted_postings",
+    "pipeline_dangling_references",
+    "text_bpe_learn_merges",
 ]
 
 # (shuffle partitions, max scan partition bytes): one layout splits the
