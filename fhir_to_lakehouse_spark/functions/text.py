@@ -250,3 +250,54 @@ def learn_bpe_merges(
             eager=True
         )
     return rules
+
+
+def misra_gries_candidates(tokens_df, token_col: str = "token", k: int = 50):
+    """Per-partition Misra-Gries heavy-hitter CANDIDATE generation:
+    each partition emits at most ``k`` tokens, and the union is
+    guaranteed to contain every token with global frequency > N/k
+    (pigeonhole: a globally heavy token must be locally heavy in at
+    least one partition, and batched MG's cumulative decrement is
+    bounded by N_p/(k+1) < N_p/k, so a locally heavy token's counter
+    ends positive). Output is (token) rows — candidates only, counts
+    discarded because MG counts are underestimates; the caller's exact
+    second pass recounts.
+
+    This is the scale pattern that makes exact heavy hitters cheap at
+    100 TB: pass 1 reduces the shuffle from |vocab| rows to at most
+    k x partitions candidate rows + one semi-join, while the final
+    answer stays EXACTLY equal to GROUP BY ... HAVING count > N/k
+    (which is why the registry entry carries a plain SQL oracle
+    despite the sketch in the middle).
+
+    Batched MG reduction: merge a batch's value_counts into the
+    counter dict; while more than k counters remain, subtract the
+    (m-k)-th smallest count from all and drop non-positives — each
+    such subtraction of t removes >= t*(k+1) total mass, preserving
+    the classic decrement bound.
+    """
+    import pandas as pd  # noqa: F811 — vectorized per-batch counts
+    from pyspark.sql import types as T
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    out_schema = T.StructType([T.StructField(token_col, T.StringType())])
+
+    def per_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf[token_col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            m = len(counters)
+            if m > k:
+                counts = sorted(counters.values())
+                t = counts[m - k - 1]  # (m-k)-th smallest
+                counters = {
+                    tok: c - t for tok, c in counters.items() if c - t > 0
+                }
+        yield pd.DataFrame({token_col: list(counters)})
+
+    return tokens_df.select(token_col).mapInPandas(
+        per_partition, schema=out_schema
+    )

@@ -460,3 +460,97 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs("cusum").alias("peak_abs_cusum"),
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
+    ), s2 AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT e.user_id, e.ts, e.event_id,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND (e.ts, e.event_id) > (s1.ts, s1.event_id)
+      ) WHERE rn = 1
+    ), s3 AS (
+      SELECT user_id FROM (
+        SELECT e.user_id,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND (e.ts, e.event_id) > (s2.ts, s2.event_id)
+      ) WHERE rn = 1
+    ), n AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT 1 AS stage, 'view' AS step, n1 AS users,
+           1.0 AS conv_from_prev FROM n
+    UNION ALL
+    SELECT 2, 'click', n2, ROUND(n2 / n1, 6) FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n3, ROUND(n3 / n2, 6) FROM n
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): a user
+    reaches stage k only via an event strictly AFTER their chosen
+    stage-(k-1) event ((ts, event_id) lexicographic, so simultaneous
+    timestamps break deterministically). Output: users per stage +
+    conversion rate from the previous stage.
+
+    Shape: each stage is one filtered min-struct aggregate keyed on
+    user_id joined against the previous stage's frontier — the join
+    key is user_id throughout, so all three stages reuse one hash
+    partitioning (no re-shuffle of the events relation beyond its
+    per-stage filtered scan; at 100 TB, pre-bucketing events by
+    user_id makes every stage co-located). The struct min is an
+    argmin aggregate, not a window sort — map-side combinable, hot
+    users collapse before the exchange. Stage counts are 1-row
+    aggregates crossJoin-broadcast into the 3-row stacked result
+    (whitelisted tiny BNLJ, same class as bm25's corpus stats)."""
+    ev = load_table(spark, sf_dir, "events")
+    pair = F.struct(F.col("ts"), F.col("event_id"))
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(pair).alias("p1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", pair.alias("p"))
+        .join(s1, "user_id")
+        .filter(F.col("p") > F.col("p1"))
+        .groupBy("user_id")
+        .agg(F.min("p").alias("p2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", pair.alias("p"))
+        .join(s2, "user_id")
+        .filter(F.col("p") > F.col("p2"))
+        .groupBy("user_id")
+        .agg(F.min("p").alias("p3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    row = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+    return row.selectExpr(
+        "stack(3,"
+        " 1, 'view',     n1, CAST(1.0 AS DOUBLE),"
+        " 2, 'click',    n2, ROUND(n2 / n1, 6),"
+        " 3, 'purchase', n3, ROUND(n3 / n2, 6)"
+        ") AS (stage, step, users, conv_from_prev)"
+    )

@@ -515,3 +515,52 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+@query(
+    "text_heavy_hitters_exact",
+    oracle=f"""
+    WITH e AS (
+      SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+    ), t AS (SELECT COUNT(*) AS n FROM e)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT)                      AS cnt,
+           ROUND(COUNT(*) / (SELECT n FROM t), 6)        AS share
+    FROM e GROUP BY token
+    HAVING COUNT(*) > (SELECT n FROM t) / 50.0
+    """,
+)
+def text_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with global frequency > N/k, k=50)
+    via the two-pass sketch-pruned pattern: per-partition Misra-Gries
+    candidate generation (functions/text.py::misra_gries_candidates —
+    at most k candidate tokens leave each partition) followed by an
+    exact recount restricted to the candidate set. The MG guarantee
+    makes the candidate union a superset of the true answer, so the
+    result is EXACTLY `GROUP BY token HAVING count > N/k` — the plain
+    SQL is the oracle, the sketch is invisible in the output.
+
+    At 100 TB the win is the shuffle: the naive exact plan shuffles
+    one row per distinct (vocab-sized); this plan shuffles at most
+    k x partitions candidate rows plus the semi-joined recount. N is
+    a 1-row broadcast (bm25-stats class)."""
+    from fhir_to_lakehouse_spark.functions.text import misra_gries_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    cand = misra_gries_candidates(tok, k=50).distinct()
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    counted = (
+        tok.join(F.broadcast(cand), "token")  # candidate semi-join
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.col("n") / F.lit(50.0))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )

@@ -37,6 +37,8 @@ SENSITIVE = [
     "search_inverted_postings",
     "pipeline_dangling_references",
     "text_bpe_learn_merges",
+    # MG candidate sets differ per layout; the exact recount must not
+    "text_heavy_hitters_exact",
 ]
 
 # (shuffle partitions, max scan partition bytes): one layout splits the

@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     "graph_pagerank_trade",       # 1-row |V| / dangling-mass broadcasts
     "sample_temperature_mixing",  # 1-row total/Z/max-rate broadcasts over |langs| rows
     "quality_ccnet_buckets",      # 1-row corpus-total broadcast (vocab p table)
+    "events_funnel_conversion",   # 1-row stage-count broadcasts -> 3-row stack
+    "text_heavy_hitters_exact",   # 1-row total-N broadcast (bm25-stats class)
 }
 
 _SKIP = {

@@ -211,3 +211,65 @@ def test_learn_bpe_merges_stops_when_no_pairs_remain(spark):
     )
     got = learn_bpe_merges(words, n_merges=5)
     assert got == [(1, "a", "b", 1)]  # after 'ab' fuses, nothing pairs
+
+
+# --- Misra-Gries heavy-hitter candidates (round 5) --------------------
+
+
+def test_mg_candidates_superset_of_true_heavy_hitters(spark):
+    """Adversarial layout: the heavy token is spread thin across many
+    partitions, light tokens are dense locally. The candidate union
+    must still contain every token with global freq > N/k."""
+    from fhir_to_lakehouse_spark.functions.text import misra_gries_candidates
+
+    rows = []
+    # 'hot' appears 400x globally; 200 distinct noise tokens 2x each
+    for i in range(400):
+        rows.append(("hot",))
+    for i in range(200):
+        rows += [(f"noise{i}",), (f"noise{i}",)]
+    df = spark.createDataFrame(rows, "token string").repartition(16)
+    k = 3  # threshold N/k = 800/3 ≈ 267 — only 'hot' qualifies
+    cands = {
+        r["token"] for r in misra_gries_candidates(df, k=k).distinct().collect()
+    }
+    assert "hot" in cands
+    # per-partition cap held: at most k candidates per partition
+    assert len(cands) <= 16 * k
+
+
+def test_mg_candidates_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from fhir_to_lakehouse_spark.functions.text import misra_gries_candidates
+
+    df = spark.createDataFrame([("a",)], "token string")
+    with _pytest.raises(ValueError, match="k must be"):
+        misra_gries_candidates(df, k=0)
+
+
+def test_heavy_hitters_query_equals_plain_group_by(spark, sf_dir):
+    """The sketch must be invisible: the registry entry's result equals
+    the naive exact plan computed without any candidate pruning."""
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.functions.text import tokens
+    from fhir_to_lakehouse_spark.plans import QUERIES
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    got = {
+        (r["token"], r["cnt"], r["share"])
+        for r in QUERIES["text_heavy_hitters_exact"](spark, sf_dir).collect()
+    }
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    n = tok.count()
+    want = {
+        (r["token"], r["cnt"], round(r["cnt"] / n, 6))
+        for r in tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > n / 50.0)
+        .collect()
+    }
+    assert got == want and len(got) > 0
