@@ -421,3 +421,56 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.prefix_filter_pairs(
         sh, set_col="sh", id_col="doc_id", threshold=0.5
     )
+
+
+@query(
+    "dedup_cluster_components_star",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(node)                AS canonical_id
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clustering as dedup_cluster_components (identical
+    recursive-CTE oracle over the identical md5-minhash pair list) via
+    the large-star/small-star contraction
+    (functions/graph.py::connected_components_star) instead of label
+    propagation — the O(log n)-round algorithm whose convergence does
+    not depend on component diameter. Shipping both as oracle-checked
+    twins means a 100 TB deployment can pick per-graph-shape (shallow
+    near-dup cliques -> propagation's cheaper rounds; unknown/chained
+    shapes -> star's bounded round count) with proof the answers are
+    identical."""
+    from fhir_to_lakehouse_spark.functions.graph import (
+        connected_components_star,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs,
+        num_hashes=_MINHASH_K,
+        bands=_MINHASH_BANDS,
+        threshold=0.25,
+        shingle_k=3,
+    )
+    comps = connected_components_star(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("canonical_id"),
+    )

@@ -182,3 +182,63 @@ def test_pagerank_threshold_bool_is_not_treated_as_int(spark):
     assert _small_enough_to_broadcast(0, False) is False
     assert _small_enough_to_broadcast(5, 5) is True
     assert _small_enough_to_broadcast(6, 5) is False
+
+
+# --- large-star/small-star CC (round 5: adversarial diameters) --------
+
+
+def _cc_star(spark, pairs, **kw):
+    from fhir_to_lakehouse_spark.functions.graph import connected_components_star
+
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        r.node: r.component
+        for r in connected_components_star(edges, **kw).collect()
+    }
+
+
+def test_star_cc_matches_label_propagation_on_random_graphs(spark):
+    import random
+
+    from fhir_to_lakehouse_spark.functions.graph import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        pairs = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(45)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        want = {
+            r.node: r.component
+            for r in connected_components(edges, max_iterations=40).collect()
+        }
+        got = _cc_star(spark, pairs)
+        assert got == want, f"trial {trial}: star CC diverges"
+
+
+def test_star_cc_converges_on_long_chain_in_log_rounds(spark):
+    """A 60-hop chain needs 60 label-propagation rounds but only
+    O(log 60) star rounds — the documented adversarial-diameter case
+    (functions/graph.py module docstring) is now executable."""
+    chain = [(i, i + 1) for i in range(60)]
+    got = _cc_star(spark, chain, max_rounds=8)
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_star_cc_handles_singleton_free_duplicates_and_self_loops(spark):
+    pairs = [(5, 5), (1, 2), (2, 1), (8, 9)]  # self-loop + dup edges
+    got = _cc_star(spark, pairs)
+    assert got == {5: 5, 1: 1, 2: 1, 8: 8, 9: 8}
+
+
+def test_star_cc_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from fhir_to_lakehouse_spark.functions.graph import connected_components_star
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="max_rounds"):
+        connected_components_star(edges, max_rounds=0)
+    with _pytest.raises(ValueError, match="on_unconverged"):
+        connected_components_star(edges, on_unconverged="ignore")
