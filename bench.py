@@ -68,6 +68,10 @@ HEADLINE = [
     # Arrow matmul batches it; SCALING.md records the measured ratio
     "similarity_brute_topk_q500",
     "similarity_matmul_topk_q500",
+    # round 5 continued: ordered-funnel argmin chain + sketch-pruned
+    # exact heavy hitters (Misra-Gries candidates, exact recount)
+    "events_funnel_conversion",
+    "text_heavy_hitters_exact",
 ]
 
 
