@@ -408,6 +408,9 @@ def main() -> None:
         if s.strip()
     }
 
+    from fhir_to_lakehouse_spark.functions.cache import (
+        release_all_persistent_rdds,
+    )
     from fhir_to_lakehouse_spark.plans import QUERIES
     from fhir_to_lakehouse_spark.session import get_spark
 
@@ -464,6 +467,13 @@ def main() -> None:
             # inside its measured passes — cross-entry state, not
             # per-pass work, is what gets dropped.
             spark.catalog.clearCache()
+            # ... and clearCache misses localCheckpoint blocks
+            # entirely (BlockManager, not the SQL cache): iterative
+            # entries leaked +3 persistent RDDs per run into the
+            # session before round 5 added in-function release_
+            # checkpoint hygiene; this blunt sweep guarantees a clean
+            # slate even for future entries without it.
+            release_all_persistent_rdds(spark)
 
     for name, fn in (
         ("etl_pipeline_batch", bench_etl_pipeline),

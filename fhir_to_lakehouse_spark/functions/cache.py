@@ -55,12 +55,12 @@ def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
 
 @contextmanager
 def persist_scope(blocking: bool = False):
-    """Release every :func:`scoped_persist` cache created inside the
-    block on exit. Scopes nest: an inner scope owns (and releases) only
-    its own caches. Yields the registry list so a caller can append
-    DataFrames it persisted itself. Unpersisting a frame twice is a
-    Spark no-op, so builders that also release internally are safe to
-    register."""
+    """Release every :func:`scoped_persist` cache and
+    :func:`scoped_local_checkpoint` block created inside the block on
+    exit. Scopes nest: an inner scope owns (and releases) only its own
+    caches. Yields the registry list so a caller can append DataFrames
+    it persisted itself. Unpersisting a frame twice is a Spark no-op,
+    so builders that also release internally are safe to register."""
     reg: list[DataFrame] = []
     token = _ACTIVE.set(reg)
     try:
@@ -72,3 +72,72 @@ def persist_scope(blocking: bool = False):
                 df.unpersist(blocking)
             except Exception:
                 pass
+            release_checkpoint(df, blocking)
+
+
+# --- localCheckpoint lifecycle -------------------------------------------
+#
+# localCheckpoint has the SAME leak shape as persist, one layer lower:
+# the checkpointed blocks live in the BlockManager keyed by an RDD that
+# stays registered in sc.persistentRdds until explicitly unpersisted —
+# spark.catalog.clearCache() does NOT touch them (it clears only the
+# SQL CacheManager), and the ContextCleaner frees them only when the
+# JVM-side RDD object is garbage collected, which py4j reference
+# lifetimes make effectively unbounded. Measured: each
+# graph_pagerank_trade run left +3 persistent RDDs alive across
+# clearCache() — the round-5 explanation for full-session bench
+# inflation surviving the round-4 cache clearing.
+
+
+def checkpoint_rdd(df: DataFrame):
+    """The JVM RDD backing a localCheckpoint-ed DataFrame, or None if
+    the frame's plan is not a LogicalRDD (i.e. it was never
+    checkpointed)."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() == "LogicalRDD":
+        return plan.rdd()
+    return None
+
+
+def release_checkpoint(df: DataFrame, blocking: bool = False) -> None:
+    """Free the block-manager storage behind a localCheckpoint-ed
+    DataFrame. Safe on any frame (no-op when not checkpointed) and
+    idempotent. Call on an INTERMEDIATE round's frame once the next
+    round has materialized — never on a frame you still intend to
+    read: its data is gone and the truncated plan cannot recompute
+    it."""
+    try:
+        r = checkpoint_rdd(df)
+        if r is not None:
+            r.unpersist(blocking)
+    except Exception:
+        pass
+
+
+def scoped_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint + register the result with the innermost active
+    :func:`persist_scope`, so the scope's exit frees the blocks. With
+    no active scope this is a plain localCheckpoint (harnesses call
+    :func:`release_all_persistent_rdds` between entries instead)."""
+    out = df.localCheckpoint(eager=eager)
+    reg = _ACTIVE.get()
+    if reg is not None:
+        reg.append(out)
+    return out
+
+
+def release_all_persistent_rdds(spark, blocking: bool = False) -> int:
+    """Blunt session-level reset: unpersist EVERY registered RDD
+    (localCheckpoint blocks included). For harness use between
+    independent entries — bench.py pairs it with clearCache() — when
+    nothing from the previous entry is retained. Returns the number of
+    RDDs released."""
+    jsc = spark.sparkContext._jsc.sc()
+    ids = jsc.getPersistentRDDs().keys().toList()
+    n = 0
+    for i in range(ids.size()):
+        opt = jsc.getPersistentRDDs().get(ids.apply(i))
+        if opt.isDefined():
+            opt.get().unpersist(blocking)
+            n += 1
+    return n

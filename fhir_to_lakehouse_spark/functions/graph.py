@@ -25,7 +25,10 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+from fhir_to_lakehouse_spark.functions.cache import (
+    release_checkpoint,
+    scoped_persist,
+)
 
 
 class UnconvergedComponentsError(RuntimeError):
@@ -110,8 +113,11 @@ def connected_components(
         )
         # the compare above was the last reader of the previous round's
         # cache — release executor memory before the next shuffle
+        # (release_checkpoint also frees the every-4th-round lazy
+        # localCheckpoint blocks, which unpersist() does not touch)
         if prev_persisted is not None:
             prev_persisted.unpersist()
+            release_checkpoint(prev_persisted)
         prev_persisted = labels = new_labels
         if changed == 0:
             break
@@ -267,6 +273,7 @@ def pagerank(
         dm = 1.0 - out_mass
         # contrib is O(|V|) like the rank vector — same strategy switch
         contrib_side = F.broadcast(contrib) if use_bcast else contrib
+        prev_ranks = ranks
         ranks = vertices.join(contrib_side, "node", "left").select(
             "node",
             (
@@ -275,6 +282,14 @@ def pagerank(
                 * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm / n))
             ).alias("r"),
         ).localCheckpoint(eager=True)
+        # the new vector is materialized: this round's contribution
+        # relation and the previous round's rank blocks are dead —
+        # free them NOW. clearCache() never touches checkpoint blocks
+        # (they live in the BlockManager, not the SQL cache), so
+        # without this every call leaked 3 persistent RDDs per
+        # iteration for the session's lifetime (functions/cache.py).
+        release_checkpoint(contrib)
+        release_checkpoint(prev_ranks)  # no-op on the initial select
     edges_n.unpersist()
     vertices.unpersist()
     return ranks
@@ -342,9 +357,17 @@ def bfs_hops(
         frontier_rows = nxt.count()  # termination test + next strategy pick
         if frontier_rows == 0:
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        new_visited = visited.union(nxt).localCheckpoint(eager=True)
+        # free superseded checkpoint blocks (round 1: frontier IS
+        # visited — release once; see functions/cache.py)
+        if frontier is not visited:
+            release_checkpoint(frontier)
+        release_checkpoint(visited)
+        visited = new_visited
         frontier = nxt
     edges.unpersist()
+    if frontier is not visited:
+        release_checkpoint(frontier)  # merged into visited already
     return visited
 
 
@@ -436,6 +459,9 @@ def connected_components_star(
         changed = (
             e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
         )
+        # the probes were the last readers of the previous edge set —
+        # free its checkpoint blocks (functions/cache.py)
+        release_checkpoint(e)
         e = e2
         if changed == 0:
             converged = True

@@ -209,6 +209,8 @@ def learn_bpe_merges(
       a freshly merged symbol never re-matches as the left side within
       the same pass.
     """
+    from fhir_to_lakehouse_spark.functions.cache import release_checkpoint
+
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
@@ -246,9 +248,12 @@ def learn_bpe_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
+        prev = sym
         sym = sym.select(fused.alias("sym"), "freq").localCheckpoint(
             eager=True
         )
+        release_checkpoint(prev)
+    release_checkpoint(sym)  # rules are plain tuples; no frame escapes
     return rules
 
 

@@ -67,3 +67,62 @@ def test_results_identical_with_and_without_scope(spark, sf_dir):
     )
     spark.catalog.clearCache()
     assert scoped == plain
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_iterative_functions_release_checkpoint_blocks(spark, sf_dir):
+    """localCheckpoint blocks are invisible to clearCache (BlockManager,
+    not the SQL cache) — before round 5 each pagerank call leaked +3
+    persistent RDDs for the session lifetime. In-function hygiene must
+    bound live checkpoint RDDs to the returned frame(s) only."""
+    from fhir_to_lakehouse_spark.functions.cache import (
+        release_all_persistent_rdds,
+        release_checkpoint,
+    )
+    from fhir_to_lakehouse_spark.plans import QUERIES
+
+    release_all_persistent_rdds(spark)
+    spark.catalog.clearCache()
+    base = _n_persistent_rdds(spark)
+    counts = []
+    for _ in range(3):
+        QUERIES["graph_pagerank_trade"](spark, sf_dir).collect()
+        spark.catalog.clearCache()
+        counts.append(_n_persistent_rdds(spark))
+    # each run may keep its OWN returned rank vector alive transiently
+    # (python GC timing) but must not grow linearly with runs
+    assert counts[2] - counts[0] <= 2, (base, counts)
+    released = release_all_persistent_rdds(spark)
+    assert _n_persistent_rdds(spark) == 0, released
+
+
+def test_bpe_trainer_leaves_no_persistent_rdds(spark):
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.functions.cache import (
+        release_all_persistent_rdds,
+    )
+    from fhir_to_lakehouse_spark.functions.text import learn_bpe_merges
+
+    release_all_persistent_rdds(spark)
+    words = spark.createDataFrame(
+        [("lower", 5), ("newest", 3)], "word string, freq long"
+    )
+    learn_bpe_merges(words, n_merges=4)
+    assert _n_persistent_rdds(spark) == 0
+
+
+def test_scoped_local_checkpoint_released_on_scope_exit(spark):
+    from fhir_to_lakehouse_spark.functions.cache import (
+        persist_scope,
+        scoped_local_checkpoint,
+    )
+
+    with persist_scope():
+        df = scoped_local_checkpoint(spark.range(10))
+        df.count()
+        assert _n_persistent_rdds(spark) >= 1
+    assert _n_persistent_rdds(spark) == 0
