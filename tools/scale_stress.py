@@ -46,6 +46,11 @@ QUERIES_TO_RUN = [
     # uncapped postings list would grow superlinearly in build+store
     "search_bm25_topk",
     "search_inverted_postings",
+    # round 5: the two CC algorithms on the 10x duplicate-heavy pair
+    # graph — label propagation's per-round cost vs star contraction's
+    # bounded round count, same answer (shared oracle)
+    "dedup_cluster_components",
+    "dedup_cluster_components_star",
 ]
 
 
@@ -129,11 +134,15 @@ def main() -> int:
             ("sf0.1", BASE),
             ("sf1", OUT),
         ):
-            # warm-up + median of 3, same policy as bench.py
+            # warm-up + median of 3, same policy as bench.py — and the
+            # same clock placement: the BUILD is inside the timed
+            # window, because iterative builders (CC, BPE) do their
+            # rounds at build time and a post-build clock would time
+            # only the final projection
             times = []
             for i in range(4):
-                df = QUERIES[name](spark, sf_dir)
                 t0 = time.perf_counter()
+                df = QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
