@@ -564,3 +564,59 @@ def text_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "text_vocab_growth",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+    ), firsts AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM e GROUP BY token
+    ), prefixes AS (
+      SELECT unnest([1,2,4,8,16,32,64,128,256,512]) AS prefix_docs
+    )
+    SELECT prefix_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+            WHERE first_doc < prefix_docs) AS vocab_size
+    FROM prefixes ORDER BY prefix_docs
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law diagnostic) at log-spaced
+    corpus prefixes (first 1, 2, 4, ... 512 docs in doc_id order):
+    distinct token types seen so far — the curve that tells a
+    pretraining pipeline whether more of the same source still buys
+    vocabulary (flattening) or the corpus is still fresh.
+
+    The naive formulation is one full distinct aggregation per prefix;
+    the single-pass form here is exact and linear: a token enters
+    every prefix's count iff its FIRST occurrence lies inside, so
+    min(doc_id) per token (one map-side-combinable aggregate over the
+    exploded corpus) followed by ten conditional counts in ONE 1-row
+    aggregate reproduces all ten distinct counts. The explode of the
+    prefix array runs over that single row."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    firsts = e.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    prefixes = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
+    counts = firsts.agg(
+        *[
+            F.count(F.when(F.col("first_doc") < k, 1)).alias(f"_v{k}")
+            for k in prefixes
+        ]
+    )
+    curve = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("prefix_docs"),
+                F.col(f"_v{k}").alias("vocab_size"),
+            )
+            for k in prefixes
+        ]
+    )
+    return (
+        counts.select(F.explode(curve).alias("p"))
+        .select("p.prefix_docs", "p.vocab_size")
+        .orderBy("prefix_docs")
+    )
