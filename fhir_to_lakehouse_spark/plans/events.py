@@ -554,3 +554,84 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 3, 'purchase', n3, ROUND(n3 / n2, 6)"
         ") AS (stage, step, users, conv_from_prev)"
     )
+
+
+@query(
+    "events_interval_join_bucketized",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), sessions AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM numbered GROUP BY user_id, session_id
+    ), err AS (SELECT ts FROM events WHERE event_type = 'error')
+    SELECT sessions.user_id, sessions.session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_errors
+    FROM sessions JOIN err ON err.ts BETWEEN sessions.s AND sessions.e
+    GROUP BY sessions.user_id, sessions.session_id
+    """,
+)
+def events_interval_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT a nested loop: per user session
+    (30-min-gap sessionization), count the corpus-wide error events
+    whose timestamp falls inside the session's [start, end] — the
+    'what else was happening during this span' join every observability
+    pipeline runs.
+
+    The naive plan is a theta join (ts BETWEEN s AND e) — a
+    BroadcastNestedLoopJoin or cartesian, O(sessions x errors). The
+    scalable shape used here buckets time into hours: each session
+    explodes into the hour buckets it covers (sequence(), typically
+    1-2 — bounded by session length), each error event carries its own
+    hour bucket, and the join becomes an EQUI join on the bucket
+    followed by the exact range filter. A (session, error) pair can
+    only meet in the error's own bucket, so no dedup is needed and the
+    result is exactly the theta join's (which is the oracle). At
+    100 TB candidate volume is errors-per-bucket x sessions-touching-
+    that-bucket — time-partitioned and prunable, no quadratic corner.
+    Same bucketize-then-verify discipline as candidate_pairs_blocked
+    and the decontamination prefilter, applied to the time axis."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w_cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    hour = "INTERVAL 1 HOUR"
+    buckets = F.expr(f"sequence(date_trunc('hour', s), date_trunc('hour', e), {hour})")
+    sess_b = sessions.select(
+        "user_id", "session_id", "s", "e", F.explode(buckets).alias("bucket")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("err_ts"), F.date_trunc("hour", "ts").alias("bucket")
+    )
+    return (
+        sess_b.join(err, "bucket")
+        .filter(F.col("err_ts").between(F.col("s"), F.col("e")))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
