@@ -975,6 +975,199 @@ QUESTIONNAIRE_RESPONSE_SCHEMA = T.StructType(
     ]
 )
 
+# --- round-5 widening, batch 2: document/workflow/admin types that
+# round out the encounter-adjacent R4 surface.
+
+COMPOSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("date", T.StringType()),
+        T.StructField("author", T.ArrayType(_REFERENCE)),
+        T.StructField("title", T.StringType()),
+        T.StructField(
+            "section",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("title", T.StringType()),
+                        T.StructField("code", _CODEABLE_CONCEPT),
+                        T.StructField("entry", T.ArrayType(_REFERENCE)),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+CONSENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("scope", _CODEABLE_CONCEPT),
+        T.StructField("category", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("dateTime", T.StringType()),
+        T.StructField(
+            "provision",
+            T.StructType(
+                [
+                    T.StructField("type", T.StringType()),
+                    T.StructField("period", _PERIOD),
+                    T.StructField("action", T.ArrayType(_CODEABLE_CONCEPT)),
+                ]
+            ),
+        ),
+    ]
+)
+
+COMMUNICATION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("category", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("sender", _REFERENCE),
+        T.StructField("recipient", T.ArrayType(_REFERENCE)),
+        T.StructField("sent", T.StringType()),
+        T.StructField(
+            "payload",
+            T.ArrayType(
+                T.StructType(
+                    [T.StructField("contentString", T.StringType())]
+                )
+            ),
+        ),
+    ]
+)
+
+TASK_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("intent", T.StringType()),
+        T.StructField("priority", T.StringType()),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("description", T.StringType()),
+        T.StructField("focus", _REFERENCE),
+        T.StructField("for", _REFERENCE),
+        T.StructField("owner", _REFERENCE),
+        T.StructField("requester", _REFERENCE),
+        T.StructField("authoredOn", T.StringType()),
+        T.StructField("lastModified", T.StringType()),
+    ]
+)
+
+NUTRITION_ORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("intent", T.StringType()),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("dateTime", T.StringType()),
+        T.StructField(
+            "oralDiet",
+            T.StructType(
+                [
+                    T.StructField("type", T.ArrayType(_CODEABLE_CONCEPT)),
+                    T.StructField(
+                        "nutrient",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("modifier", _CODEABLE_CONCEPT),
+                                    T.StructField("amount", _QUANTITY),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        ),
+    ]
+)
+
+FLAG_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("category", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("period", _PERIOD),
+    ]
+)
+
+LIST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("date", T.StringType()),
+        T.StructField(
+            "entry",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("deleted", T.BooleanType()),
+                        T.StructField("item", _REFERENCE),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+SCHEDULE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("serviceType", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("actor", T.ArrayType(_REFERENCE)),
+        T.StructField("planningHorizon", _PERIOD),
+    ]
+)
+
+SLOT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("schedule", _REFERENCE),
+        T.StructField("start", T.StringType()),
+        T.StructField("end", T.StringType()),
+        T.StructField("overbooked", T.BooleanType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("createdDateTime", T.StringType()),
+        T.StructField(
+            "content",
+            T.StructType(
+                [
+                    T.StructField("contentType", T.StringType()),
+                    T.StructField("data", T.StringType()),
+                    T.StructField("url", T.StringType()),
+                    T.StructField("size", T.IntegerType()),
+                    T.StructField("title", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+    ]
+)
+
 RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "Patient": PATIENT_SCHEMA,
     "Condition": CONDITION_SCHEMA,
@@ -1007,6 +1200,17 @@ RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "Appointment": APPOINTMENT_SCHEMA,
     "PractitionerRole": PRACTITIONER_ROLE_SCHEMA,
     "QuestionnaireResponse": QUESTIONNAIRE_RESPONSE_SCHEMA,
+    "Composition": COMPOSITION_SCHEMA,
+    "Consent": CONSENT_SCHEMA,
+    "Communication": COMMUNICATION_SCHEMA,
+    "Task": TASK_SCHEMA,
+    "NutritionOrder": NUTRITION_ORDER_SCHEMA,
+    "Flag": FLAG_SCHEMA,
+    "List": LIST_SCHEMA,
+    "Schedule": SCHEDULE_SCHEMA,
+    "Slot": SLOT_SCHEMA,
+    # FHIR R4 Media (photo/video/audio attachments on a subject)
+    "Media": MEDIA_SCHEMA,
 }
 
 # Fallback for resource types without a curated schema: id only (the

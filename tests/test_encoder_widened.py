@@ -353,6 +353,160 @@ CASES = [
         and float(r.item[1].answer[0].valueDecimal) == 7.5
         and r.subject.reference == "1",
     ),
+    # --- round-5 widening, batch 2: document/workflow/admin types
+    (
+        "Composition",
+        {
+            "id": "comp1",
+            "status": "final",
+            "type": {"text": "discharge summary"},
+            "subject": {"reference": "Patient/1"},
+            "title": "Discharge",
+            "author": [{"reference": "Practitioner/p1"}],
+            "section": [
+                {
+                    "title": "meds",
+                    "entry": [{"reference": "MedicationRequest/m1"}],
+                }
+            ],
+        },
+        lambda r: r.title == "Discharge"
+        and r.author[0].reference == "p1"
+        and r.section[0].entry[0].reference == "m1",
+    ),
+    (
+        "Consent",
+        {
+            "id": "con1",
+            "status": "active",
+            "scope": {"text": "patient-privacy"},
+            "patient": {"reference": "Patient/1"},
+            "provision": {
+                "type": "permit",
+                "period": {"start": "2024-01-01", "end": "2025-01-01"},
+            },
+        },
+        lambda r: r.provision.type == "permit"
+        and r.provision.period.start == "2024-01-01"
+        and r.patient.reference == "1",
+    ),
+    (
+        "Communication",
+        {
+            "id": "comm1",
+            "status": "completed",
+            "subject": {"reference": "Patient/1"},
+            "sender": {"reference": "Practitioner/p2"},
+            "recipient": [{"reference": "urn:uuid:rp-1"}],
+            "payload": [{"contentString": "lab results ready"}],
+        },
+        lambda r: r.payload[0].contentString == "lab results ready"
+        and r.recipient[0].reference == "rp-1",
+    ),
+    (
+        "Task",
+        {
+            "id": "t1",
+            "status": "requested",
+            "intent": "order",
+            "priority": "urgent",
+            "description": "review labs",
+            "for": {"reference": "Patient/1"},
+            "owner": {"reference": "PractitionerRole/pr1"},
+        },
+        lambda r: r.description == "review labs"
+        and getattr(r, "for").reference == "1"
+        and r.owner.reference == "pr1",
+    ),
+    (
+        "NutritionOrder",
+        {
+            "id": "n1",
+            "status": "active",
+            "intent": "order",
+            "patient": {"reference": "Patient/1"},
+            "oralDiet": {
+                "type": [{"text": "low sodium"}],
+                "nutrient": [
+                    {
+                        "modifier": {"text": "sodium"},
+                        "amount": {"value": 2.0, "unit": "g"},
+                    }
+                ],
+            },
+        },
+        lambda r: r.oralDiet.nutrient[0].modifier.text == "sodium"
+        and float(r.oralDiet.nutrient[0].amount.value) == 2.0,
+    ),
+    (
+        "Flag",
+        {
+            "id": "f1",
+            "status": "active",
+            "code": {"text": "fall risk"},
+            "subject": {"reference": "Patient/1"},
+            "period": {"start": "2024-02-02"},
+        },
+        lambda r: r.code.text == "fall risk" and r.period.start == "2024-02-02",
+    ),
+    (
+        "List",
+        {
+            "id": "li1",
+            "status": "current",
+            "mode": "working",
+            "title": "problem list",
+            "subject": {"reference": "Patient/1"},
+            "entry": [
+                {"deleted": False, "item": {"reference": "Condition/c1"}}
+            ],
+        },
+        lambda r: r.title == "problem list"
+        and r.entry[0].item.reference == "c1"
+        and r.entry[0].deleted is False,
+    ),
+    (
+        "Schedule",
+        {
+            "id": "sch1",
+            "active": True,
+            "actor": [{"reference": "PractitionerRole/pr1"}],
+            "planningHorizon": {"start": "2024-06-01", "end": "2024-07-01"},
+        },
+        lambda r: r.actor[0].reference == "pr1"
+        and r.planningHorizon.end == "2024-07-01",
+    ),
+    (
+        "Slot",
+        {
+            "id": "sl1",
+            "status": "free",
+            "schedule": {"reference": "Schedule/sch1"},
+            "start": "2024-06-02T09:00:00Z",
+            "end": "2024-06-02T09:30:00Z",
+            "overbooked": False,
+        },
+        lambda r: r.schedule.reference == "sch1" and r.overbooked is False,
+    ),
+    (
+        "Media",
+        {
+            "id": "med1",
+            "status": "completed",
+            "type": {"text": "photo"},
+            "subject": {"reference": "Patient/1"},
+            "content": {
+                "contentType": "image/jpeg",
+                "title": "wound photo",
+                "size": 2048,
+            },
+            "height": 480,
+            "width": 640,
+        },
+        lambda r: r.content.contentType == "image/jpeg"
+        and r.width == 640
+        and r.subject.reference == "1",
+    ),
 ]
 
 
