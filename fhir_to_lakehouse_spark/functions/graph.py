@@ -356,6 +356,10 @@ def bfs_hops(
         nxt = nxt.localCheckpoint(eager=True)
         frontier_rows = nxt.count()  # termination test + next strategy pick
         if frontier_rows == 0:
+            # the empty frontier's checkpoint is dead on arrival —
+            # without this, every early-terminating BFS call leaked
+            # one un-releasable RDD (round-5 code-review finding)
+            release_checkpoint(nxt)
             break
         new_visited = visited.union(nxt).localCheckpoint(eager=True)
         # free superseded checkpoint blocks (round 1: frontier IS

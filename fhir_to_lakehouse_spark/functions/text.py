@@ -257,7 +257,12 @@ def learn_bpe_merges(
     return rules
 
 
-def misra_gries_candidates(tokens_df, token_col: str = "token", k: int = 50):
+def misra_gries_candidates(
+    tokens_df,
+    token_col: str = "token",
+    k: int = 50,
+    emit_partition_counts: bool = False,
+):
     """Per-partition Misra-Gries heavy-hitter CANDIDATE generation:
     each partition emits at most ``k`` tokens, and the union is
     guaranteed to contain every token with global frequency > N/k
@@ -280,6 +285,14 @@ def misra_gries_candidates(tokens_df, token_col: str = "token", k: int = 50):
     (m-k)-th smallest count from all and drop non-positives — each
     such subtraction of t removes >= t*(k+1) total mass, preserving
     the classic decrement bound.
+
+    ``emit_partition_counts=True`` additionally yields one
+    (token=NULL, n=<partition row count>) row per partition, letting
+    the caller derive the corpus total N from the SAME scan instead of
+    a second pass — the heavy-hitters query needs exactly (candidates,
+    N, recount), and this keeps it at two corpus scans total
+    (code-review finding: the separate count() was a third full
+    tokenize+explode).
     """
     import pandas as pd  # noqa: F811 — vectorized per-batch counts
     from pyspark.sql import types as T
@@ -287,11 +300,16 @@ def misra_gries_candidates(tokens_df, token_col: str = "token", k: int = 50):
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
-    out_schema = T.StructType([T.StructField(token_col, T.StringType())])
+    fields = [T.StructField(token_col, T.StringType())]
+    if emit_partition_counts:
+        fields.append(T.StructField("n", T.LongType()))
+    out_schema = T.StructType(fields)
 
     def per_partition(batches):
         counters: dict[str, int] = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             for tok, c in pdf[token_col].value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(c)
             m = len(counters)
@@ -301,7 +319,15 @@ def misra_gries_candidates(tokens_df, token_col: str = "token", k: int = 50):
                 counters = {
                     tok: c - t for tok, c in counters.items() if c - t > 0
                 }
-        yield pd.DataFrame({token_col: list(counters)})
+        if emit_partition_counts:
+            yield pd.DataFrame(
+                {
+                    token_col: list(counters) + [None],
+                    "n": [None] * len(counters) + [seen],
+                }
+            )
+        else:
+            yield pd.DataFrame({token_col: list(counters)})
 
     return tokens_df.select(token_col).mapInPandas(
         per_partition, schema=out_schema

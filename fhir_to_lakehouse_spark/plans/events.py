@@ -520,14 +520,22 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     users collapse before the exchange. Stage counts are 1-row
     aggregates crossJoin-broadcast into the 3-row stacked result
     (whitelisted tiny BNLJ, same class as bm25's corpus stats)."""
+    from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
     pair = F.struct(F.col("ts"), F.col("event_id"))
-    s1 = (
+    # each stage frontier is read twice (its count + the next stage's
+    # join); without a persist the final plan embeds stage 1's subtree
+    # 3x and the events scan 6x, counting on ReusedExchange to fire —
+    # the exact implicit reliance functions/cache.py warns against.
+    # The frontiers are per-user argmin aggregates (user-cardinality
+    # rows), so the cache is dimension-sized. Code-review finding.
+    s1 = scoped_persist(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min(pair).alias("p1"))
     )
-    s2 = (
+    s2 = scoped_persist(
         ev.filter(F.col("event_type") == "click")
         .select("user_id", pair.alias("p"))
         .join(s1, "user_id")
@@ -535,7 +543,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("p").alias("p2"))
     )
-    s3 = (
+    s3 = scoped_persist(
         ev.filter(F.col("event_type") == "purchase")
         .select("user_id", pair.alias("p"))
         .join(s2, "user_id")

@@ -562,11 +562,23 @@ def pipeline_reference_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     patients = encode_resources(patients_raw, "Patient").select(
         F.col("id").alias("patient_id"), "active", "gender"
     )
-    observations = encode_resources(
-        entries.filter(F.col("resource_type") == "Observation"), "Observation"
-    ).select(
-        F.col("id").alias("obs_id"),
-        F.col("subject.reference").alias("patient_id"),
+    observations = (
+        encode_resources(
+            entries.filter(F.col("resource_type") == "Observation"),
+            "Observation",
+        )
+        # type guard: FHIR ids are unique only per type, so a sound
+        # id-join filters to references that target Patient — either
+        # explicitly typed, or type-null (urn:uuid form, globally
+        # unique by construction)
+        .filter(
+            F.col("subject.type").isNull()
+            | (F.col("subject.type") == "Patient")
+        )
+        .select(
+            F.col("id").alias("obs_id"),
+            F.col("subject.reference").alias("patient_id"),
+        )
     )
     return observations.join(patients, "patient_id").select(
         "obs_id", "patient_id", "active", "gender"
@@ -669,11 +681,21 @@ def pipeline_dangling_references(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "Patient",
     ).select(F.col("id").alias("patient_id"))
-    observations = encode_resources(
-        entries.filter(F.col("resource_type") == "Observation"), "Observation"
-    ).select(
-        F.col("id").alias("obs_id"),
-        F.col("subject.reference").alias("patient_id"),
+    observations = (
+        encode_resources(
+            entries.filter(F.col("resource_type") == "Observation"),
+            "Observation",
+        )
+        # same type guard as pipeline_reference_join: only references
+        # that can target Patient participate in the integrity check
+        .filter(
+            F.col("subject.type").isNull()
+            | (F.col("subject.type") == "Patient")
+        )
+        .select(
+            F.col("id").alias("obs_id"),
+            F.col("subject.reference").alias("patient_id"),
+        )
     )
     return observations.join(patients, "patient_id", "left_anti").select(
         "obs_id", F.col("patient_id").alias("missing_patient_ref")

@@ -542,14 +542,24 @@ def text_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the win is the shuffle: the naive exact plan shuffles
     one row per distinct (vocab-sized); this plan shuffles at most
-    k x partitions candidate rows plus the semi-joined recount. N is
-    a 1-row broadcast (bm25-stats class)."""
+    k x partitions candidate rows plus the semi-joined recount. N
+    comes from per-partition counts emitted by the SAME candidate
+    scan (not a third corpus pass) and travels as a 1-row broadcast
+    (bm25-stats class) — two corpus scans total: candidates+N, then
+    the exact recount."""
+    from fhir_to_lakehouse_spark.functions.cache import scoped_persist
     from fhir_to_lakehouse_spark.functions.text import misra_gries_candidates
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
-    cand = misra_gries_candidates(tok, k=50).distinct()
-    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    # ONE scan yields both the candidates and the per-partition row
+    # counts (N = their sum); persisted because both derivations read
+    # it — the cache is at most k x partitions + partitions rows
+    mg = scoped_persist(
+        misra_gries_candidates(tok, k=50, emit_partition_counts=True)
+    )
+    cand = mg.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = mg.agg(F.sum("n").alias("n"))
     counted = (
         tok.join(F.broadcast(cand), "token")  # candidate semi-join
         .groupBy("token")

@@ -85,7 +85,17 @@ _CODEABLE_CONCEPT = T.StructType(
     [T.StructField("coding", _CODING), T.StructField("text", T.StringType())]
 )
 
-_REFERENCE = T.StructType([T.StructField("reference", T.StringType())])
+# FHIR R4 Reference: the relative/urn reference string plus the
+# official `type` element (resource type of the target). FHIR ids are
+# unique only PER TYPE, so after normalization strips a 'Type/<id>'
+# prefix the type survives here — joins stay type-safe (see
+# normalize_references).
+_REFERENCE = T.StructType(
+    [
+        T.StructField("reference", T.StringType()),
+        T.StructField("type", T.StringType()),
+    ]
+)
 
 # FHIR Quantity: decimal value + UCUM coding (FHIR decimal ->
 # DecimalType, Pathling parity — SURVEY §7.3)
@@ -1229,19 +1239,33 @@ def schema_for(resource_type: str) -> T.StructType:
 # relative '<Type>/<id>'; in both shapes the suffix IS the target
 # resource id (Synthea sets resource.id to the fullUrl's uuid; the
 # reference ingests via Pathling which resolves this implicitly,
-# /root/reference/src/main.py:49). Stripping either prefix makes
-# Observation.subject.reference join Patient.id directly. Absolute
-# URLs ('https://...') and conditional references ('Patient?x=y')
-# contain ':' / '?' before any '/' and are deliberately NOT touched.
-_REFERENCE_PREFIX = "^(urn:uuid:|[A-Za-z]+/)"
+# /root/reference/src/main.py:49). Normalization strips either prefix
+# so Observation.subject.reference joins Patient.id directly — but
+# FHIR ids are unique only PER TYPE, so a stripped 'Type/<id>' prefix
+# is PRESERVED in the Reference's official `type` element: a sound
+# join checks `type` too (urn uuids are globally unique, so their
+# null type is unambiguous). Matched forms:
+# - 'urn:uuid:<anything>'                -> (id, type unchanged)
+# - '<Type>/<id>' with a strict FHIR id  -> (id, Type)
+# Everything else — absolute URLs, conditional references
+# ('Patient?x=y'), versioned references ('Patient/1/_history/2') —
+# passes through UNTOUCHED (a half-stripped versioned ref would be
+# wrong; callers needing history resolution parse resource_json).
+_URN_UUID_RE = "^urn:uuid:(.+)$"
+_RELATIVE_REF_RE = r"^([A-Za-z]+)/([A-Za-z0-9\-\.]{1,64})$"
+
+
+def _is_reference_struct(dtype: T.DataType) -> bool:
+    return isinstance(dtype, T.StructType) and any(
+        f.name == "reference" and isinstance(f.dataType, T.StringType)
+        for f in dtype.fields
+    )
 
 
 def _contains_reference(dtype: T.DataType) -> bool:
     if isinstance(dtype, T.StructType):
-        return any(
-            (f.name == "reference" and isinstance(f.dataType, T.StringType))
-            or _contains_reference(f.dataType)
-            for f in dtype.fields
+        return _is_reference_struct(dtype) or any(
+            _contains_reference(f.dataType) for f in dtype.fields
         )
     if isinstance(dtype, T.ArrayType):
         return _contains_reference(dtype.elementType)
@@ -1249,9 +1273,15 @@ def _contains_reference(dtype: T.DataType) -> bool:
 
 
 def normalize_references(col, dtype: T.DataType):
-    """Rebuild ``col`` (typed by ``dtype``) with every FHIR
-    Reference's ``reference`` string normalized to the bare target id
-    ('urn:uuid:X' and 'Type/X' -> 'X').
+    """Rebuild ``col`` (typed by ``dtype``) with every FHIR Reference
+    struct normalized: ``reference`` becomes the bare target id
+    ('urn:uuid:X' and 'Type/X' -> 'X'), and for the relative form the
+    stripped resource type is recorded in the struct's ``type`` field
+    (unless the document already set one — FHIR allows an explicit
+    Reference.type, which wins). Ids are only unique per type, so
+    joins built on the normalized id must include the type guard
+    ``type IS NULL OR type = '<Target>'`` — null type means a
+    urn:uuid reference, which is globally unique.
 
     Only subtrees that actually contain a Reference are rebuilt — all
     other columns pass through untouched, so the projection stays
@@ -1264,11 +1294,32 @@ def normalize_references(col, dtype: T.DataType):
     if isinstance(dtype, T.StructType):
         if not _contains_reference(dtype):
             return col
+        is_ref = _is_reference_struct(dtype)
         fields = []
         for f in dtype.fields:
             child = col.getField(f.name)
-            if f.name == "reference" and isinstance(f.dataType, T.StringType):
-                child = F.regexp_replace(child, _REFERENCE_PREFIX, "")
+            if is_ref and f.name == "reference":
+                ref = child
+                child = (
+                    F.when(
+                        ref.rlike(_URN_UUID_RE),
+                        F.regexp_extract(ref, _URN_UUID_RE, 1),
+                    )
+                    .when(
+                        ref.rlike(_RELATIVE_REF_RE),
+                        F.regexp_extract(ref, _RELATIVE_REF_RE, 2),
+                    )
+                    .otherwise(ref)
+                )
+            elif is_ref and f.name == "type":
+                ref = col.getField("reference")
+                child = F.coalesce(
+                    child,  # explicit Reference.type wins
+                    F.when(
+                        ref.rlike(_RELATIVE_REF_RE),
+                        F.regexp_extract(ref, _RELATIVE_REF_RE, 1),
+                    ),
+                )
             else:
                 child = normalize_references(child, f.dataType)
             fields.append(child.alias(f.name))

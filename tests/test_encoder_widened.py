@@ -562,15 +562,21 @@ def test_curated_schemas_tolerate_extra_fields(spark, rtype, resource, probe):
 
 
 def test_normalize_references_prefix_forms(spark):
-    """urn:uuid: and Type/ prefixes resolve to the bare id; absolute
-    URLs and conditional references are untouched; NULL Reference
-    structs stay NULL (not struct(NULL))."""
+    """urn:uuid: and Type/ prefixes resolve to the bare id, with the
+    stripped type preserved in Reference.type (FHIR's own element);
+    absolute URLs, conditional references, and versioned references
+    are untouched; NULL Reference structs stay NULL (not
+    struct(NULL)); an explicit Reference.type in the document wins."""
     import json
 
     from fhir_to_lakehouse_spark.operators.bundles import encode_resources
 
-    def obs(oid, ref):
-        subject = {"reference": ref} if ref is not None else None
+    def obs(oid, ref, rtype=None):
+        subject = None
+        if ref is not None:
+            subject = {"reference": ref}
+            if rtype is not None:
+                subject["type"] = rtype
         d = {"resourceType": "Observation", "id": oid, "status": "final"}
         if subject is not None:
             d["subject"] = subject
@@ -582,20 +588,61 @@ def test_normalize_references_prefix_forms(spark):
         (obs("c", "https://example.org/fhir/Patient/pat-3"),),
         (obs("d", "Patient?identifier=mrn|123"),),
         (obs("e", None),),
+        (obs("f", "Patient/123/_history/2"),),  # versioned: untouched
+        (obs("g", "Group/pat-2", rtype="Group"),),  # explicit type wins
     ]
     df = spark.createDataFrame(rows, "resource string")
     got = {
         r["id"]: (
-            r["subject"]["reference"] if r["subject"] is not None else None,
-            r["subject"] is None,
+            (r["subject"]["reference"], r["subject"]["type"])
+            if r["subject"] is not None
+            else None
         )
         for r in encode_resources(df, "Observation").collect()
     }
-    assert got["a"][0] == "pat-1"
-    assert got["b"][0] == "pat-2"
-    assert got["c"][0] == "https://example.org/fhir/Patient/pat-3"
-    assert got["d"][0] == "Patient?identifier=mrn|123"
-    assert got["e"] == (None, True)  # null struct preserved as null
+    assert got["a"] == ("pat-1", None)  # urn uuid: globally unique
+    assert got["b"] == ("pat-2", "Patient")  # type preserved
+    assert got["c"] == ("https://example.org/fhir/Patient/pat-3", None)
+    assert got["d"] == ("Patient?identifier=mrn|123", None)
+    assert got["e"] is None  # null struct preserved as null
+    assert got["f"] == ("Patient/123/_history/2", None)  # not half-stripped
+    assert got["g"] == ("pat-2", "Group")
+
+
+def test_normalized_references_cannot_false_join_across_types(spark):
+    """FHIR ids are unique only per type: after normalization,
+    'Patient/5' and 'Group/5' share the bare id but their type fields
+    differ — the type guard keeps an id-join from attaching a Group
+    reference to Patient 5 (the round-5 code-review false-join
+    scenario)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    def obs(oid, ref):
+        return json.dumps(
+            {
+                "resourceType": "Observation",
+                "id": oid,
+                "status": "final",
+                "subject": {"reference": ref},
+            }
+        )
+
+    df = spark.createDataFrame(
+        [(obs("o1", "Patient/5"),), (obs("o2", "Group/5"),)],
+        "resource string",
+    )
+    enc = encode_resources(df, "Observation")
+    guarded = enc.filter(
+        F.col("subject.type").isNull() | (F.col("subject.type") == "Patient")
+    )
+    assert [r["id"] for r in guarded.collect()] == ["o1"]
+    # both normalize to the same bare id — the type column is what
+    # disambiguates
+    assert {r["subject"]["reference"] for r in enc.collect()} == {"5"}
 
 
 def test_normalize_references_inside_arrays(spark):

@@ -31,10 +31,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# same single source of truth as tests/conftest.py: redirecting the
+# env var redirects every stage consistently
+GATE_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
 STAGES = [
     (
-        "oracle-harness(sf0.001)",
-        [sys.executable, "tools/check_oracles.py", "/root/testdata/sf0.001"],
+        "oracle-harness",
+        [sys.executable, "tools/check_oracles.py", GATE_SF_DIR],
     ),
     (
         "plan-audit",

@@ -119,6 +119,9 @@ def synthesize(spark) -> None:
 
 
 def main() -> int:
+    from fhir_to_lakehouse_spark.functions.cache import (
+        release_all_persistent_rdds,
+    )
     from fhir_to_lakehouse_spark.plans import QUERIES
     from fhir_to_lakehouse_spark.session import get_spark
 
@@ -145,7 +148,13 @@ def main() -> int:
                 df = QUERIES[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
+                # cold protocol (code-review finding): clear INSIDE the
+                # loop, or passes 1-3 read pass-0's persisted plans and
+                # the reported median is warm, not cold; the RDD sweep
+                # also frees the CC entries' localCheckpoint blocks,
+                # which clearCache cannot see (functions/cache.py)
+                spark.catalog.clearCache()
+                release_all_persistent_rdds(spark)
             timed = sorted(times[1:])
             results[name][label] = round(timed[1], 3)
         r = results[name]
