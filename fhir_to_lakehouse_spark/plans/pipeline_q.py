@@ -449,13 +449,18 @@ def pipeline_claim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _linked_bundle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _linked_bundle_events(
+    spark: SparkSession, sf_dir: str, ref_style: str = "urn"
+) -> DataFrame:
     """Synthea-shaped TWO-entry transaction bundles: each bundle carries
     a Patient (fullUrl urn:uuid:uuid-<user_id>, resource.id the same
     uuid — Synthea's convention) and an Observation whose
-    subject.reference points at the patient THROUGH the urn form, the
-    way /root/reference/tests/unit/fixtures/resources/single-patient
-    .json addresses entries. The Patient payload is a pure function of
+    subject.reference points at the patient — through the urn form
+    (``ref_style="urn"``, the way /root/reference/tests/unit/fixtures/
+    resources/single-patient.json addresses entries) or the relative
+    REST form 'Patient/<id>' (``ref_style="relative"``, what a
+    REST-shaped source emits; exercises the typed branch of reference
+    normalization e2e). The Patient payload is a pure function of
     user_id so repeated PUTs are byte-identical and W1 dedup is
     value-deterministic."""
     ev = load_table(spark, sf_dir, "events")
@@ -471,15 +476,19 @@ def _linked_bundle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gender"),
         )
     )
+    if ref_style == "urn":
+        subject_ref = F.concat(F.lit("urn:uuid:"), patient_id)
+    elif ref_style == "relative":
+        subject_ref = F.concat(F.lit("Patient/"), patient_id)
+    else:
+        raise ValueError(f"ref_style must be 'urn' or 'relative', got {ref_style!r}")
     observation = F.to_json(
         F.struct(
             F.lit("Observation").alias("resourceType"),
             F.col("event_id").cast("string").alias("id"),
             F.lit("final").alias("status"),
             F.struct(F.lit("heart-rate").alias("text")).alias("code"),
-            F.struct(
-                F.concat(F.lit("urn:uuid:"), patient_id).alias("reference")
-            ).alias("subject"),
+            F.struct(subject_ref.alias("reference")).alias("subject"),
         )
     )
     bundle = F.to_json(
@@ -699,4 +708,50 @@ def pipeline_dangling_references(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return observations.join(patients, "patient_id", "left_anti").select(
         "obs_id", F.col("patient_id").alias("missing_patient_ref")
+    )
+
+
+@query(
+    "pipeline_reference_join_typed",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR)                 AS obs_id,
+           'uuid-' || CAST(user_id AS VARCHAR)       AS patient_id,
+           'Patient'                                 AS ref_type,
+           (user_id % 2 = 0)                         AS active
+    FROM events
+    """,
+)
+def pipeline_reference_join_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TYPED branch of reference resolution, end to end: the same
+    two-entry bundles as pipeline_reference_join but with
+    REST-relative 'Patient/<id>' subject references. Normalization
+    strips the prefix into the Reference's `type` element, the join
+    runs on the bare id WITH the explicit type predicate (the sound
+    form — FHIR ids are unique only per type), and the oracle asserts
+    the recorded type alongside the joined attributes."""
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    events = _linked_bundle_events(spark, sf_dir, ref_style="relative")
+    entries = prepare_stream(events)
+    patients = encode_resources(
+        latest_per_key(
+            entries.filter(F.col("resource_type") == "Patient"),
+            key="request_url",
+        ),
+        "Patient",
+    ).select(F.col("id").alias("patient_id"), "active")
+    observations = (
+        encode_resources(
+            entries.filter(F.col("resource_type") == "Observation"),
+            "Observation",
+        )
+        .filter(F.col("subject.type") == "Patient")  # typed guard
+        .select(
+            F.col("id").alias("obs_id"),
+            F.col("subject.reference").alias("patient_id"),
+            F.col("subject.type").alias("ref_type"),
+        )
+    )
+    return observations.join(patients, "patient_id").select(
+        "obs_id", "patient_id", "ref_type", "active"
     )
