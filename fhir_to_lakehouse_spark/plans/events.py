@@ -80,28 +80,59 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_sessionize",
-    oracle="""
-    WITH gaps AS (
+# Shared 30-min-gap sessionization core (used by events_sessionize AND
+# events_interval_join_bucketized — one definition so the gap rule and
+# the (ts, event_id) tie-break can never desynchronize between them).
+# The SQL CTE yields `session_events(user_id, event_id, ts, value,
+# session_id)`; the Spark helper returns the same event-level frame.
+_SESSION_EVENTS_CTE = """gaps AS (
       SELECT user_id, event_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
-    ), sessions AS (
-      SELECT user_id, ts, value,
+    ), session_events AS (
+      SELECT user_id, event_id, ts, value,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps
+    )"""
+
+
+def _sessionized_events(ev: DataFrame) -> DataFrame:
+    """events + a per-user ``session_id`` column (30-min inactivity
+    gap, lag + cumulative sum over one user_id shuffle). The interval
+    comparison works on TIMESTAMP and TIMESTAMP_NTZ alike (no
+    cast-to-long, which TIMESTAMP_NTZ rejects) and matches the CTE's
+    `ts - LAG(ts) > INTERVAL 30 MINUTE` verbatim."""
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    return ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(w_cum).cast("long")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH {_SESSION_EVENTS_CTE}
     SELECT user_id,
            CAST(session_id AS BIGINT)  AS session_id,
            CAST(COUNT(*) AS BIGINT)    AS n_events,
            MIN(ts)                     AS session_start,
            MAX(ts)                     AS session_end
-    FROM sessions
+    FROM session_events
     GROUP BY user_id, session_id
     """,
 )
@@ -113,24 +144,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session boundaries. One shuffle on user_id serves both windows.
     """
     ev = load_table(spark, sf_dir, "events")
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_cum = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    prev_ts = F.lag("ts").over(w_order)
-    # interval comparison works on TIMESTAMP and TIMESTAMP_NTZ alike
-    # (no cast-to-long, which TIMESTAMP_NTZ rejects) and matches the
-    # oracle's `ts - LAG(ts) > INTERVAL 30 MINUTE` verbatim
-    is_new = F.when(
-        prev_ts.isNull()
-        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
-        1,
-    ).otherwise(0)
     return (
-        ev.withColumn("is_new", is_new)
-        .withColumn("session_id", F.sum("is_new").over(w_cum).cast("long"))
+        _sessionized_events(ev)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -566,23 +581,11 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_interval_join_bucketized",
-    oracle="""
-    WITH gaps AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-    ), numbered AS (
-      SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM gaps
-    ), sessions AS (
+    oracle=f"""
+    WITH {_SESSION_EVENTS_CTE}, sessions AS (
       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              MIN(ts) AS s, MAX(ts) AS e
-      FROM numbered GROUP BY user_id, session_id
+      FROM session_events GROUP BY user_id, session_id
     ), err AS (SELECT ts FROM events WHERE event_type = 'error')
     SELECT sessions.user_id, sessions.session_id,
            CAST(COUNT(*) AS BIGINT) AS n_errors
@@ -611,21 +614,8 @@ def events_interval_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFra
     Same bucketize-then-verify discipline as candidate_pairs_blocked
     and the decontamination prefilter, applied to the time axis."""
     ev = load_table(spark, sf_dir, "events")
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_cum = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    prev_ts = F.lag("ts").over(w_order)
-    is_new = F.when(
-        prev_ts.isNull()
-        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES")),
-        1,
-    ).otherwise(0)
     sessions = (
-        ev.withColumn("is_new", is_new)
-        .withColumn("session_id", F.sum("is_new").over(w_cum).cast("long"))
+        _sessionized_events(ev)
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )

@@ -71,6 +71,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    from fhir_to_lakehouse_spark.functions.cache import (
+        release_all_persistent_rdds,
+    )
+
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -83,6 +87,14 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # same per-entry hygiene as bench.py (code-review finding:
+            # this harness is the 'one-shot run' functions/cache.py's
+            # contract describes, so it must actually clear): builder
+            # persists + iterative checkpoints would otherwise
+            # accumulate across all registered queries in one session
+            spark.catalog.clearCache()
+            release_all_persistent_rdds(spark)
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only check)")
             n_rows_only += 1
