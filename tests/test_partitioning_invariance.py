@@ -39,6 +39,10 @@ SENSITIVE = [
     "text_bpe_learn_merges",
     # MG candidate sets differ per layout; the exact recount must not
     "text_heavy_hitters_exact",
+    # session boundaries (lag order) + bucketized join under re-split
+    "events_interval_join_bucketized",
+    # typed reference resolution + W1 dedup through the bundle chain
+    "pipeline_reference_join_typed",
 ]
 
 # (shuffle partitions, max scan partition bytes): one layout splits the
