@@ -38,6 +38,16 @@ from contextvars import ContextVar
 from pyspark.sql import DataFrame
 
 _ACTIVE: ContextVar[list | None] = ContextVar("persist_scope", default=None)
+# localCheckpoint registrations are tracked SEPARATELY from persists:
+# scope exit must call release_checkpoint only on frames that were
+# actually checkpointed. Calling it on a merely-persisted frame whose
+# plan root happens to be a LogicalRDD (e.g. a frame derived from a
+# checkpointed round) would destroy blocks the frame cannot recompute —
+# re-reading it then raises block-not-found instead of recomputing
+# (ADVICE r5, cache.py item).
+_ACTIVE_CKPT: ContextVar[list | None] = ContextVar(
+    "persist_scope_ckpt", default=None
+)
 
 
 def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -60,14 +70,29 @@ def persist_scope(blocking: bool = False):
     exit. Scopes nest: an inner scope owns (and releases) only its own
     caches. Yields the registry list so a caller can append DataFrames
     it persisted itself. Unpersisting a frame twice is a Spark no-op,
-    so builders that also release internally are safe to register."""
+    so builders that also release internally are safe to register.
+
+    Frames registered via :func:`scoped_persist` (or appended to the
+    yielded list by the caller) get a plain ``unpersist`` — safe even
+    when their plan root is a LogicalRDD, because the checkpoint blocks
+    such a frame reads stay untouched. Only frames registered via
+    :func:`scoped_local_checkpoint` additionally get their
+    block-manager storage released."""
     reg: list[DataFrame] = []
+    ckpts: list[DataFrame] = []
     token = _ACTIVE.set(reg)
+    ctoken = _ACTIVE_CKPT.set(ckpts)
     try:
         yield reg
     finally:
         _ACTIVE.reset(token)
+        _ACTIVE_CKPT.reset(ctoken)
         for df in reg:
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass
+        for df in ckpts:
             try:
                 df.unpersist(blocking)
             except Exception:
@@ -120,7 +145,7 @@ def scoped_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     no active scope this is a plain localCheckpoint (harnesses call
     :func:`release_all_persistent_rdds` between entries instead)."""
     out = df.localCheckpoint(eager=eager)
-    reg = _ACTIVE.get()
+    reg = _ACTIVE_CKPT.get()
     if reg is not None:
         reg.append(out)
     return out

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.functions.cache import (
     release_checkpoint,
+    scoped_local_checkpoint,
     scoped_persist,
 )
 
@@ -83,6 +84,13 @@ def connected_components(
     )
     changed = 0
     prev_persisted = None
+    # most recent checkpoint-truncated round. Its blocks must stay
+    # live until a NEWER checkpoint truncates downstream lineage:
+    # every round in between is only persisted, and an evicted cache
+    # partition (or lost executor) recomputes by walking lineage back
+    # to this LogicalRDD — releasing it early turns that recompute
+    # into a hard block-not-found failure (ADVICE r5, graph.py item).
+    last_ckpt = None
     for i in range(max_iterations):
         nbr_labels = (
             adj.join(labels, adj.nbr == labels.node)
@@ -96,9 +104,12 @@ def connected_components(
         )
         # break lineage every few rounds: without this, iteration k's
         # plan nests k joins deep and the optimizer/driver cost grows
-        # superlinearly on long-running jobs
-        if i % 4 == 3:
-            new_labels = new_labels.localCheckpoint(eager=False)
+        # superlinearly on long-running jobs. Registered with any
+        # active persist_scope's checkpoint list so the blocks are
+        # freed at scope exit even when the loop ends on this round.
+        is_ckpt_round = i % 4 == 3
+        if is_ckpt_round:
+            new_labels = scoped_local_checkpoint(new_labels, eager=False)
         # registered with any active persist_scope so long-lived
         # callers release the final labels without remembering the
         # docstring contract (intermediate rounds are unpersisted
@@ -112,12 +123,19 @@ def connected_components(
             .count()
         )
         # the compare above was the last reader of the previous round's
-        # cache — release executor memory before the next shuffle
-        # (release_checkpoint also frees the every-4th-round lazy
-        # localCheckpoint blocks, which unpersist() does not touch)
+        # CACHE — plain unpersist only. Its checkpoint blocks (if it
+        # was a checkpoint round) stay live: later rounds' lineage
+        # still ends at that LogicalRDD until the next checkpoint.
         if prev_persisted is not None:
             prev_persisted.unpersist()
-            release_checkpoint(prev_persisted)
+        if is_ckpt_round:
+            # the changed-count above materialized this round's lazy
+            # checkpoint, so every live frame's lineage is truncated
+            # here — the PREVIOUS checkpoint's blocks are now
+            # unreachable and safe to free.
+            if last_ckpt is not None:
+                release_checkpoint(last_ckpt)
+            last_ckpt = new_labels
         prev_persisted = labels = new_labels
         if changed == 0:
             break

@@ -286,13 +286,18 @@ def misra_gries_candidates(
     such subtraction of t removes >= t*(k+1) total mass, preserving
     the classic decrement bound.
 
-    ``emit_partition_counts=True`` additionally yields one
-    (token=NULL, n=<partition row count>) row per partition, letting
-    the caller derive the corpus total N from the SAME scan instead of
-    a second pass — the heavy-hitters query needs exactly (candidates,
-    N, recount), and this keeps it at two corpus scans total
+    ``emit_partition_counts=True`` adds two columns — ``n`` and the
+    ``is_total`` marker — and yields one (is_total=true,
+    n=<partition row count>) row per partition, letting the caller
+    derive the corpus total N from the SAME scan instead of a second
+    pass — the heavy-hitters query needs exactly (candidates, N,
+    recount), and this keeps it at two corpus scans total
     (code-review finding: the separate count() was a third full
-    tokenize+explode).
+    tokenize+explode). The marker is a DEDICATED column rather than a
+    token-IS-NULL sentinel (ADVICE r5): a corpus that genuinely
+    contains null tokens counts them into N AND can surface null as a
+    candidate — filter candidates with ``NOT is_total``, never on the
+    token column.
     """
     import pandas as pd  # noqa: F811 — vectorized per-batch counts
     from pyspark.sql import types as T
@@ -303,15 +308,20 @@ def misra_gries_candidates(
     fields = [T.StructField(token_col, T.StringType())]
     if emit_partition_counts:
         fields.append(T.StructField("n", T.LongType()))
+        fields.append(T.StructField("is_total", T.BooleanType()))
     out_schema = T.StructType(fields)
 
     def per_partition(batches):
-        counters: dict[str, int] = {}
+        counters: dict[str | None, int] = {}
         seen = 0
         for pdf in batches:
             seen += len(pdf)
-            for tok, c in pdf[token_col].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(c)
+            # dropna=False: null input tokens are counted like any
+            # other value (they contribute to N, so they must be able
+            # to surface as candidates too)
+            for tok, c in pdf[token_col].value_counts(dropna=False).items():
+                key = None if pd.isna(tok) else tok
+                counters[key] = counters.get(key, 0) + int(c)
             m = len(counters)
             if m > k:
                 counts = sorted(counters.values())
@@ -324,6 +334,7 @@ def misra_gries_candidates(
                 {
                     token_col: list(counters) + [None],
                     "n": [None] * len(counters) + [seen],
+                    "is_total": [False] * len(counters) + [True],
                 }
             )
         else:

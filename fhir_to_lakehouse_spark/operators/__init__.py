@@ -4,6 +4,7 @@ from fhir_to_lakehouse_spark.operators.bundles import (
     latest_per_key,
     parse_bundles,
     prepare_stream,
+    resolve_references,
     split_by_method,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "latest_per_key",
     "parse_bundles",
     "prepare_stream",
+    "resolve_references",
     "split_by_method",
 ]

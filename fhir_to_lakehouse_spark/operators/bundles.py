@@ -121,7 +121,7 @@ def split_by_method(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def encode_resources(
-    df: DataFrame, resource_type: str, normalize_refs: bool = True
+    df: DataFrame, resource_type: str, normalize_refs: bool = False
 ) -> DataFrame:
     """FHIR JSON string column -> typed columns (Pathling replacement).
 
@@ -130,15 +130,21 @@ def encode_resources(
     outside the curated schema is lost. Replaces the JVM Pathling call
     at /root/reference/src/bundle_processor.py:162-166.
 
-    ``normalize_refs`` (default on) resolves Synthea-style
-    cross-references at encode time: every Reference's ``reference``
-    string drops its ``urn:uuid:`` / ``Type/`` prefix, leaving the bare
-    target id — so ``Observation.subject.reference`` joins
-    ``Patient.id`` with no string surgery (the reference gets this
-    implicitly from Pathling's resolution). The original form survives
-    in ``resource_json``. Only Reference-bearing subtrees are rebuilt
-    (schemas.normalize_references); everything else passes through the
-    same projection untouched.
+    Reference strings are stored VERBATIM by default — the same table
+    format the reference's Pathling encoder writes (reference
+    resolution there is a query-time concern), so tables written by an
+    existing deployment and by this pipeline stay byte-compatible
+    under the merge-upsert path with no migration. Normalization is a
+    READ-side transform: apply :func:`resolve_references` to an
+    encoded/stored frame when a query needs bare-id joins.
+
+    ``normalize_refs=True`` opts in to encode-time normalization
+    (every Reference's ``reference`` string drops its ``urn:uuid:`` /
+    ``Type/`` prefix, the stripped type is recorded in the struct's
+    ``type`` field) for pipelines that deliberately version their
+    table format that way; the original form always survives in
+    ``resource_json``. The pipeline writer exposes this as the
+    explicitly-off ``normalize_references_at_write`` setting.
     """
     schema = schema_for(resource_type)
     base = df.select(
@@ -151,3 +157,32 @@ def encode_resources(
     return base.select(r.alias("r"), "resource_json").select(
         "r.*", "resource_json"
     )
+
+
+def resolve_references(df: DataFrame, resource_type: str) -> DataFrame:
+    """Query-time reference resolution over an encoded (or stored)
+    resource frame: rebuild every FHIR Reference struct so its
+    ``reference`` field is the bare target id ('urn:uuid:X' and
+    'Type/X' -> 'X') and the stripped type lands in the struct's
+    ``type`` field — making ``Observation.subject.reference`` join
+    ``Patient.id`` with no string surgery, the way Pathling resolves
+    references at query time in the reference deployment.
+
+    Pure projection: only Reference-bearing top-level columns are
+    rebuilt (schemas.normalize_references), everything else — and any
+    extra columns such as ``resource_json`` — passes through
+    untouched, so Catalyst still prunes unread columns and pushes
+    filters below it. Ids are unique only per type: joins on the
+    resolved id must keep the ``type IS NULL OR type = '<Target>'``
+    guard (null type = globally-unique urn form).
+    """
+    schema = schema_for(resource_type)
+    by_name = {f.name: f.dataType for f in schema.fields}
+    cols = []
+    for name in df.columns:
+        dtype = by_name.get(name)
+        if dtype is None:
+            cols.append(F.col(name))
+        else:
+            cols.append(normalize_references(F.col(name), dtype).alias(name))
+    return df.select(*cols)

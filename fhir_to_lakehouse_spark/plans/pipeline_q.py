@@ -361,7 +361,8 @@ def pipeline_medication_request_decode(spark: SparkSession, sf_dir: str) -> Data
     oracle="""
     SELECT CAST(o_orderkey AS VARCHAR)                    AS id,
            'active'                                       AS status,
-           -- encode_resources normalizes 'Patient/<id>' to the bare id
+           -- resolve_references strips 'Patient/<id>' to the bare id
+           -- at QUERY time (storage keeps the verbatim string)
            CAST(o_custkey AS VARCHAR)                     AS patient_ref,
            CAST(o_totalprice AS DECIMAL(18,2))            AS total_amount,
            2                                              AS n_items,
@@ -433,7 +434,9 @@ def pipeline_claim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("fhir").alias("topic"),
     )
     claims = prepare_stream(events).filter(F.col("resource_type") == "Claim")
-    enc = encode_resources(claims, "Claim")
+    # storage-parity encode (verbatim references), then QUERY-time
+    # resolution for the bare-id projection below
+    enc = resolve_references(encode_resources(claims, "Claim"), "Claim")
     net_sum = F.expr(
         "CAST(aggregate(item, CAST(0.00 AS DECIMAL(18,2)),"
         " (acc, x) -> CAST(acc + x.net.value AS DECIMAL(18,2)))"
@@ -551,7 +554,9 @@ def pipeline_reference_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the REAL parse -> explode -> per-type split -> W1 dedup -> encode
     chain, and the encoded Observation joins the encoded Patient
     directly on ``subject.reference = id`` — no string surgery in the
-    query, because encode_resources normalized the urn prefix away.
+    query, because resolve_references strips the urn prefix at QUERY
+    time (the stored/encoded form keeps the verbatim string, matching
+    the reference's Pathling table format; ADVICE r5).
     The oracle rebuilds the joined rows straight from the source table.
 
     Scale shape: one parse of the batch feeds both type branches
@@ -560,7 +565,10 @@ def pipeline_reference_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     patient dimension is small, shuffle-joinable when it is not, with
     no reference-parsing expression in the join key to defeat
     pushdown."""
-    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
 
     events = _linked_bundle_events(spark, sf_dir)
     entries = prepare_stream(events)
@@ -572,8 +580,11 @@ def pipeline_reference_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("patient_id"), "active", "gender"
     )
     observations = (
-        encode_resources(
-            entries.filter(F.col("resource_type") == "Observation"),
+        resolve_references(
+            encode_resources(
+                entries.filter(F.col("resource_type") == "Observation"),
+                "Observation",
+            ),
             "Observation",
         )
         # type guard: FHIR ids are unique only per type, so a sound
@@ -616,7 +627,10 @@ def pipeline_dangling_references(spark: SparkSession, sf_dir: str) -> DataFrame:
     subject.reference = id. At scale both sides are table scans and the
     anti-join shuffles on the id key only (no reference-parsing
     expression in the key; broadcastable when the patient dim fits)."""
-    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     uid = F.col("user_id").cast("string")
@@ -691,8 +705,11 @@ def pipeline_dangling_references(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Patient",
     ).select(F.col("id").alias("patient_id"))
     observations = (
-        encode_resources(
-            entries.filter(F.col("resource_type") == "Observation"),
+        resolve_references(
+            encode_resources(
+                entries.filter(F.col("resource_type") == "Observation"),
+                "Observation",
+            ),
             "Observation",
         )
         # same type guard as pipeline_reference_join: only references
@@ -729,7 +746,10 @@ def pipeline_reference_join_typed(spark: SparkSession, sf_dir: str) -> DataFrame
     runs on the bare id WITH the explicit type predicate (the sound
     form — FHIR ids are unique only per type), and the oracle asserts
     the recorded type alongside the joined attributes."""
-    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
 
     events = _linked_bundle_events(spark, sf_dir, ref_style="relative")
     entries = prepare_stream(events)
@@ -741,8 +761,11 @@ def pipeline_reference_join_typed(spark: SparkSession, sf_dir: str) -> DataFrame
         "Patient",
     ).select(F.col("id").alias("patient_id"), "active")
     observations = (
-        encode_resources(
-            entries.filter(F.col("resource_type") == "Observation"),
+        resolve_references(
+            encode_resources(
+                entries.filter(F.col("resource_type") == "Observation"),
+                "Observation",
+            ),
             "Observation",
         )
         .filter(F.col("subject.type") == "Patient")  # typed guard

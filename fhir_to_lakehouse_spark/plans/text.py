@@ -558,7 +558,9 @@ def text_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     mg = scoped_persist(
         misra_gries_candidates(tok, k=50, emit_partition_counts=True)
     )
-    cand = mg.filter(F.col("token").isNotNull()).select("token").distinct()
+    # candidates are the NOT-is_total rows (dedicated marker — a
+    # token-IS-NULL filter would misclassify genuine null tokens)
+    cand = mg.filter(~F.col("is_total")).select("token").distinct()
     total = mg.agg(F.sum("n").alias("n"))
     counted = (
         tok.join(F.broadcast(cand), "token")  # candidate semi-join

@@ -62,6 +62,14 @@ class PipelineConfig:
     # delta.* properties applied at table create (None = reference
     # defaults, settings.py:43-49); flows from Settings.delta
     table_properties: dict[str, str] | None = None
+    # EXPLICITLY OFF by default (ADVICE r5): the stored tables keep
+    # Reference.reference strings verbatim, byte-compatible with what
+    # the reference's Pathling encoder writes — normalization is a
+    # query-time concern (operators.bundles.resolve_references).
+    # Turning this on is a table-format version change: existing rows
+    # keep prefixed references while new merges write bare ids, so
+    # only enable it on fresh tables or after a one-off rewrite.
+    normalize_references_at_write: bool = False
 
 
 class BundlePipeline:
@@ -205,7 +213,11 @@ class BundlePipeline:
             # it to remove nothing — skip it entirely (matters for
             # first-batch backfills, where it halves the table I/O).
             existed_before = tbl.exists()
-            encoded = encode_resources(puts, resource_type)
+            encoded = encode_resources(
+                puts,
+                resource_type,
+                normalize_refs=self.cfg.normalize_references_at_write,
+            )
             # table creation is unconditional once a type appears — the
             # reference creates the (possibly empty) table before merging,
             # so a DELETE-only first batch still materializes the table

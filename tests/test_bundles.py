@@ -119,8 +119,16 @@ def test_multiple_resource_types_routed_to_own_tables(spark, pipeline):
     assert pipeline.table("Condition").to_df().count() == 1
     assert pipeline.table("Observation").to_df().count() == 1
     cond = pipeline.table("Condition").to_df().collect()[0]
-    # encode_resources resolves Type/<id> references to the bare id
-    assert cond["subject"]["reference"] == "1"
+    # stored tables keep the reference string VERBATIM (Pathling
+    # storage parity, ADVICE r5); resolution is query-time
+    assert cond["subject"]["reference"] == "Patient/1"
+    from fhir_to_lakehouse_spark.operators.bundles import resolve_references
+
+    resolved = resolve_references(
+        pipeline.table("Condition").to_df(), "Condition"
+    ).collect()[0]
+    assert resolved["subject"]["reference"] == "1"
+    assert resolved["subject"]["type"] == "Patient"
 
 
 def test_unknown_resource_type_keeps_raw_json(spark, pipeline):
@@ -163,8 +171,8 @@ def test_encounter_and_procedure_encode_typed(spark, pipeline):
     enc = pipeline.table("Encounter").to_df().collect()[0]
     assert enc["status"] == "finished"
     assert enc["period"]["start"] == "2024-01-01T10:00:00Z"
-    # encode_resources resolves Type/<id> references to the bare id
-    assert enc["subject"]["reference"] == "1"
+    # verbatim reference string in storage (resolution is query-time)
+    assert enc["subject"]["reference"] == "Patient/1"
     pr = pipeline.table("Procedure").to_df().collect()[0]
     assert pr["status"] == "completed"
     assert pr["code"]["text"] == "appendectomy"

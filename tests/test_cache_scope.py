@@ -126,3 +126,23 @@ def test_scoped_local_checkpoint_released_on_scope_exit(spark):
         df.count()
         assert _n_persistent_rdds(spark) >= 1
     assert _n_persistent_rdds(spark) == 0
+
+
+def test_scoped_persist_of_checkpointed_frame_survives_scope_exit(spark):
+    """ADVICE r5 (cache.py): scope exit must NOT release_checkpoint a
+    frame registered via scoped_persist, even when its plan root is a
+    LogicalRDD — a plain unpersist leaves the checkpoint blocks intact
+    so re-reading the frame works instead of raising
+    block-not-found."""
+    from fhir_to_lakehouse_spark.functions.cache import (
+        release_checkpoint,
+    )
+
+    with persist_scope():
+        ck = scoped_persist(spark.range(20).localCheckpoint(eager=True))
+        assert ck.count() == 20
+    # cache entry is gone, but the frame must remain readable: its
+    # truncated plan recomputes from the (still live) checkpoint RDD
+    assert not ck.storageLevel.useMemory
+    assert ck.count() == 20
+    release_checkpoint(ck)  # cleanup

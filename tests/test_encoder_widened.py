@@ -11,7 +11,10 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+from fhir_to_lakehouse_spark.operators.bundles import (
+    encode_resources,
+    resolve_references,
+)
 from fhir_to_lakehouse_spark.schemas import RESOURCE_SCHEMAS
 
 # (resource_type, resource_dict, probe(row) -> asserted-true)
@@ -532,7 +535,10 @@ def test_curated_type_decodes_nested_fields(spark, rtype, resource, probe):
     df = spark.createDataFrame(
         [(json.dumps(resource),)], "resource string"
     )
-    row = encode_resources(df, rtype).collect()[0]
+    # probes that read references expect the resolved (bare-id) form —
+    # exercised through the query-time resolve_references transform
+    # over a storage-parity (verbatim) encode
+    row = resolve_references(encode_resources(df, rtype), rtype).collect()[0]
     assert row.id == resource["id"]
     assert probe(row), f"{rtype} nested decode failed: {row}"
     # lossless raw column always rides along
@@ -553,7 +559,10 @@ def test_curated_schemas_tolerate_extra_fields(spark, rtype, resource, probe):
         "extension": [{"url": "http://example.org/ext", "valueString": "x"}],
     }
     df = spark.createDataFrame([(json.dumps(resource),)], "resource string")
-    row = encode_resources(df, rtype).collect()[0]
+    # the catalog probes run through the full query-time path: a
+    # storage-parity encode (verbatim references) + resolve_references,
+    # so reference-expecting probes exercise the read-side transform
+    row = resolve_references(encode_resources(df, rtype), rtype).collect()[0]
     assert row.id == resource["id"]
     assert probe(row)
 
@@ -598,7 +607,9 @@ def test_normalize_references_prefix_forms(spark):
             if r["subject"] is not None
             else None
         )
-        for r in encode_resources(df, "Observation").collect()
+        for r in resolve_references(
+            encode_resources(df, "Observation"), "Observation"
+        ).collect()
     }
     assert got["a"] == ("pat-1", None)  # urn uuid: globally unique
     assert got["b"] == ("pat-2", "Patient")  # type preserved
@@ -635,7 +646,9 @@ def test_normalized_references_cannot_false_join_across_types(spark):
         [(obs("o1", "Patient/5"),), (obs("o2", "Group/5"),)],
         "resource string",
     )
-    enc = encode_resources(df, "Observation")
+    enc = resolve_references(
+        encode_resources(df, "Observation"), "Observation"
+    )
     guarded = enc.filter(
         F.col("subject.type").isNull() | (F.col("subject.type") == "Patient")
     )
@@ -647,7 +660,9 @@ def test_normalized_references_cannot_false_join_across_types(spark):
 
 def test_normalize_references_inside_arrays(spark):
     """Reference structs nested in arrays (e.g. reasonReference) are
-    rewritten element-wise; opting out keeps the raw form."""
+    rewritten element-wise by resolve_references; the default encode
+    keeps the raw form (storage parity) and encode-time normalization
+    is an explicit opt-in."""
     import json
 
     from fhir_to_lakehouse_spark.operators.bundles import encode_resources
@@ -666,13 +681,25 @@ def test_normalize_references_inside_arrays(spark):
         }
     )
     df = spark.createDataFrame([(doc,)], "resource string")
-    enc = encode_resources(df, "MedicationRequest").collect()[0]
+    enc = resolve_references(
+        encode_resources(df, "MedicationRequest"), "MedicationRequest"
+    ).collect()[0]
     assert enc["subject"]["reference"] == "p9"
     assert [x["reference"] for x in enc["reasonReference"]] == ["c1", "c2"]
-    raw = encode_resources(
-        df, "MedicationRequest", normalize_refs=False
-    ).collect()[0]
+    # the DEFAULT encode stores the verbatim strings (Pathling storage
+    # parity, ADVICE r5) ...
+    raw = encode_resources(df, "MedicationRequest").collect()[0]
     assert raw["subject"]["reference"] == "urn:uuid:p9"
+    assert [x["reference"] for x in raw["reasonReference"]] == [
+        "Condition/c1",
+        "urn:uuid:c2",
+    ]
+    # ... and encode-time normalization remains an explicit opt-in for
+    # pipelines that version their table format that way
+    opt = encode_resources(
+        df, "MedicationRequest", normalize_refs=True
+    ).collect()[0]
+    assert opt["subject"]["reference"] == "p9"
 
 
 def test_explode_entries_carries_full_url(spark):

@@ -242,3 +242,27 @@ def test_star_cc_rejects_bad_args(spark):
         connected_components_star(edges, max_rounds=0)
     with _pytest.raises(ValueError, match="on_unconverged"):
         connected_components_star(edges, on_unconverged="ignore")
+
+
+def test_connected_components_recomputes_after_cache_eviction(spark):
+    """ADVICE r5 (graph.py): a checkpointed round's blocks must stay
+    live until a NEWER round's checkpoint truncates downstream lineage.
+    Simulate total cache eviction by unpersisting the returned labels
+    and force a recompute — lineage must end at a LIVE checkpoint
+    LogicalRDD, not one whose blocks were released mid-loop (which
+    made this collect raise block-not-found instead of recomputing)."""
+    from fhir_to_lakehouse_spark.functions.graph import connected_components
+
+    # a 10-node path graph: min-label propagation needs ~9 rounds, so
+    # the loop crosses two checkpoint rounds (i=3 and i=7) with
+    # persisted-only rounds in between
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a int, id_b int"
+    )
+    labels = connected_components(edges, max_iterations=15)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(10)}
+    # evict every cached round, keeping only checkpoint blocks
+    labels.unpersist(blocking=True)
+    regot = {r["node"]: r["component"] for r in labels.collect()}
+    assert regot == got

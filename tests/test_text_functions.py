@@ -273,3 +273,30 @@ def test_heavy_hitters_query_equals_plain_group_by(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_mg_partition_counts_use_dedicated_marker_not_null_sentinel(spark):
+    """ADVICE r5 (text.py): the per-partition total rides in a
+    dedicated is_total marker column — genuine null input tokens are
+    counted into N AND can surface as candidates, instead of being
+    silently dropped and indistinguishable from the sentinel."""
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.functions.text import misra_gries_candidates
+
+    rows = [("a",)] * 6 + [(None,)] * 5 + [("b",)] * 1
+    df = spark.createDataFrame(rows, "token string").coalesce(1)
+    mg = misra_gries_candidates(df, k=3, emit_partition_counts=True)
+    out = mg.collect()
+    totals = [r for r in out if r["is_total"]]
+    cands = [r for r in out if not r["is_total"]]
+    # N counts null tokens too: 12 rows, one partition
+    assert sum(r["n"] for r in totals) == 12
+    # the null token is globally heavy (5/12 > 12/3 rows? freq 5 > N/k=4)
+    # and must appear as a CANDIDATE row, distinguishable via the marker
+    assert any(r["token"] is None for r in cands)
+    # filtering on the marker (never the token column) keeps it
+    assert (
+        mg.filter(~F.col("is_total")).filter(F.col("token").isNull()).count()
+        == 1
+    )
