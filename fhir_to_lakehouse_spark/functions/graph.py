@@ -57,8 +57,14 @@ def connected_components(
     returns the partial labels anyway.
 
     The returned DataFrame is backed by the last iteration's persisted
-    cache; call ``.unpersist()`` on it when finished to release
-    executor memory."""
+    cache; call ``.unpersist()`` on it when finished to release the
+    cached partitions. Note that the final checkpoint round's
+    localCheckpoint blocks (the LogicalRDD the cache recomputes from)
+    survive that unpersist — long-lived callers should wrap the call
+    in :func:`fhir_to_lakehouse_spark.functions.cache.persist_scope`,
+    which frees checkpoint blocks on scope exit; otherwise the
+    residual blocks remain until
+    ``release_all_persistent_rdds``/session shutdown."""
     if on_unconverged not in ("raise", "warn"):
         # a typo ("error", "ignore") must not silently demote the
         # convergence failure to a warning

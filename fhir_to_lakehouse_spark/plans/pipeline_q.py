@@ -380,7 +380,10 @@ def pipeline_claim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on both engines, so the nested-array fold
     (items_net_sum via a higher-order aggregate, no explode/shuffle)
     reproduces the claim total digit-for-digit."""
-    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     total = F.col("o_totalprice").cast("decimal(18,2)")

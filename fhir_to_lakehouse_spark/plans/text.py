@@ -563,7 +563,12 @@ def text_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = mg.filter(~F.col("is_total")).select("token").distinct()
     total = mg.agg(F.sum("n").alias("n"))
     counted = (
-        tok.join(F.broadcast(cand), "token")  # candidate semi-join
+        # candidate semi-join — null-SAFE equality so a genuinely
+        # heavy NULL token (which the MG contract now surfaces as a
+        # candidate) survives the recount; SQL GROUP BY groups NULLs
+        # on both engines, so the oracle agrees
+        tok.join(F.broadcast(cand), tok["token"].eqNullSafe(cand["token"]))
+        .select(tok["token"])
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -112,6 +112,12 @@ def test_no_reinlined_tokenizer_in_explode_plans(spark, sf_dir):
 
     The tokenizer fingerprint `split(trim(lower(` must appear at most
     once per source-scan branch of the optimized plan."""
+    # The expected counts assume the only cached subtrees are the ones
+    # the query functions themselves persist.  Earlier tests that ran
+    # the same queries leave entries in the cache manager, and Spark
+    # substitutes those InMemoryRelations into the new plans — each
+    # substitution site prints the cached plan's tokenizer once more.
+    spark.catalog.clearCache()
     per_query_scans = {
         "decontaminate_ngram_overlap": 2,   # bench + train branches
         # tot + cand branches + the persisted bench subtree, whose
