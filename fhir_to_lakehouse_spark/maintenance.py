@@ -147,6 +147,62 @@ def optimize_all(
     return done
 
 
+def migrate_references_all(
+    spark: SparkSession,
+    warehouse_dir: str,
+    to: str = "verbatim",
+) -> list[str]:
+    """One-off table-format migration between the two reference-string
+    conventions (ADVICE r6 / VERDICT r6 item 4):
+
+    - tables written before the storage-parity change hold NORMALIZED
+      references (bare target id in ``reference``, stripped type in
+      ``type``);
+    - the current default stores the document's reference strings
+      VERBATIM (Pathling storage parity), resolving at query time via
+      ``operators.bundles.resolve_references``.
+
+    Rather than string-surgery on the struct columns (which cannot
+    distinguish a bare id that came from ``urn:uuid:X`` from one that
+    came from ``Type/X``), the migration RE-ENCODES each row from the
+    losslessly-stored ``resource_json`` column under the requested
+    convention — exact by construction in both directions, for every
+    curated type and for raw-fallback tables alike. Tables without a
+    ``resource_json`` column (non-encoder tables) are skipped.
+
+    ``to="verbatim"`` (default) moves old tables to the new default;
+    ``to="normalized"`` is the inverse for deployments that opt into
+    ``normalize_references_at_write``. The rewrite is a copy-on-write
+    swap (readers never see a partial table) and happens OUTSIDE the
+    changelog: it is a format migration, not a data change — pin or
+    re-seed incremental consumers across it.
+
+    At scale this is one read + one write per table, no shuffle:
+    ``from_json`` is a per-row projection, so the plan is scan ->
+    project -> write with full parallelism."""
+    import pyspark.sql.functions as F
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    if to not in ("verbatim", "normalized"):
+        raise ValueError(f"to must be 'verbatim' or 'normalized', got {to!r}")
+    done = []
+    for path in discover_tables(warehouse_dir, spark):
+        rtype = os.path.basename(path).removesuffix(".parquet")
+        t = KeyedTable(spark, path)
+        df = t.to_df()
+        if "resource_json" not in df.columns:
+            continue
+        migrated = encode_resources(
+            df.select(F.col("resource_json").alias("resource")),
+            rtype,
+            normalize_refs=(to == "normalized"),
+        )
+        t._swap_write(migrated)
+        done.append(path)
+    return done
+
+
 def restore_table(
     spark: SparkSession, table_path: str, version: int
 ) -> None:
@@ -177,13 +233,20 @@ def register_all(
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="lakehousekeeper")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for cmd in ("vacuum", "optimize", "register", "restore"):
+    for cmd in ("vacuum", "optimize", "register", "restore", "migrate-references"):
         p = sub.add_parser(cmd)
         if cmd == "restore":
             p.add_argument("--table", required=True)
             p.add_argument("--version", type=int, required=True)
         else:
             p.add_argument("--warehouse", required=True)
+        if cmd == "migrate-references":
+            p.add_argument(
+                "--to",
+                choices=("verbatim", "normalized"),
+                default="verbatim",
+                help="target reference-string convention",
+            )
         if cmd == "optimize":
             p.add_argument(
                 "--zorder-by",
@@ -238,6 +301,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "restore":
         restore_table(spark, args.table, args.version)
         out = [f"{args.table} restored to v{args.version}"]
+    elif args.cmd == "migrate-references":
+        out = migrate_references_all(spark, args.warehouse, to=args.to)
     else:
         out = register_all(spark, args.warehouse, args.schema)
     for line in out:

@@ -230,3 +230,55 @@ def test_inverted_postings_uses_window_group_limit(spark, sf_dir):
     df = QUERIES["search_inverted_postings"](spark, sf_dir)
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_resolve_references_preserves_pushdown_and_pruning(spark, tmp_path):
+    """Plan snapshot for the resolve_references read-path claim
+    (operators/bundles.py docstring): the struct-rebuild projection is
+    PURE, so Catalyst must still (a) push a filter on an untouched
+    column (`id`) down into the parquet scan's PushedFilters, and
+    (b) prune Reference-bearing columns the query never reads out of
+    ReadSchema. If either stops holding, every encoder read over a
+    stored table pays a full-width scan at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            (
+                '{"resourceType": "Observation", "id": "obs-%d", '
+                '"status": "final", '
+                '"subject": {"reference": "Patient/p%d"}}' % (i, i),
+            )
+            for i in range(20)
+        ],
+        "resource string",
+    )
+    path = str(tmp_path / "observation")
+    encode_resources(raw, "Observation").write.parquet(path)
+
+    stored = spark.read.parquet(path)
+    resolved = resolve_references(stored, "Observation")
+
+    # (a) filter on an untouched column pushes into the scan
+    q = resolved.filter(F.col("id") == "obs-5").select("id", "status")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,obs-5)]" in plan, plan
+
+    # (b) unread Reference columns are pruned from the scan
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "subject" not in read_schema, plan
+    assert "resource_json" not in read_schema, plan
+
+    # (c) reading THROUGH the rebuild still prunes sibling columns:
+    # projecting only the resolved subject must not scan resource_json
+    q2 = resolved.select("id", F.col("subject.reference").alias("ref"))
+    plan2 = q2._jdf.queryExecution().executedPlan().toString()
+    read_schema2 = plan2.split("ReadSchema:")[1].splitlines()[0]
+    assert "resource_json" not in read_schema2, plan2
+    assert "subject" in read_schema2, plan2
