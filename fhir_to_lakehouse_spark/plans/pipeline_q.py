@@ -455,6 +455,282 @@ def pipeline_claim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_dispense_decode",
+    oracle="""
+    SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+           CAST(l_linenumber AS VARCHAR)                  AS id,
+           'completed'                                    AS status,
+           CAST(l_quantity AS DECIMAL(18,2))              AS qty,
+           CAST(30.00 AS DECIMAL(18,2))                   AS days_supply,
+           -- resolve_references strips 'Patient/<id>' at query time
+           CAST(l_suppkey AS VARCHAR)                     AS subject_ref,
+           'rx-' || CAST(l_orderkey AS VARCHAR)           AS rx_ref
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def pipeline_dispense_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 encoder coverage for the round-7 pharmacy tranche: a
+    MedicationDispense with Quantity/daysSupply decimals, a nested
+    performer[].actor reference, and an authorizingPrescription
+    Reference ARRAY round-trips through the full bundle chain
+    (synthesize JSON -> parse -> explode -> storage-parity encode ->
+    query-time resolve_references). Covers the array-of-Reference
+    normalization branch e2e, not just in the unit probe."""
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    rid = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    quantity = lambda v, unit: F.struct(  # noqa: E731
+        v.alias("value"), F.lit(unit).alias("unit")
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("MedicationDispense").alias("resourceType"),
+            rid.alias("id"),
+            F.lit("completed").alias("status"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("l_suppkey").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.lit("MedicationRequest/rx-"),
+                        F.col("l_orderkey").cast("string"),
+                    ).alias("reference")
+                )
+            ).alias("authorizingPrescription"),
+            quantity(qty, "tablets").alias("quantity"),
+            quantity(F.lit(30.00).cast("decimal(18,2)"), "d").alias("daysSupply"),
+        )
+    )
+    url = F.concat_ws("/", F.lit("MedicationDispense"), rid)
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.array(
+                F.struct(
+                    resource.alias("resource"),
+                    F.struct(
+                        F.lit("PUT").alias("method"), url.alias("url")
+                    ).alias("request"),
+                )
+            ).alias("entry"),
+        )
+    )
+    events = li.select(
+        rid.alias("key"),
+        bundle.alias("value"),
+        F.col("l_shipdate").cast("timestamp").alias("timestamp"),
+        (F.col("l_orderkey") % 4).cast("int").alias("partition"),
+        F.col("l_orderkey").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+    md = prepare_stream(events).filter(
+        F.col("resource_type") == "MedicationDispense"
+    )
+    enc = resolve_references(
+        encode_resources(md, "MedicationDispense"), "MedicationDispense"
+    )
+    return enc.select(
+        "id",
+        "status",
+        F.col("quantity.value").alias("qty"),
+        F.col("daysSupply.value").alias("days_supply"),
+        F.col("subject.reference").alias("subject_ref"),
+        F.element_at("authorizingPrescription", 1)["reference"].alias("rx_ref"),
+    )
+
+
+@query(
+    "pipeline_invoice_decode",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR)                         AS id,
+           'issued'                                            AS status,
+           CAST(o_totalprice AS DECIMAL(18,2))                 AS total_net,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(19.99 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS total_gross,
+           1                                                   AS n_lines,
+           'chg-' || CAST(o_orderkey AS VARCHAR)               AS first_charge_ref
+    FROM orders
+    """,
+)
+def pipeline_invoice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 encoder coverage for the round-7 billing chain: an Invoice
+    with two Money structs (totalNet/totalGross, exact DECIMAL
+    arithmetic on both engines) and a lineItem[].chargeItemReference
+    nested Reference array round-trips bundle chain -> storage-parity
+    encode -> query-time resolution of the ChargeItem link."""
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    net = F.col("o_totalprice").cast("decimal(18,2)")
+    gross = (net + F.lit(19.99).cast("decimal(18,2)")).cast("decimal(18,2)")
+    money = lambda v: F.struct(  # noqa: E731
+        v.alias("value"), F.lit("USD").alias("currency")
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("Invoice").alias("resourceType"),
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.lit("issued").alias("status"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("o_custkey").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.array(
+                F.struct(
+                    F.lit(1).alias("sequence"),
+                    F.struct(
+                        F.concat(
+                            F.lit("ChargeItem/chg-"),
+                            F.col("o_orderkey").cast("string"),
+                        ).alias("reference")
+                    ).alias("chargeItemReference"),
+                )
+            ).alias("lineItem"),
+            money(net).alias("totalNet"),
+            money(gross).alias("totalGross"),
+        )
+    )
+    url = F.concat_ws("/", F.lit("Invoice"), F.col("o_orderkey").cast("string"))
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.array(
+                F.struct(
+                    resource.alias("resource"),
+                    F.struct(
+                        F.lit("PUT").alias("method"), url.alias("url")
+                    ).alias("request"),
+                )
+            ).alias("entry"),
+        )
+    )
+    events = orders.select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        bundle.alias("value"),
+        F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        (F.col("o_orderkey") % 4).cast("int").alias("partition"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+    inv = prepare_stream(events).filter(F.col("resource_type") == "Invoice")
+    enc = resolve_references(encode_resources(inv, "Invoice"), "Invoice")
+    return enc.select(
+        "id",
+        "status",
+        F.col("totalNet.value").alias("total_net"),
+        F.col("totalGross.value").alias("total_gross"),
+        F.size("lineItem").alias("n_lines"),
+        F.element_at("lineItem", 1)["chargeItemReference"]["reference"].alias(
+            "first_charge_ref"
+        ),
+    )
+
+
+@query(
+    "pipeline_risk_decode",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR)            AS id,
+           'final'                               AS status,
+           CAST(c_acctbal AS DECIMAL(18,2))      AS probability,
+           CASE WHEN c_acctbal < 0 THEN 'low' ELSE 'high' END AS risk,
+           CAST(c_custkey AS VARCHAR)            AS subject_ref
+    FROM customer
+    """,
+)
+def pipeline_risk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 encoder coverage for the round-7 decision-support tranche:
+    a RiskAssessment whose prediction[] carries a FHIR decimal
+    (probabilityDecimal -> DecimalType, Pathling parity) and a nested
+    qualitativeRisk CodeableConcept round-trips the bundle chain; the
+    decimal survives to_json -> from_json digit-for-digit."""
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    prob = F.col("c_acctbal").cast("decimal(18,2)")
+    risk = F.when(F.col("c_acctbal") < 0, "low").otherwise("high")
+    resource = F.to_json(
+        F.struct(
+            F.lit("RiskAssessment").alias("resourceType"),
+            F.col("c_custkey").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("c_custkey").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.array(
+                F.struct(
+                    F.struct(F.lit("event").alias("text")).alias("outcome"),
+                    prob.alias("probabilityDecimal"),
+                    F.struct(risk.alias("text")).alias("qualitativeRisk"),
+                )
+            ).alias("prediction"),
+        )
+    )
+    url = F.concat_ws(
+        "/", F.lit("RiskAssessment"), F.col("c_custkey").cast("string")
+    )
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.array(
+                F.struct(
+                    resource.alias("resource"),
+                    F.struct(
+                        F.lit("PUT").alias("method"), url.alias("url")
+                    ).alias("request"),
+                )
+            ).alias("entry"),
+        )
+    )
+    events = cust.select(
+        F.col("c_custkey").cast("string").alias("key"),
+        bundle.alias("value"),
+        F.current_timestamp().alias("timestamp"),
+        (F.col("c_custkey") % 4).cast("int").alias("partition"),
+        F.col("c_custkey").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+    ra = prepare_stream(events).filter(
+        F.col("resource_type") == "RiskAssessment"
+    )
+    enc = resolve_references(
+        encode_resources(ra, "RiskAssessment"), "RiskAssessment"
+    )
+    pred = F.element_at("prediction", 1)
+    return enc.select(
+        "id",
+        "status",
+        pred["probabilityDecimal"].cast("decimal(18,2)").alias("probability"),
+        pred["qualitativeRisk"]["text"].alias("risk"),
+        F.col("subject.reference").alias("subject_ref"),
+    )
+
+
 def _linked_bundle_events(
     spark: SparkSession, sf_dir: str, ref_style: str = "urn"
 ) -> DataFrame:

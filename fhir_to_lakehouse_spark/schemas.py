@@ -1178,6 +1178,349 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# --- round-7 widening: the next R4 tranche beyond the Synthea working
+# set — pharmacy fulfillment, episode/status workflow, risk/decision
+# support, and the billing chain (Account/Invoice/ChargeItem). Field
+# names are the official FHIR R4 element names; choice elements
+# ([x] forms) curate the commonly-populated variants and the rest
+# stays queryable via resource_json.
+
+MEDICATION_DISPENSE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("medicationCodeableConcept", _CODEABLE_CONCEPT),
+        T.StructField("medicationReference", _REFERENCE),
+        T.StructField("subject", _REFERENCE),
+        T.StructField(
+            "performer",
+            T.ArrayType(T.StructType([T.StructField("actor", _REFERENCE)])),
+        ),
+        T.StructField("authorizingPrescription", T.ArrayType(_REFERENCE)),
+        T.StructField("quantity", _QUANTITY),
+        T.StructField("daysSupply", _QUANTITY),
+        T.StructField("whenPrepared", T.StringType()),
+        T.StructField("whenHandedOver", T.StringType()),
+    ]
+)
+
+MEDICATION_STATEMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("medicationCodeableConcept", _CODEABLE_CONCEPT),
+        T.StructField("medicationReference", _REFERENCE),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("context", _REFERENCE),
+        T.StructField("effectiveDateTime", T.StringType()),
+        T.StructField("effectivePeriod", _PERIOD),
+        T.StructField("dateAsserted", T.StringType()),
+        T.StructField("reasonCode", T.ArrayType(_CODEABLE_CONCEPT)),
+    ]
+)
+
+EPISODE_OF_CARE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField(
+            "statusHistory",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("status", T.StringType()),
+                        T.StructField("period", _PERIOD),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("type", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("managingOrganization", _REFERENCE),
+        T.StructField("period", _PERIOD),
+        T.StructField("careManager", _REFERENCE),
+    ]
+)
+
+FAMILY_MEMBER_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("date", T.StringType()),
+        T.StructField("relationship", _CODEABLE_CONCEPT),
+        T.StructField("sex", _CODEABLE_CONCEPT),
+        T.StructField("bornDate", T.DateType()),
+        T.StructField("deceasedBoolean", T.BooleanType()),
+        T.StructField(
+            "condition",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("code", _CODEABLE_CONCEPT),
+                        T.StructField("onsetAge", _QUANTITY),
+                        T.StructField("contributedToDeath", T.BooleanType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+CLINICAL_IMPRESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("effectiveDateTime", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField(
+            "finding",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("itemCodeableConcept", _CODEABLE_CONCEPT),
+                        T.StructField("itemReference", _REFERENCE),
+                        T.StructField("basis", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+DEVICE_REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("intent", T.StringType()),
+        T.StructField("codeReference", _REFERENCE),
+        T.StructField("codeCodeableConcept", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("requester", _REFERENCE),
+        T.StructField("performer", _REFERENCE),
+        T.StructField("authoredOn", T.StringType()),
+    ]
+)
+
+DEVICE_USE_STATEMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("device", _REFERENCE),
+        T.StructField("timingPeriod", _PERIOD),
+        T.StructField("recordedOn", T.StringType()),
+        T.StructField("source", _REFERENCE),
+    ]
+)
+
+COMMUNICATION_REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("priority", T.StringType()),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("requester", _REFERENCE),
+        T.StructField("recipient", T.ArrayType(_REFERENCE)),
+        T.StructField(
+            "payload",
+            T.ArrayType(
+                T.StructType([T.StructField("contentString", T.StringType())])
+            ),
+        ),
+        T.StructField("authoredOn", T.StringType()),
+    ]
+)
+
+RISK_ASSESSMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("encounter", _REFERENCE),
+        T.StructField("occurrenceDateTime", T.StringType()),
+        T.StructField("condition", _REFERENCE),
+        T.StructField(
+            "prediction",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("outcome", _CODEABLE_CONCEPT),
+                        # FHIR decimal -> DecimalType (Pathling parity)
+                        T.StructField(
+                            "probabilityDecimal", T.DecimalType(38, 18)
+                        ),
+                        T.StructField("qualitativeRisk", _CODEABLE_CONCEPT),
+                        T.StructField("whenPeriod", _PERIOD),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("mitigation", T.StringType()),
+    ]
+)
+
+ACCOUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField("name", T.StringType()),
+        T.StructField("subject", T.ArrayType(_REFERENCE)),
+        T.StructField("servicePeriod", _PERIOD),
+        T.StructField("owner", _REFERENCE),
+        T.StructField("description", T.StringType()),
+    ]
+)
+
+INVOICE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("type", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("recipient", _REFERENCE),
+        T.StructField("date", T.StringType()),
+        T.StructField(
+            "lineItem",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("sequence", T.IntegerType()),
+                        T.StructField("chargeItemReference", _REFERENCE),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("totalNet", _MONEY),
+        T.StructField("totalGross", _MONEY),
+    ]
+)
+
+CHARGE_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("context", _REFERENCE),
+        T.StructField("occurrenceDateTime", T.StringType()),
+        T.StructField("quantity", _QUANTITY),
+        T.StructField("performingOrganization", _REFERENCE),
+        T.StructField("priceOverride", _MONEY),
+    ]
+)
+
+ADVERSE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("actuality", T.StringType()),
+        T.StructField("event", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("date", T.StringType()),
+        T.StructField("severity", _CODEABLE_CONCEPT),
+        T.StructField(
+            "suspectEntity",
+            T.ArrayType(
+                T.StructType([T.StructField("instance", _REFERENCE)])
+            ),
+        ),
+    ]
+)
+
+VISION_PRESCRIPTION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("created", T.StringType()),
+        T.StructField("patient", _REFERENCE),
+        T.StructField("dateWritten", T.StringType()),
+        T.StructField("prescriber", _REFERENCE),
+        T.StructField(
+            "lensSpecification",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("product", _CODEABLE_CONCEPT),
+                        T.StructField("eye", T.StringType()),
+                        T.StructField("sphere", T.DecimalType(38, 18)),
+                        T.StructField("add", T.DecimalType(38, 18)),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+GROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("actual", T.BooleanType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("quantity", T.IntegerType()),
+        T.StructField("managingEntity", _REFERENCE),
+        T.StructField(
+            "member",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("entity", _REFERENCE),
+                        T.StructField("inactive", T.BooleanType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+HEALTHCARE_SERVICE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("providedBy", _REFERENCE),
+        T.StructField("type", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("name", T.StringType()),
+        T.StructField("location", T.ArrayType(_REFERENCE)),
+        T.StructField("telecom", _TELECOM),
+    ]
+)
+
+ENDPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        # Endpoint.connectionType is a single Coding (not an array)
+        T.StructField(
+            "connectionType",
+            T.StructType(
+                [
+                    T.StructField("system", T.StringType()),
+                    T.StructField("code", T.StringType()),
+                    T.StructField("display", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("name", T.StringType()),
+        T.StructField("managingOrganization", _REFERENCE),
+        T.StructField("payloadType", T.ArrayType(_CODEABLE_CONCEPT)),
+        T.StructField("address", T.StringType()),
+    ]
+)
+
+BASIC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("code", _CODEABLE_CONCEPT),
+        T.StructField("subject", _REFERENCE),
+        T.StructField("created", T.DateType()),
+        T.StructField("author", _REFERENCE),
+    ]
+)
+
 RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "Patient": PATIENT_SCHEMA,
     "Condition": CONDITION_SCHEMA,
@@ -1221,6 +1564,25 @@ RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "Slot": SLOT_SCHEMA,
     # FHIR R4 Media (photo/video/audio attachments on a subject)
     "Media": MEDIA_SCHEMA,
+    # round-7 tranche: pharmacy / workflow / risk / billing chain
+    "MedicationDispense": MEDICATION_DISPENSE_SCHEMA,
+    "MedicationStatement": MEDICATION_STATEMENT_SCHEMA,
+    "EpisodeOfCare": EPISODE_OF_CARE_SCHEMA,
+    "FamilyMemberHistory": FAMILY_MEMBER_HISTORY_SCHEMA,
+    "ClinicalImpression": CLINICAL_IMPRESSION_SCHEMA,
+    "DeviceRequest": DEVICE_REQUEST_SCHEMA,
+    "DeviceUseStatement": DEVICE_USE_STATEMENT_SCHEMA,
+    "CommunicationRequest": COMMUNICATION_REQUEST_SCHEMA,
+    "RiskAssessment": RISK_ASSESSMENT_SCHEMA,
+    "Account": ACCOUNT_SCHEMA,
+    "Invoice": INVOICE_SCHEMA,
+    "ChargeItem": CHARGE_ITEM_SCHEMA,
+    "AdverseEvent": ADVERSE_EVENT_SCHEMA,
+    "VisionPrescription": VISION_PRESCRIPTION_SCHEMA,
+    "Group": GROUP_SCHEMA,
+    "HealthcareService": HEALTHCARE_SERVICE_SCHEMA,
+    "Endpoint": ENDPOINT_SCHEMA,
+    "Basic": BASIC_SCHEMA,
 }
 
 # Fallback for resource types without a curated schema: id only (the

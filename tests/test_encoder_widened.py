@@ -510,6 +510,292 @@ CASES = [
         and r.width == 640
         and r.subject.reference == "1",
     ),
+    # --- round-7 tranche: pharmacy / workflow / risk / billing chain ---
+    (
+        "MedicationDispense",
+        {
+            "id": "md1",
+            "status": "completed",
+            "medicationCodeableConcept": {"text": "amoxicillin 500mg"},
+            "subject": {"reference": "Patient/1"},
+            "performer": [{"actor": {"reference": "Practitioner/9"}}],
+            "authorizingPrescription": [{"reference": "MedicationRequest/rx7"}],
+            "quantity": {"value": 30, "unit": "tablets"},
+            "daysSupply": {"value": 10, "unit": "d"},
+            "whenHandedOver": "2024-03-01T12:00:00Z",
+        },
+        lambda r: float(r.quantity.value) == 30.0
+        and float(r.daysSupply.value) == 10.0
+        and r.performer[0].actor.reference == "9"
+        and r.authorizingPrescription[0].reference == "rx7",
+    ),
+    (
+        "MedicationStatement",
+        {
+            "id": "ms1",
+            "status": "active",
+            "medicationCodeableConcept": {"text": "lisinopril"},
+            "subject": {"reference": "Patient/1"},
+            "effectivePeriod": {"start": "2024-01-01", "end": "2024-12-31"},
+            "reasonCode": [{"text": "hypertension"}],
+        },
+        lambda r: r.effectivePeriod.end == "2024-12-31"
+        and r.reasonCode[0].text == "hypertension",
+    ),
+    (
+        "EpisodeOfCare",
+        {
+            "id": "eoc1",
+            "status": "active",
+            "statusHistory": [
+                {"status": "planned", "period": {"start": "2024-01-01", "end": "2024-02-01"}},
+                {"status": "active", "period": {"start": "2024-02-01"}},
+            ],
+            "patient": {"reference": "Patient/1"},
+            "managingOrganization": {"reference": "Organization/o1"},
+            "careManager": {"reference": "Practitioner/9"},
+        },
+        lambda r: r.statusHistory[0].status == "planned"
+        and r.statusHistory[1].period.start == "2024-02-01"
+        and r.managingOrganization.reference == "o1",
+    ),
+    (
+        "FamilyMemberHistory",
+        {
+            "id": "fmh1",
+            "status": "completed",
+            "patient": {"reference": "Patient/1"},
+            "relationship": {"text": "mother"},
+            "bornDate": "1950-04-02",
+            "condition": [
+                {
+                    "code": {"text": "diabetes"},
+                    "onsetAge": {"value": 52, "unit": "a"},
+                    "contributedToDeath": False,
+                }
+            ],
+        },
+        lambda r: str(r.bornDate) == "1950-04-02"
+        and r.condition[0].code.text == "diabetes"
+        and float(r.condition[0].onsetAge.value) == 52.0,
+    ),
+    (
+        "ClinicalImpression",
+        {
+            "id": "ci1",
+            "status": "completed",
+            "subject": {"reference": "Patient/1"},
+            "summary": "stable",
+            "finding": [
+                {
+                    "itemCodeableConcept": {"text": "anemia"},
+                    "itemReference": {"reference": "Condition/c3"},
+                    "basis": "lab panel",
+                }
+            ],
+        },
+        lambda r: r.finding[0].itemCodeableConcept.text == "anemia"
+        and r.finding[0].itemReference.reference == "c3",
+    ),
+    (
+        "DeviceRequest",
+        {
+            "id": "dr1",
+            "status": "active",
+            "intent": "order",
+            "codeReference": {"reference": "Device/d4"},
+            "subject": {"reference": "Patient/1"},
+            "requester": {"reference": "Practitioner/9"},
+            "authoredOn": "2024-05-05T00:00:00Z",
+        },
+        lambda r: r.codeReference.reference == "d4" and r.intent == "order",
+    ),
+    (
+        "DeviceUseStatement",
+        {
+            "id": "dus1",
+            "status": "active",
+            "subject": {"reference": "Patient/1"},
+            "device": {"reference": "Device/d4"},
+            "timingPeriod": {"start": "2024-05-06"},
+            "recordedOn": "2024-05-07T00:00:00Z",
+        },
+        lambda r: r.device.reference == "d4"
+        and r.timingPeriod.start == "2024-05-06",
+    ),
+    (
+        "CommunicationRequest",
+        {
+            "id": "cr1",
+            "status": "active",
+            "priority": "urgent",
+            "subject": {"reference": "Patient/1"},
+            "recipient": [{"reference": "Practitioner/9"}, {"reference": "CareTeam/ct1"}],
+            "payload": [{"contentString": "please call back"}],
+        },
+        lambda r: r.priority == "urgent"
+        and [x.reference for x in r.recipient] == ["9", "ct1"]
+        and r.payload[0].contentString == "please call back",
+    ),
+    (
+        "RiskAssessment",
+        {
+            "id": "ra1",
+            "status": "final",
+            "subject": {"reference": "Patient/1"},
+            "condition": {"reference": "Condition/c3"},
+            "prediction": [
+                {
+                    "outcome": {"text": "stroke"},
+                    "probabilityDecimal": 0.125,
+                    "qualitativeRisk": {"text": "low"},
+                }
+            ],
+            "mitigation": "statin therapy",
+        },
+        lambda r: float(r.prediction[0].probabilityDecimal) == 0.125
+        and r.prediction[0].qualitativeRisk.text == "low"
+        and r.condition.reference == "c3",
+    ),
+    (
+        "Account",
+        {
+            "id": "acct1",
+            "status": "active",
+            "type": {"text": "patient billing"},
+            "name": "ACME billing",
+            "subject": [{"reference": "Patient/1"}],
+            "servicePeriod": {"start": "2024-01-01", "end": "2024-12-31"},
+            "owner": {"reference": "Organization/o1"},
+        },
+        lambda r: r.subject[0].reference == "1"
+        and r.servicePeriod.end == "2024-12-31"
+        and r.owner.reference == "o1",
+    ),
+    (
+        "Invoice",
+        {
+            "id": "inv1",
+            "status": "issued",
+            "subject": {"reference": "Patient/1"},
+            "recipient": {"reference": "Organization/o1"},
+            "date": "2024-06-01T00:00:00Z",
+            "lineItem": [
+                {"sequence": 1, "chargeItemReference": {"reference": "ChargeItem/chg1"}}
+            ],
+            "totalNet": {"value": 99.5, "currency": "USD"},
+            "totalGross": {"value": 109.45, "currency": "USD"},
+        },
+        lambda r: float(r.totalNet.value) == 99.5
+        and float(r.totalGross.value) == 109.45
+        and r.lineItem[0].chargeItemReference.reference == "chg1",
+    ),
+    (
+        "ChargeItem",
+        {
+            "id": "chg1",
+            "status": "billable",
+            "code": {"text": "venipuncture"},
+            "subject": {"reference": "Patient/1"},
+            "quantity": {"value": 2},
+            "priceOverride": {"value": 12.34, "currency": "USD"},
+            "performingOrganization": {"reference": "Organization/o1"},
+        },
+        lambda r: float(r.quantity.value) == 2.0
+        and float(r.priceOverride.value) == 12.34,
+    ),
+    (
+        "AdverseEvent",
+        {
+            "id": "ae1",
+            "actuality": "actual",
+            "event": {"text": "fall"},
+            "subject": {"reference": "Patient/1"},
+            "severity": {"text": "mild"},
+            "suspectEntity": [{"instance": {"reference": "Medication/m2"}}],
+        },
+        lambda r: r.actuality == "actual"
+        and r.suspectEntity[0].instance.reference == "m2",
+    ),
+    (
+        "VisionPrescription",
+        {
+            "id": "vp1",
+            "status": "active",
+            "patient": {"reference": "Patient/1"},
+            "prescriber": {"reference": "Practitioner/9"},
+            "dateWritten": "2024-04-04T00:00:00Z",
+            "lensSpecification": [
+                {"product": {"text": "lens"}, "eye": "right", "sphere": -2.25, "add": 1.75}
+            ],
+        },
+        lambda r: r.lensSpecification[0].eye == "right"
+        and float(r.lensSpecification[0].sphere) == -2.25
+        and float(r.lensSpecification[0]["add"]) == 1.75,
+    ),
+    (
+        "Group",
+        {
+            "id": "g1",
+            "type": "person",
+            "actual": True,
+            "name": "diabetes cohort",
+            "quantity": 2,
+            "managingEntity": {"reference": "Organization/o1"},
+            "member": [
+                {"entity": {"reference": "Patient/1"}, "inactive": False},
+                {"entity": {"reference": "Patient/2"}, "inactive": True},
+            ],
+        },
+        lambda r: r.actual is True
+        and [m.entity.reference for m in r.member] == ["1", "2"]
+        and r.member[1].inactive is True,
+    ),
+    (
+        "HealthcareService",
+        {
+            "id": "hs1",
+            "active": True,
+            "providedBy": {"reference": "Organization/o1"},
+            "type": [{"text": "cardiology"}],
+            "name": "cardio clinic",
+            "location": [{"reference": "Location/l1"}],
+            "telecom": [{"system": "phone", "value": "555-0100"}],
+        },
+        lambda r: r.type[0].text == "cardiology"
+        and r.location[0].reference == "l1"
+        and r.telecom[0].value == "555-0100",
+    ),
+    (
+        "Endpoint",
+        {
+            "id": "ep1",
+            "status": "active",
+            "connectionType": {
+                "system": "http://terminology.hl7.org/CodeSystem/endpoint-connection-type",
+                "code": "hl7-fhir-rest",
+            },
+            "name": "fhir api",
+            "managingOrganization": {"reference": "Organization/o1"},
+            "payloadType": [{"text": "any"}],
+            "address": "https://fhir.example.org/r4",
+        },
+        lambda r: r.connectionType.code == "hl7-fhir-rest"
+        and r.address == "https://fhir.example.org/r4",
+    ),
+    (
+        "Basic",
+        {
+            "id": "b1",
+            "code": {"text": "referral note"},
+            "subject": {"reference": "Patient/1"},
+            "created": "2024-02-02",
+            "author": {"reference": "Practitioner/9"},
+        },
+        lambda r: r.code.text == "referral note"
+        and str(r.created) == "2024-02-02"
+        and r.author.reference == "9",
+    ),
 ]
 
 
