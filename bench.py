@@ -498,12 +498,32 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # machine-load provenance (VERDICT r6 item 7): r5->r6 showed a
+    # uniform ~30% swing on UNTOUCHED queries — run-to-run environment
+    # variance dominates small deltas. Record the 1/5/15-min load
+    # averages (sampled at run END, i.e. including this run's own
+    # load) and the live process count so round-over-round comparisons
+    # can be gated on a quiet machine.
+    try:
+        load1, load5, load15 = os.getloadavg()
+        env_load = {
+            "loadavg_1m": round(load1, 2),
+            "loadavg_5m": round(load5, 2),
+            "loadavg_15m": round(load15, 2),
+            "n_processes": len(
+                [p for p in os.listdir("/proc") if p.isdigit()]
+            ),
+            "n_cpus": os.cpu_count(),
+        }
+    except OSError:  # pragma: no cover — non-POSIX fallback
+        env_load = {}
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(v for v in timings.values() if isinstance(v, (int, float))), 4),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env": env_load,
     }
     if errors:
         out["errors"] = errors

@@ -51,7 +51,57 @@ QUERIES_TO_RUN = [
     # bounded round count, same answer (shared oracle)
     "dedup_cluster_components",
     "dedup_cluster_components_star",
+    # round 7 (VERDICT r6 item 8): the bucketized interval join — the
+    # quadratic corner under validation is buckets-per-session (a
+    # session spanning H hours explodes into H+1 bucket rows);
+    # main() also prints the measured bucket-multiplicity bound
+    "events_interval_join_bucketized",
 ]
+
+
+def interval_join_bucket_stats(spark, sf_dir: str) -> dict[str, float]:
+    """Measured buckets-per-session distribution — the blow-up factor
+    the bucketized interval join (plans/events.py) pays in exchange
+    for an equi join. Under the 30-min-gap sessionization a session
+    GROWS only while events keep arriving <30 min apart, so session
+    length (and with it bucket multiplicity) is bounded by activity,
+    not by data volume: the p99/max printed here validate that the
+    explode stays ~1-2 rows per session even on the skew-heavy 10x
+    corpus (10x users with identical per-user activity patterns)."""
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.plans.events import _sessionized_events
+    from fhir_to_lakehouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        _sessionized_events(ev)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    n_buckets = (
+        F.floor(
+            (F.unix_timestamp("e") - F.unix_timestamp(F.date_trunc("hour", "s")))
+            / 3600
+        )
+        + 1
+    )
+    row = (
+        sessions.select(n_buckets.cast("double").alias("nb"))
+        .agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.avg("nb").alias("avg"),
+            F.expr("percentile_approx(nb, 0.99)").alias("p99"),
+            F.max("nb").alias("max"),
+        )
+        .collect()[0]
+    )
+    return {
+        "sessions": int(row["sessions"]),
+        "avg_buckets": round(float(row["avg"]), 3),
+        "p99_buckets": float(row["p99"]),
+        "max_buckets": float(row["max"]),
+    }
 
 
 def synthesize(spark) -> None:
@@ -164,6 +214,19 @@ def main() -> int:
             f"{r['sf1']:7.2f}   x{ratio:.1f} for 10x data",
             flush=True,
         )
+    if "events_interval_join_bucketized" in names:
+        stats = {
+            label: interval_join_bucket_stats(spark, sf_dir)
+            for label, sf_dir in (("sf0.1", BASE), ("sf1", OUT))
+        }
+        results["_interval_join_bucket_stats"] = stats
+        for label, s in stats.items():
+            print(
+                f"interval-join buckets/session @{label}: "
+                f"avg {s['avg_buckets']} p99 {s['p99_buckets']} "
+                f"max {s['max_buckets']} over {s['sessions']} sessions",
+                flush=True,
+            )
     print(json.dumps(results))
     return 0
 
