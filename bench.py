@@ -79,6 +79,12 @@ HEADLINE = [
     # exact heavy hitters (Misra-Gries candidates, exact recount)
     "events_funnel_conversion",
     "text_heavy_hitters_exact",
+    # round 7: the bucketized interval join (10x stress curve in
+    # SCALING.md — x4.2 for 10x data, bucket multiplicity bounded at
+    # 2) and one encoder-tranche decode (full bundle chain -> typed
+    # columns -> query-time reference resolution, Money decimals)
+    "events_interval_join_bucketized",
+    "pipeline_invoice_decode",
 ]
 
 

@@ -179,6 +179,52 @@ def shingle_hashes_from_tokens(toks: Column, k: int = 3) -> Column:
     ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
 
 
+def _fuse_adjacent(syms: Column, left: str, right: str) -> Column:
+    """One BPE merge applied to a symbol array: fuse every adjacent
+    (left, right) occurrence non-overlapping left-to-right — exactly
+    the reference algorithm's pass ('aaa' + (a,a) -> ['aa','a']): a
+    freshly merged symbol never re-matches as the left side within the
+    same pass, because the fold checks the ACCUMULATOR's tail (already
+    merged) against the incoming raw symbol."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_encode_words(words, rules, word_col: str = "word"):
+    """Tokenizer APPLICATION — the inference-side counterpart of
+    :func:`learn_bpe_merges`: encode each distinct word into its BPE
+    symbol sequence by replaying the learned merge rules in rank
+    order. ``rules`` accepts the learner's ``(rank, left, right,
+    count)`` tuples or bare ``(left, right)`` pairs. Returns ``words``
+    with a ``bpe_syms array<string>`` column appended.
+
+    Deliberately operates on the VOCABULARY, not the corpus: encoding
+    cost is paid once per DISTINCT word (bounded by vocab size), and a
+    consumer maps corpus tokens through this frame with a join —
+    broadcast when the vocab fits (typical: a 50k-entry tokenizer
+    vocab is a few MB), shuffle otherwise. The per-word encode itself
+    is a chain of n_rules JVM-side higher-order folds (one
+    :func:`_fuse_adjacent` per rule — no Python UDF, no shuffle), so
+    the whole encode is a narrow projection over the vocab frame."""
+    chars = F.filter(F.split(F.col(word_col), ""), lambda x: x != "")
+    sym = chars
+    for rule in rules:
+        left, right = (rule[1], rule[2]) if len(rule) >= 3 else rule
+        sym = _fuse_adjacent(sym, left, right)
+    return words.withColumn("bpe_syms", sym)
+
+
 def learn_bpe_merges(
     words,  # DataFrame (word string, freq long) — the corpus vocabulary
     n_merges: int = 8,
@@ -235,19 +281,7 @@ def learn_bpe_merges(
             break  # no adjacent pairs left anywhere
         left, right, n = top[0]["p"]["l"], top[0]["p"]["r"], top[0]["n"]
         rules.append((rank, left, right, int(n)))
-        fused = F.aggregate(
-            F.col("sym"),
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (x == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.element_at(acc, -1), x)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        fused = _fuse_adjacent(F.col("sym"), left, right)
         prev = sym
         sym = sym.select(fused.alias("sym"), "freq").localCheckpoint(
             eager=True

@@ -637,3 +637,53 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.prefix_docs", "p.vocab_size")
         .orderBy("prefix_docs")
     )
+
+
+
+@query("text_bpe_encode_stats")  # rows-only: rules are learned iteratively
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale — the round-7
+    completion of the BPE story (pair counts -> merge learning ->
+    ENCODING): learn 8 merge rules from the corpus vocabulary
+    (functions/text.py::learn_bpe_merges), encode the vocabulary once
+    with functions/text.py::bpe_encode_words, then map every document
+    through the encoded vocab and report per-doc tokenization stats
+    (whitespace words, BPE symbols, characters — the compression the
+    tokenizer achieves).
+
+    Rows-only for the driver (the merge rules come from an iterative
+    argmax; no SQL oracle) — tests/test_text_functions.py::
+    test_bpe_encode_stats_match_reference_tokenizer value-locks the
+    per-document symbol counts AND the exact per-word symbol sequences
+    against an independent pure-Python Sennrich-style encoder.
+
+    100 TB shape: encoding cost is per DISTINCT word (the vocab frame,
+    ~50k rows for a production tokenizer), not per corpus token; the
+    corpus then takes one broadcast hash join token->bpe_syms and one
+    map-side-combinable per-doc aggregate. No Python UDF anywhere —
+    the encode is a chain of JVM higher-order folds."""
+    from fhir_to_lakehouse_spark.functions.text import (
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("word")
+    )
+    words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    rules = learn_bpe_merges(words, n_merges=8)
+    encoded = bpe_encode_words(words.select("word"), rules).select(
+        "word",
+        F.size("bpe_syms").alias("n_syms"),
+        F.length("word").alias("n_chars"),
+    )
+    return (
+        tok.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+            F.sum("n_chars").alias("n_word_chars"),
+        )
+    )

@@ -300,3 +300,86 @@ def test_mg_partition_counts_use_dedicated_marker_not_null_sentinel(spark):
         mg.filter(~F.col("is_total")).filter(F.col("token").isNull()).count()
         == 1
     )
+
+
+def _bpe_apply_reference(word: str, rules) -> list[str]:
+    """Independent pure-Python BPE ENCODER: replay learned merge rules
+    in rank order, fusing non-overlapping left-to-right per pass."""
+    syms = [c for c in word]
+    for _, left, right, *_ in rules:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_words_matches_reference_encoder(spark):
+    """Every distinct word's EXACT symbol sequence equals the
+    independent encoder's — including overlapping-run fusion ('aaaa'
+    with (a,a) -> ['aa','aa'], then (aa,aa) -> ['aaaa'])."""
+    from fhir_to_lakehouse_spark.functions.text import (
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+
+    freqs = {
+        "lower": 6, "lowest": 3, "newer": 8, "newest": 5, "wider": 2,
+        "low": 9, "new": 4, "aaaa": 7, "banana": 3,
+    }
+    words = spark.createDataFrame(
+        [(w, f) for w, f in freqs.items()], "word string, freq long"
+    )
+    rules = learn_bpe_merges(words, n_merges=6)
+    got = {
+        r["word"]: list(r["bpe_syms"])
+        for r in bpe_encode_words(words.select("word"), rules).collect()
+    }
+    for w in freqs:
+        assert got[w] == _bpe_apply_reference(w, rules), (w, got[w])
+
+
+def test_bpe_encode_stats_match_reference_tokenizer(spark):
+    """The registered rows-only query's per-doc counts equal the
+    independent tokenizer applied end-to-end (learn on the corpus
+    vocab, encode each doc's tokens, count)."""
+    import tempfile
+
+    from fhir_to_lakehouse_spark.plans import QUERIES
+
+    docs = [
+        (0, "new lower newer low low"),
+        (1, "newest wider lowest new banana"),
+        (2, "aaaa aaaa new low"),
+        (3, ""),  # empty doc: no tokens, must produce no row
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = {
+            r["doc_id"]: r
+            for r in QUERIES["text_bpe_encode_stats"](spark, d).collect()
+        }
+
+    # independent end-to-end: freqs -> rules -> encode -> count
+    freqs: dict[str, int] = {}
+    for _, text in docs:
+        for w in text.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    rules = _bpe_reference(freqs, 8)
+    assert 3 not in rows  # empty doc
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        if not toks:
+            continue
+        want_syms = sum(len(_bpe_apply_reference(w, rules)) for w in toks)
+        r = rows[doc_id]
+        assert r["n_words"] == len(toks)
+        assert r["n_bpe_tokens"] == want_syms, (doc_id, r, want_syms)
+        assert r["n_word_chars"] == sum(len(w) for w in toks)
