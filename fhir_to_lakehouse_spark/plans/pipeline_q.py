@@ -1057,3 +1057,345 @@ def pipeline_reference_join_typed(spark: SparkSession, sf_dir: str) -> DataFrame
     return observations.join(patients, "patient_id").select(
         "obs_id", "patient_id", "ref_type", "active"
     )
+
+
+@query(
+    "pipeline_claimresponse_decode",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR)             AS id,
+           'complete'                              AS outcome,
+           -- resolve_references strips 'Claim/<id>' at query time
+           CAST(o_orderkey AS VARCHAR)             AS request_ref,
+           CAST(o_totalprice AS DECIMAL(18,2))     AS payment_amount,
+           CAST(o_totalprice AS DECIMAL(18,2))     AS adjudicated_sum,
+           2                                       AS n_items
+    FROM orders
+    """,
+)
+def pipeline_claimresponse_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 encoder coverage for the round-7 full-R4 catalog
+    (schemas_catalog.py): a ClaimResponse — the payer-side answer to
+    the Claim the reference's billing bundles carry — with a
+    triply-nested item[].adjudication[].amount Money chain and a
+    payment block round-trips the full bundle chain (synthesize ->
+    parse -> explode -> storage-parity encode -> query-time reference
+    resolution).
+
+    The adjudicated amounts split the order total as (total - 10.00,
+    10.00) across two items, pure DECIMAL(18,2) arithmetic on both
+    engines, so the doubly-nested higher-order fold (sum over each
+    item's first adjudication, no explode/shuffle) reproduces the
+    payment amount digit-for-digit. Scale shape: identical to
+    pipeline_claim_decode — one narrow projection per order row, all
+    JSON work inside whole-stage codegen, zero Python."""
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    total = F.col("o_totalprice").cast("decimal(18,2)")
+    money = lambda v: F.struct(  # noqa: E731
+        v.alias("value"), F.lit("USD").alias("currency")
+    )
+    adjudication = lambda amt: F.array(  # noqa: E731
+        F.struct(
+            F.struct(F.lit("benefit").alias("text")).alias("category"),
+            money(amt).alias("amount"),
+        )
+    )
+    item = lambda seq, amt: F.struct(  # noqa: E731
+        F.lit(seq).alias("itemSequence"),
+        adjudication(amt).alias("adjudication"),
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("ClaimResponse").alias("resourceType"),
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.lit("active").alias("status"),
+            F.lit("claim").alias("use"),
+            F.struct(
+                F.concat(F.lit("Patient/"), F.col("o_custkey").cast("string")).alias(
+                    "reference"
+                )
+            ).alias("patient"),
+            F.struct(
+                F.concat(F.lit("Claim/"), F.col("o_orderkey").cast("string")).alias(
+                    "reference"
+                )
+            ).alias("request"),
+            F.lit("complete").alias("outcome"),
+            F.array(
+                item(1, (total - F.lit(10.00).cast("decimal(18,2)")).cast("decimal(18,2)")),
+                item(2, F.lit(10.00).cast("decimal(18,2)")),
+            ).alias("item"),
+            F.struct(
+                F.struct(F.lit("complete").alias("text")).alias("type"),
+                money(total).alias("amount"),
+            ).alias("payment"),
+        )
+    )
+    url = F.concat_ws(
+        "/", F.lit("ClaimResponse"), F.col("o_orderkey").cast("string")
+    )
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.array(
+                F.struct(
+                    resource.alias("resource"),
+                    F.struct(F.lit("PUT").alias("method"), url.alias("url")).alias(
+                        "request"
+                    ),
+                )
+            ).alias("entry"),
+        )
+    )
+    events = orders.select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        bundle.alias("value"),
+        F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        (F.col("o_orderkey") % 4).cast("int").alias("partition"),
+        F.col("o_orderkey").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+    cr = prepare_stream(events).filter(F.col("resource_type") == "ClaimResponse")
+    enc = resolve_references(
+        encode_resources(cr, "ClaimResponse"), "ClaimResponse"
+    )
+    adjudicated = F.expr(
+        "CAST(aggregate(item, CAST(0.00 AS DECIMAL(18,2)),"
+        " (acc, x) -> CAST(acc + element_at(x.adjudication, 1).amount.value"
+        "             AS DECIMAL(18,2)))"
+        " AS DECIMAL(18,2))"
+    )
+    return enc.select(
+        "id",
+        "outcome",
+        F.col("request.reference").alias("request_ref"),
+        F.col("payment.amount.value").alias("payment_amount"),
+        adjudicated.alias("adjudicated_sum"),
+        F.size("item").alias("n_items"),
+    )
+
+
+@query(
+    "pipeline_measurereport_decode",
+    oracle="""
+    SELECT CAST(c_nationkey AS VARCHAR)                 AS id,
+           'complete'                                   AS status,
+           CAST(c_nationkey AS VARCHAR)                 AS reporter_ref,
+           '2024-01-01'                                 AS period_start,
+           CAST(COUNT(*) AS INT)                        AS numerator,
+           CAST(COUNT(*) AS DECIMAL(18,2))              AS score
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def pipeline_measurereport_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 encoder coverage: a MeasureReport (quality-measure result,
+    full-R4 catalog type) whose group[].population[].count and
+    group[].measureScore Quantity are REAL aggregates — one report per
+    nation with the nation's customer count — exercising int-typed
+    backbone fields and the Quantity decimal through the full bundle
+    chain.
+
+    Scale shape: the aggregate runs BEFORE synthesis (one
+    map-side-combinable groupBy on the nation key, 25 result rows), so
+    the bundle chain processes one row per report, not per customer —
+    the same pre-aggregate-then-encode shape a real quality-measure
+    publisher uses."""
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    per_nation = customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("int").alias("cnt")
+    )
+    score = F.col("cnt").cast("decimal(18,2)")
+    resource = F.to_json(
+        F.struct(
+            F.lit("MeasureReport").alias("resourceType"),
+            F.col("c_nationkey").cast("string").alias("id"),
+            F.lit("complete").alias("status"),
+            F.lit("summary").alias("type"),
+            F.lit("http://example.org/Measure/customers").alias("measure"),
+            F.struct(
+                F.concat(
+                    F.lit("Organization/"), F.col("c_nationkey").cast("string")
+                ).alias("reference")
+            ).alias("reporter"),
+            F.struct(
+                F.lit("2024-01-01").alias("start"),
+                F.lit("2024-12-31").alias("end"),
+            ).alias("period"),
+            F.array(
+                F.struct(
+                    F.struct(F.lit("g1").alias("text")).alias("code"),
+                    F.array(
+                        F.struct(
+                            F.struct(F.lit("numerator").alias("text")).alias(
+                                "code"
+                            ),
+                            F.col("cnt").alias("count"),
+                        )
+                    ).alias("population"),
+                    F.struct(score.alias("value")).alias("measureScore"),
+                )
+            ).alias("group"),
+        )
+    )
+    url = F.concat_ws(
+        "/", F.lit("MeasureReport"), F.col("c_nationkey").cast("string")
+    )
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.array(
+                F.struct(
+                    resource.alias("resource"),
+                    F.struct(F.lit("PUT").alias("method"), url.alias("url")).alias(
+                        "request"
+                    ),
+                )
+            ).alias("entry"),
+        )
+    )
+    events = per_nation.select(
+        F.col("c_nationkey").cast("string").alias("key"),
+        bundle.alias("value"),
+        F.lit("2024-12-31").cast("timestamp").alias("timestamp"),
+        (F.col("c_nationkey") % 4).cast("int").alias("partition"),
+        F.col("c_nationkey").cast("long").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+    mr = prepare_stream(events).filter(
+        F.col("resource_type") == "MeasureReport"
+    )
+    enc = resolve_references(
+        encode_resources(mr, "MeasureReport"), "MeasureReport"
+    )
+    g1 = F.element_at("group", 1)
+    return enc.select(
+        "id",
+        "status",
+        F.col("reporter.reference").alias("reporter_ref"),
+        F.col("period.start").alias("period_start"),
+        F.element_at(g1["population"], 1)["count"].alias("numerator"),
+        g1["measureScore"]["value"].cast("decimal(18,2)").alias("score"),
+    )
+
+
+@query(
+    "pipeline_auditevent_decode",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR)                    AS id,
+           'R'                                          AS action,
+           '0'                                          AS outcome,
+           -- resolve_references strips the relative prefixes
+           CAST(user_id AS VARCHAR)                     AS agent_ref,
+           'true'                                       AS agent_requestor,
+           CAST(event_id AS VARCHAR)                    AS entity_ref,
+           event_type                                   AS entity_name
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def pipeline_auditevent_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 encoder coverage: an AuditEvent (who-did-what access log,
+    full-R4 catalog type) per purchase event — exercising the single
+    (non-array) Coding struct, a boolean backbone field, and TWO
+    independent Reference arrays (agent[].who, entity[].what) resolved
+    in one resolve_references pass.
+
+    Scale shape: one narrow row per event, every JSON op codegen'd;
+    the boolean survives the JSON round-trip as a real BooleanType
+    column (stringified only in the final projection so the DuckDB
+    oracle can compare a stable literal)."""
+    from fhir_to_lakehouse_spark.operators.bundles import (
+        encode_resources,
+        resolve_references,
+    )
+
+    events_t = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("AuditEvent").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.struct(
+                F.lit("http://dicom.nema.org/resources/ontology/DCM").alias(
+                    "system"
+                ),
+                F.lit("110100").alias("code"),
+            ).alias("type"),
+            F.lit("R").alias("action"),
+            F.col("ts").cast("string").alias("recorded"),
+            F.lit("0").alias("outcome"),
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.concat(
+                            F.lit("Practitioner/"),
+                            F.col("user_id").cast("string"),
+                        ).alias("reference")
+                    ).alias("who"),
+                    F.lit(True).alias("requestor"),
+                )
+            ).alias("agent"),
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.concat(
+                            F.lit("DocumentReference/"),
+                            F.col("event_id").cast("string"),
+                        ).alias("reference")
+                    ).alias("what"),
+                    F.col("event_type").alias("name"),
+                )
+            ).alias("entity"),
+        )
+    )
+    url = F.concat_ws(
+        "/", F.lit("AuditEvent"), F.col("event_id").cast("string")
+    )
+    bundle = F.to_json(
+        F.struct(
+            F.lit("Bundle").alias("resourceType"),
+            F.lit("transaction").alias("type"),
+            F.array(
+                F.struct(
+                    resource.alias("resource"),
+                    F.struct(F.lit("PUT").alias("method"), url.alias("url")).alias(
+                        "request"
+                    ),
+                )
+            ).alias("entry"),
+        )
+    )
+    stream = events_t.select(
+        F.col("event_id").cast("string").alias("key"),
+        bundle.alias("value"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.lit("fhir").alias("topic"),
+    )
+    ae = prepare_stream(stream).filter(F.col("resource_type") == "AuditEvent")
+    enc = resolve_references(encode_resources(ae, "AuditEvent"), "AuditEvent")
+    agent1 = F.element_at("agent", 1)
+    entity1 = F.element_at("entity", 1)
+    return enc.select(
+        "id",
+        "action",
+        "outcome",
+        agent1["who"]["reference"].alias("agent_ref"),
+        agent1["requestor"].cast("string").alias("agent_requestor"),
+        entity1["what"]["reference"].alias("entity_ref"),
+        entity1["name"].alias("entity_name"),
+    )

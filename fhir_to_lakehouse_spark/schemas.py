@@ -1585,8 +1585,19 @@ RESOURCE_SCHEMAS: dict[str, T.StructType] = {
     "Basic": BASIC_SCHEMA,
 }
 
-# Fallback for resource types without a curated schema: id only (the
-# merge key) + the raw JSON column that every encoded frame carries.
+# Round-7 tranche 3: the remaining R4 4.0.1 resource types (compact
+# curated schemas, schemas_catalog.py) — the registry now covers the
+# FULL official list of 146 concrete types, so no resourceType ever
+# degrades to GENERIC_SCHEMA. Import placed after the primitives the
+# catalog module reuses (Python resolves the partial-module cycle
+# because everything it pulls is already bound above).
+from fhir_to_lakehouse_spark.schemas_catalog import CATALOG_SCHEMAS  # noqa: E402
+
+RESOURCE_SCHEMAS.update(CATALOG_SCHEMAS)
+
+# Fallback for a resourceType OUTSIDE the R4 registry (custom/basic
+# profiles, future-version types): id only (the merge key) + the raw
+# JSON column that every encoded frame carries.
 GENERIC_SCHEMA = T.StructType([T.StructField("id", T.StringType())])
 
 

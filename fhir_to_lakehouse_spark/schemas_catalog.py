@@ -1,0 +1,1168 @@
+"""Curated compact schemas closing the encoder catalog to full R4.
+
+The reference types *all* of FHIR R4 through the Pathling JVM encoder
+(/root/reference/src/main.py:49). Rounds 4-7 curated the 59 types a
+Synthea population actually emits (schemas.py); this module adds the
+remaining 86 concrete R4 4.0.1 resource types so every resourceType in
+the official registry decodes to typed columns — no type degrades to
+the id-only GENERIC_SCHEMA any more.
+
+Design: each schema is compact but real — `id` plus the type's
+signature fields per the public R4 spec (status / code / subject /
+period / amount chains and the type's one-or-two distinctive nested
+backbones), not the full recursive element tree. `from_json` with an
+explicit StructType is the Spark-native encoder path (SURVEY §7.3);
+`encode_resources` carries the lossless `resource_json` column
+alongside, so any unmodeled field stays queryable via
+`variant_json_access`. Two deliberate deviations from a literal
+Pathling flattening, noted per-field below:
+
+- recursive backbones (Questionnaire.item.item, CodeSystem
+  .concept.concept, ExampleScenario.process.step.process) are typed
+  ONE level deep — Spark StructTypes are finite trees; deeper levels
+  remain in resource_json;
+- FHIR `dateTime`/`instant`/partial `date` fields stay StringType
+  (precision varies per document; a DateType coercion nulls partial
+  dates like "2024-03"), matching the deceasedDateTime convention in
+  schemas.py. Full dates on Synthea-exercised types (Patient
+  .birthDate) keep DateType there.
+
+Reference structs reuse schemas.py's `_REFERENCE`, so
+`normalize_references` / `resolve_references` recurse into every
+Reference added here with zero extra code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from fhir_to_lakehouse_spark.schemas import (
+    _CODEABLE_CONCEPT as CC,
+    _CODING,
+    _MONEY,
+    _PERIOD,
+    _QUANTITY,
+    _REFERENCE as REF,
+    _ADDRESS,
+    _HUMAN_NAME,
+    _TELECOM,
+)
+
+_S = T.StringType()
+_B = T.BooleanType()
+_I = T.IntegerType()
+_DEC = T.DecimalType(38, 18)
+
+# Single (non-array) Coding — AuditEvent.type, MessageHeader.event
+_CODING1 = T.StructType(
+    [
+        T.StructField("system", _S),
+        T.StructField("code", _S),
+        T.StructField("display", _S),
+    ]
+)
+
+_IDENT = T.ArrayType(
+    T.StructType([T.StructField("system", _S), T.StructField("value", _S)])
+)
+
+_IDENT1 = T.StructType(
+    [T.StructField("system", _S), T.StructField("value", _S)]
+)
+
+_ATTACHMENT = T.StructType(
+    [
+        T.StructField("contentType", _S),
+        T.StructField("url", _S),
+        T.StructField("size", _I),
+        T.StructField("title", _S),
+    ]
+)
+
+
+def _f(name: str, dtype: T.DataType) -> T.StructField:
+    return T.StructField(name, dtype)
+
+
+def _arr(*fields: T.StructField) -> T.ArrayType:
+    return T.ArrayType(T.StructType(list(fields)))
+
+
+def _canonical(*extra: T.StructField) -> T.StructType:
+    """The R4 canonical-resource common fields (CapabilityStatement,
+    CodeSystem, ValueSet, … all open with this block in the spec)."""
+    return T.StructType(
+        [
+            _f("id", _S),
+            _f("url", _S),
+            _f("version", _S),
+            _f("name", _S),
+            _f("title", _S),
+            _f("status", _S),
+            _f("experimental", _B),
+            _f("date", _S),
+            _f("publisher", _S),
+            _f("description", _S),
+            *extra,
+        ]
+    )
+
+
+CATALOG_SCHEMAS: dict[str, T.StructType] = {
+    # --- definitional / knowledge artifacts ------------------------------
+    "ActivityDefinition": _canonical(
+        _f("kind", _S), _f("intent", _S), _f("code", CC)
+    ),
+    "CapabilityStatement": _canonical(
+        _f("kind", _S),
+        _f("fhirVersion", _S),
+        _f("format", T.ArrayType(_S)),
+        _f(
+            "software",
+            T.StructType([_f("name", _S), _f("version", _S)]),
+        ),
+    ),
+    "ChargeItemDefinition": _canonical(_f("code", CC)),
+    "CodeSystem": _canonical(
+        _f("content", _S),
+        _f("caseSensitive", _B),
+        _f("count", _I),
+        # recursive concept.concept typed one level deep
+        _f(
+            "concept",
+            _arr(_f("code", _S), _f("display", _S), _f("definition", _S)),
+        ),
+    ),
+    "CompartmentDefinition": _canonical(
+        _f("code", _S),
+        _f("search", _B),
+        _f("resource", _arr(_f("code", _S), _f("param", T.ArrayType(_S)))),
+    ),
+    "ConceptMap": _canonical(
+        _f("sourceUri", _S),
+        _f("targetUri", _S),
+        _f(
+            "group",
+            _arr(
+                _f("source", _S),
+                _f("target", _S),
+                _f(
+                    "element",
+                    _arr(
+                        _f("code", _S),
+                        _f("display", _S),
+                        _f(
+                            "target",
+                            _arr(
+                                _f("code", _S),
+                                _f("display", _S),
+                                _f("equivalence", _S),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+    ),
+    "EventDefinition": _canonical(
+        _f("trigger", _arr(_f("type", _S), _f("name", _S)))
+    ),
+    "ExampleScenario": _canonical(
+        _f("actor", _arr(_f("actorId", _S), _f("type", _S), _f("name", _S)))
+    ),
+    "GraphDefinition": _canonical(
+        _f("start", _S),
+        _f("link", _arr(_f("path", _S), _f("description", _S))),
+    ),
+    "ImplementationGuide": _canonical(
+        _f("packageId", _S),
+        _f("license", _S),
+        _f("fhirVersion", T.ArrayType(_S)),
+    ),
+    "Library": _canonical(
+        _f("type", CC),
+        _f("subjectCodeableConcept", CC),
+        _f("content", T.ArrayType(_ATTACHMENT)),
+    ),
+    "Measure": _canonical(
+        _f("scoring", CC),
+        _f("type", T.ArrayType(CC)),
+        _f("group", _arr(_f("code", CC), _f("description", _S))),
+    ),
+    "MessageDefinition": _canonical(
+        _f("eventCoding", _CODING1),
+        _f("category", _S),
+        _f("responseRequired", _S),
+        _f("focus", _arr(_f("code", _S), _f("min", _I), _f("max", _S))),
+    ),
+    "NamingSystem": T.StructType(
+        [
+            _f("id", _S),
+            _f("name", _S),
+            _f("status", _S),
+            _f("kind", _S),
+            _f("date", _S),
+            _f("publisher", _S),
+            _f(
+                "uniqueId",
+                _arr(_f("type", _S), _f("value", _S), _f("preferred", _B)),
+            ),
+        ]
+    ),
+    "ObservationDefinition": T.StructType(
+        [
+            _f("id", _S),
+            _f("category", T.ArrayType(CC)),
+            _f("code", CC),
+            _f("permittedDataType", T.ArrayType(_S)),
+            _f("multipleResultsAllowed", _B),
+            _f("preferredReportName", _S),
+        ]
+    ),
+    "OperationDefinition": _canonical(
+        _f("kind", _S),
+        _f("code", _S),
+        _f("system", _B),
+        _f("type", _B),
+        _f("instance", _B),
+        _f("resource", T.ArrayType(_S)),
+        _f(
+            "parameter",
+            _arr(
+                _f("name", _S),
+                _f("use", _S),
+                _f("min", _I),
+                _f("max", _S),
+                _f("type", _S),
+            ),
+        ),
+    ),
+    "PlanDefinition": _canonical(
+        _f("type", CC),
+        _f("subjectCodeableConcept", CC),
+        _f(
+            "action",
+            _arr(
+                _f("title", _S),
+                _f("description", _S),
+                _f("definitionCanonical", _S),
+            ),
+        ),
+    ),
+    "Questionnaire": _canonical(
+        _f("subjectType", T.ArrayType(_S)),
+        # recursive item.item typed one level deep
+        _f(
+            "item",
+            _arr(
+                _f("linkId", _S),
+                _f("text", _S),
+                _f("type", _S),
+                _f("required", _B),
+                _f("answerValueSet", _S),
+            ),
+        ),
+    ),
+    "ResearchDefinition": _canonical(
+        _f("population", REF), _f("exposure", REF), _f("outcome", REF)
+    ),
+    "ResearchElementDefinition": _canonical(
+        _f("type", _S),
+        _f(
+            "characteristic",
+            _arr(_f("definitionCodeableConcept", CC), _f("exclude", _B)),
+        ),
+    ),
+    "SearchParameter": _canonical(
+        _f("code", _S),
+        _f("base", T.ArrayType(_S)),
+        _f("type", _S),
+        _f("expression", _S),
+        _f("xpath", _S),
+        _f("target", T.ArrayType(_S)),
+        _f("multipleOr", _B),
+        _f("multipleAnd", _B),
+    ),
+    "SpecimenDefinition": T.StructType(
+        [
+            _f("id", _S),
+            _f("typeCollected", CC),
+            _f("patientPreparation", T.ArrayType(CC)),
+            _f("timeAspect", _S),
+            _f("collection", T.ArrayType(CC)),
+        ]
+    ),
+    "StructureDefinition": _canonical(
+        _f("kind", _S),
+        _f("abstract", _B),
+        _f("type", _S),
+        _f("baseDefinition", _S),
+        _f("derivation", _S),
+        _f("fhirVersion", _S),
+        _f("context", _arr(_f("type", _S), _f("expression", _S))),
+    ),
+    "StructureMap": _canonical(
+        _f(
+            "structure",
+            _arr(_f("url", _S), _f("mode", _S), _f("alias", _S)),
+        ),
+        _f("import", T.ArrayType(_S)),
+    ),
+    "TerminologyCapabilities": _canonical(
+        _f("kind", _S),
+        _f("codeSystem", _arr(_f("uri", _S))),
+    ),
+    "TestScript": _canonical(
+        _f("test", _arr(_f("name", _S), _f("description", _S)))
+    ),
+    "ValueSet": _canonical(
+        _f("immutable", _B),
+        _f(
+            "compose",
+            T.StructType(
+                [
+                    _f(
+                        "include",
+                        _arr(
+                            _f("system", _S),
+                            _f("version", _S),
+                            _f(
+                                "concept",
+                                _arr(_f("code", _S), _f("display", _S)),
+                            ),
+                            _f("valueSet", T.ArrayType(_S)),
+                        ),
+                    )
+                ]
+            ),
+        ),
+        _f(
+            "expansion",
+            T.StructType(
+                [
+                    _f("timestamp", _S),
+                    _f("total", _I),
+                    _f("contains", _CODING),
+                ]
+            ),
+        ),
+    ),
+    # --- evidence-based-medicine family ----------------------------------
+    "EffectEvidenceSynthesis": _canonical(
+        _f("population", REF), _f("exposure", REF), _f("outcome", REF)
+    ),
+    "Evidence": _canonical(
+        _f("exposureBackground", REF),
+        _f("exposureVariant", T.ArrayType(REF)),
+        _f("outcome", T.ArrayType(REF)),
+    ),
+    "EvidenceVariable": _canonical(
+        _f("type", _S),
+        _f(
+            "characteristic",
+            _arr(
+                _f("description", _S),
+                _f("definitionReference", REF),
+                _f("definitionCanonical", _S),
+                _f("exclude", _B),
+            ),
+        ),
+    ),
+    "RiskEvidenceSynthesis": _canonical(
+        _f("population", REF), _f("exposure", REF), _f("outcome", REF)
+    ),
+    # --- clinical / administrative ---------------------------------------
+    "AppointmentResponse": T.StructType(
+        [
+            _f("id", _S),
+            _f("appointment", REF),
+            _f("start", _S),
+            _f("end", _S),
+            _f("actor", REF),
+            _f("participantStatus", _S),
+        ]
+    ),
+    "AuditEvent": T.StructType(
+        [
+            _f("id", _S),
+            _f("type", _CODING1),
+            _f("subtype", _CODING),
+            _f("action", _S),
+            _f("recorded", _S),
+            _f("outcome", _S),
+            _f("outcomeDesc", _S),
+            _f(
+                "agent",
+                _arr(
+                    _f("type", CC),
+                    _f("who", REF),
+                    _f("requestor", _B),
+                    _f("name", _S),
+                ),
+            ),
+            _f(
+                "source",
+                T.StructType([_f("site", _S), _f("observer", REF)]),
+            ),
+            _f(
+                "entity",
+                _arr(_f("what", REF), _f("name", _S), _f("description", _S)),
+            ),
+        ]
+    ),
+    "BodyStructure": T.StructType(
+        [
+            _f("id", _S),
+            _f("active", _B),
+            _f("morphology", CC),
+            _f("location", CC),
+            _f("description", _S),
+            _f("patient", REF),
+        ]
+    ),
+    "DetectedIssue": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("code", CC),
+            _f("severity", _S),
+            _f("patient", REF),
+            _f("identifiedDateTime", _S),
+            _f("implicated", T.ArrayType(REF)),
+            _f("detail", _S),
+        ]
+    ),
+    "DocumentManifest": T.StructType(
+        [
+            _f("id", _S),
+            _f("masterIdentifier", _IDENT1),
+            _f("status", _S),
+            _f("created", _S),
+            _f("subject", REF),
+            _f("author", T.ArrayType(REF)),
+            _f("content", T.ArrayType(REF)),
+            _f("description", _S),
+        ]
+    ),
+    "GuidanceResponse": T.StructType(
+        [
+            _f("id", _S),
+            _f("requestIdentifier", _IDENT1),
+            _f("status", _S),
+            _f("moduleUri", _S),
+            _f("subject", REF),
+            _f("result", REF),
+            _f("outputParameters", REF),
+        ]
+    ),
+    "ImmunizationEvaluation": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("patient", REF),
+            _f("date", _S),
+            _f("targetDisease", CC),
+            _f("immunizationEvent", REF),
+            _f("doseStatus", CC),
+            _f("series", _S),
+        ]
+    ),
+    "ImmunizationRecommendation": T.StructType(
+        [
+            _f("id", _S),
+            _f("patient", REF),
+            _f("date", _S),
+            _f("authority", REF),
+            _f(
+                "recommendation",
+                _arr(
+                    _f("vaccineCode", T.ArrayType(CC)),
+                    _f("targetDisease", CC),
+                    _f("forecastStatus", CC),
+                    _f("series", _S),
+                    _f("doseNumberPositiveInt", _I),
+                ),
+            ),
+        ]
+    ),
+    "Linkage": T.StructType(
+        [
+            _f("id", _S),
+            _f("active", _B),
+            _f("author", REF),
+            _f("item", _arr(_f("type", _S), _f("resource", REF))),
+        ]
+    ),
+    "MeasureReport": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("type", _S),
+            _f("measure", _S),
+            _f("subject", REF),
+            _f("date", _S),
+            _f("reporter", REF),
+            _f("period", _PERIOD),
+            _f(
+                "group",
+                _arr(
+                    _f("code", CC),
+                    _f(
+                        "population",
+                        _arr(_f("code", CC), _f("count", _I)),
+                    ),
+                    _f("measureScore", _QUANTITY),
+                ),
+            ),
+        ]
+    ),
+    "MessageHeader": T.StructType(
+        [
+            _f("id", _S),
+            _f("eventCoding", _CODING1),
+            _f(
+                "destination",
+                _arr(_f("name", _S), _f("endpoint", _S)),
+            ),
+            _f("sender", REF),
+            _f(
+                "source",
+                T.StructType(
+                    [
+                        _f("name", _S),
+                        _f("software", _S),
+                        _f("version", _S),
+                        _f("endpoint", _S),
+                    ]
+                ),
+            ),
+            _f("responsible", REF),
+            _f("reason", CC),
+            _f(
+                "response",
+                T.StructType([_f("identifier", _S), _f("code", _S)]),
+            ),
+            _f("focus", T.ArrayType(REF)),
+        ]
+    ),
+    "MolecularSequence": T.StructType(
+        [
+            _f("id", _S),
+            _f("type", _S),
+            _f("coordinateSystem", _I),
+            _f("patient", REF),
+            _f(
+                "referenceSeq",
+                T.StructType(
+                    [
+                        _f("chromosome", CC),
+                        _f("genomeBuild", _S),
+                        _f("referenceSeqId", CC),
+                        _f("windowStart", _I),
+                        _f("windowEnd", _I),
+                    ]
+                ),
+            ),
+            _f(
+                "variant",
+                _arr(
+                    _f("start", _I),
+                    _f("end", _I),
+                    _f("observedAllele", _S),
+                    _f("referenceAllele", _S),
+                ),
+            ),
+        ]
+    ),
+    "OperationOutcome": T.StructType(
+        [
+            _f("id", _S),
+            _f(
+                "issue",
+                _arr(
+                    _f("severity", _S),
+                    _f("code", _S),
+                    _f("details", CC),
+                    _f("diagnostics", _S),
+                    _f("expression", T.ArrayType(_S)),
+                ),
+            ),
+        ]
+    ),
+    "OrganizationAffiliation": T.StructType(
+        [
+            _f("id", _S),
+            _f("active", _B),
+            _f("period", _PERIOD),
+            _f("organization", REF),
+            _f("participatingOrganization", REF),
+            _f("code", T.ArrayType(CC)),
+            _f("specialty", T.ArrayType(CC)),
+            _f("location", T.ArrayType(REF)),
+        ]
+    ),
+    "Person": T.StructType(
+        [
+            _f("id", _S),
+            _f("name", _HUMAN_NAME),
+            _f("telecom", _TELECOM),
+            _f("gender", _S),
+            _f("birthDate", T.DateType()),
+            _f("address", _ADDRESS),
+            _f("active", _B),
+            _f("managingOrganization", REF),
+            _f(
+                "link",
+                _arr(_f("target", REF), _f("assurance", _S)),
+            ),
+        ]
+    ),
+    "RequestGroup": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("intent", _S),
+            _f("priority", _S),
+            _f("code", CC),
+            _f("subject", REF),
+            _f("encounter", REF),
+            _f("authoredOn", _S),
+            _f("author", REF),
+            _f("action", _arr(_f("title", _S), _f("description", _S))),
+        ]
+    ),
+    "ResearchStudy": T.StructType(
+        [
+            _f("id", _S),
+            _f("title", _S),
+            _f("status", _S),
+            _f("phase", CC),
+            _f("category", T.ArrayType(CC)),
+            _f("condition", T.ArrayType(CC)),
+            _f("period", _PERIOD),
+            _f("sponsor", REF),
+            _f("principalInvestigator", REF),
+            _f("enrollment", T.ArrayType(REF)),
+            _f("description", _S),
+        ]
+    ),
+    "ResearchSubject": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("period", _PERIOD),
+            _f("study", REF),
+            _f("individual", REF),
+            _f("assignedArm", _S),
+            _f("actualArm", _S),
+            _f("consent", REF),
+        ]
+    ),
+    "Subscription": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("contact", _TELECOM),
+            _f("end", _S),
+            _f("reason", _S),
+            _f("criteria", _S),
+            _f("error", _S),
+            _f(
+                "channel",
+                T.StructType(
+                    [
+                        _f("type", _S),
+                        _f("endpoint", _S),
+                        _f("payload", _S),
+                        _f("header", T.ArrayType(_S)),
+                    ]
+                ),
+            ),
+        ]
+    ),
+    "VerificationResult": T.StructType(
+        [
+            _f("id", _S),
+            _f("target", T.ArrayType(REF)),
+            _f("status", _S),
+            _f("statusDate", _S),
+            _f("need", CC),
+            _f("validationType", CC),
+            _f("lastPerformed", _S),
+            _f("nextScheduled", _S),
+            _f(
+                "primarySource",
+                _arr(_f("who", REF), _f("validationStatus", CC)),
+            ),
+        ]
+    ),
+    # --- billing / financial ---------------------------------------------
+    "ClaimResponse": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("type", CC),
+            _f("use", _S),
+            _f("patient", REF),
+            _f("created", _S),
+            _f("insurer", REF),
+            _f("request", REF),
+            _f("outcome", _S),
+            _f("disposition", _S),
+            _f(
+                "item",
+                _arr(
+                    _f("itemSequence", _I),
+                    _f(
+                        "adjudication",
+                        _arr(
+                            _f("category", CC),
+                            _f("amount", _MONEY),
+                            _f("value", _DEC),
+                        ),
+                    ),
+                ),
+            ),
+            _f(
+                "total",
+                _arr(_f("category", CC), _f("amount", _MONEY)),
+            ),
+            _f(
+                "payment",
+                T.StructType(
+                    [
+                        _f("type", CC),
+                        _f("date", _S),
+                        _f("amount", _MONEY),
+                    ]
+                ),
+            ),
+        ]
+    ),
+    "CoverageEligibilityRequest": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("purpose", T.ArrayType(_S)),
+            _f("patient", REF),
+            _f("created", _S),
+            _f("insurer", REF),
+            _f(
+                "insurance",
+                _arr(_f("focal", _B), _f("coverage", REF)),
+            ),
+        ]
+    ),
+    "CoverageEligibilityResponse": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("purpose", T.ArrayType(_S)),
+            _f("patient", REF),
+            _f("created", _S),
+            _f("request", REF),
+            _f("outcome", _S),
+            _f("disposition", _S),
+            _f("insurer", REF),
+        ]
+    ),
+    "EnrollmentRequest": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("created", _S),
+            _f("insurer", REF),
+            _f("provider", REF),
+            _f("candidate", REF),
+            _f("coverage", REF),
+        ]
+    ),
+    "EnrollmentResponse": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("request", REF),
+            _f("outcome", _S),
+            _f("disposition", _S),
+            _f("created", _S),
+            _f("organization", REF),
+        ]
+    ),
+    "InsurancePlan": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("type", T.ArrayType(CC)),
+            _f("name", _S),
+            _f("alias", T.ArrayType(_S)),
+            _f("period", _PERIOD),
+            _f("ownedBy", REF),
+            _f("administeredBy", REF),
+            _f("coverageArea", T.ArrayType(REF)),
+        ]
+    ),
+    "PaymentNotice": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("request", REF),
+            _f("response", REF),
+            _f("created", _S),
+            _f("provider", REF),
+            _f("payment", REF),
+            _f("paymentDate", _S),
+            _f("payee", REF),
+            _f("recipient", REF),
+            _f("amount", _MONEY),
+            _f("paymentStatus", CC),
+        ]
+    ),
+    "PaymentReconciliation": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("period", _PERIOD),
+            _f("created", _S),
+            _f("paymentIssuer", REF),
+            _f("outcome", _S),
+            _f("disposition", _S),
+            _f("paymentDate", _S),
+            _f("paymentAmount", _MONEY),
+            _f(
+                "detail",
+                _arr(
+                    _f("type", CC),
+                    _f("request", REF),
+                    _f("submitter", REF),
+                    _f("date", _S),
+                    _f("amount", _MONEY),
+                ),
+            ),
+        ]
+    ),
+    "Contract": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("issued", _S),
+            _f("applies", _PERIOD),
+            _f("subject", T.ArrayType(REF)),
+            _f("authority", T.ArrayType(REF)),
+            _f("type", CC),
+            _f(
+                "term",
+                _arr(
+                    _f("text", _S),
+                    _f("offer", T.StructType([_f("text", _S)])),
+                ),
+            ),
+        ]
+    ),
+    # --- supply / device / catalog ---------------------------------------
+    "BiologicallyDerivedProduct": T.StructType(
+        [
+            _f("id", _S),
+            _f("productCategory", _S),
+            _f("productCode", CC),
+            _f("status", _S),
+            _f("quantity", _I),
+            _f("parent", T.ArrayType(REF)),
+        ]
+    ),
+    "CatalogEntry": T.StructType(
+        [
+            _f("id", _S),
+            _f("type", CC),
+            _f("orderable", _B),
+            _f("referencedItem", REF),
+        ]
+    ),
+    "DeviceDefinition": T.StructType(
+        [
+            _f("id", _S),
+            _f("manufacturerString", _S),
+            _f(
+                "deviceName",
+                _arr(_f("name", _S), _f("type", _S)),
+            ),
+            _f("modelNumber", _S),
+            _f("type", CC),
+        ]
+    ),
+    "DeviceMetric": T.StructType(
+        [
+            _f("id", _S),
+            _f("type", CC),
+            _f("unit", CC),
+            _f("source", REF),
+            _f("parent", REF),
+            _f("operationalStatus", _S),
+            _f("category", _S),
+        ]
+    ),
+    "SupplyRequest": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("category", CC),
+            _f("priority", _S),
+            _f("itemCodeableConcept", CC),
+            _f("itemReference", REF),
+            _f("quantity", _QUANTITY),
+            _f("authoredOn", _S),
+            _f("requester", REF),
+            _f("supplier", T.ArrayType(REF)),
+            _f("deliverTo", REF),
+        ]
+    ),
+    # --- medication-definition / substance families ----------------------
+    "MedicationKnowledge": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("code", CC),
+            _f("manufacturer", REF),
+            _f("doseForm", CC),
+            _f("amount", _QUANTITY),
+            _f("synonym", T.ArrayType(_S)),
+        ]
+    ),
+    "MedicinalProduct": T.StructType(
+        [
+            _f("id", _S),
+            _f("identifier", _IDENT),
+            _f("type", CC),
+            _f("domain", _CODING1),
+            _f("name", _arr(_f("productName", _S))),
+        ]
+    ),
+    "MedicinalProductAuthorization": T.StructType(
+        [
+            _f("id", _S),
+            _f("identifier", _IDENT),
+            _f("subject", REF),
+            _f("country", T.ArrayType(CC)),
+            _f("status", CC),
+            _f("statusDate", _S),
+            _f("validityPeriod", _PERIOD),
+            _f("holder", REF),
+        ]
+    ),
+    "MedicinalProductContraindication": T.StructType(
+        [
+            _f("id", _S),
+            _f("subject", T.ArrayType(REF)),
+            _f("disease", CC),
+            _f("comorbidity", T.ArrayType(CC)),
+        ]
+    ),
+    "MedicinalProductIndication": T.StructType(
+        [
+            _f("id", _S),
+            _f("subject", T.ArrayType(REF)),
+            _f("diseaseSymptomProcedure", CC),
+            _f("intendedEffect", CC),
+            _f("duration", _QUANTITY),
+        ]
+    ),
+    "MedicinalProductIngredient": T.StructType(
+        [
+            _f("id", _S),
+            _f("role", CC),
+            _f("allergenicIndicator", _B),
+            _f("manufacturer", T.ArrayType(REF)),
+            _f("substance", T.StructType([_f("code", CC)])),
+        ]
+    ),
+    "MedicinalProductInteraction": T.StructType(
+        [
+            _f("id", _S),
+            _f("subject", T.ArrayType(REF)),
+            _f("description", _S),
+            _f("type", CC),
+            _f("effect", CC),
+            _f("management", CC),
+        ]
+    ),
+    "MedicinalProductManufactured": T.StructType(
+        [
+            _f("id", _S),
+            _f("manufacturedDoseForm", CC),
+            _f("unitOfPresentation", CC),
+            _f("quantity", _QUANTITY),
+            _f("manufacturer", T.ArrayType(REF)),
+        ]
+    ),
+    "MedicinalProductPackaged": T.StructType(
+        [
+            _f("id", _S),
+            _f("identifier", _IDENT),
+            _f("subject", T.ArrayType(REF)),
+            _f("description", _S),
+            _f(
+                "packageItem",
+                _arr(_f("type", CC), _f("quantity", _QUANTITY)),
+            ),
+        ]
+    ),
+    "MedicinalProductPharmaceutical": T.StructType(
+        [
+            _f("id", _S),
+            _f("administrableDoseForm", CC),
+            _f("unitOfPresentation", CC),
+            _f("routeOfAdministration", T.ArrayType(CC)),
+        ]
+    ),
+    "MedicinalProductUndesirableEffect": T.StructType(
+        [
+            _f("id", _S),
+            _f("subject", T.ArrayType(REF)),
+            _f("symptomConditionEffect", CC),
+            _f("classification", CC),
+            _f("frequencyOfOccurrence", CC),
+        ]
+    ),
+    "Substance": T.StructType(
+        [
+            _f("id", _S),
+            _f("status", _S),
+            _f("category", T.ArrayType(CC)),
+            _f("code", CC),
+            _f("description", _S),
+            _f(
+                "instance",
+                _arr(_f("expiry", _S), _f("quantity", _QUANTITY)),
+            ),
+            _f(
+                "ingredient",
+                _arr(_f("substanceCodeableConcept", CC)),
+            ),
+        ]
+    ),
+    "SubstanceNucleicAcid": T.StructType(
+        [
+            _f("id", _S),
+            _f("sequenceType", CC),
+            _f("numberOfSubunits", _I),
+            _f("areaOfHybridisation", _S),
+            _f(
+                "subunit",
+                _arr(_f("subunit", _I), _f("sequence", _S), _f("length", _I)),
+            ),
+        ]
+    ),
+    "SubstancePolymer": T.StructType(
+        [
+            _f("id", _S),
+            _f("class", CC),
+            _f("geometry", CC),
+            _f("modification", T.ArrayType(_S)),
+            _f("monomerSet", _arr(_f("ratioType", CC))),
+        ]
+    ),
+    "SubstanceProtein": T.StructType(
+        [
+            _f("id", _S),
+            _f("sequenceType", CC),
+            _f("numberOfSubunits", _I),
+            _f("disulfideLinkage", T.ArrayType(_S)),
+            _f(
+                "subunit",
+                _arr(_f("subunit", _I), _f("sequence", _S), _f("length", _I)),
+            ),
+        ]
+    ),
+    "SubstanceReferenceInformation": T.StructType(
+        [
+            _f("id", _S),
+            _f("comment", _S),
+            _f(
+                "gene",
+                _arr(_f("geneSequenceOrigin", CC), _f("gene", CC)),
+            ),
+            _f(
+                "classification",
+                _arr(_f("domain", CC), _f("classification", CC)),
+            ),
+        ]
+    ),
+    "SubstanceSourceMaterial": T.StructType(
+        [
+            _f("id", _S),
+            _f("sourceMaterialClass", CC),
+            _f("sourceMaterialType", CC),
+            _f("sourceMaterialState", CC),
+            _f("organismName", _S),
+            _f("geographicalLocation", T.ArrayType(_S)),
+        ]
+    ),
+    "SubstanceSpecification": T.StructType(
+        [
+            _f("id", _S),
+            _f("type", CC),
+            _f("status", CC),
+            _f("domain", CC),
+            _f("description", _S),
+            _f(
+                "moiety",
+                _arr(
+                    _f("role", CC),
+                    _f("name", _S),
+                    _f("molecularFormula", _S),
+                ),
+            ),
+        ]
+    ),
+    # --- infrastructure ---------------------------------------------------
+    "Binary": T.StructType(
+        [
+            _f("id", _S),
+            _f("contentType", _S),
+            # base64Binary stays the raw base64 string; unbase64() at
+            # query time feeds the multimodal plans' binary column path
+            _f("data", _S),
+            _f("securityContext", REF),
+        ]
+    ),
+    # A Bundle nested as an entry resource (batch-response, searchset
+    # in a message). The TOP-LEVEL envelope parse stays BUNDLE_SCHEMA
+    # (routing fields only) — this entry only upgrades typing when a
+    # Bundle appears as a routed resource.
+    "Bundle": T.StructType(
+        [
+            _f("id", _S),
+            _f("identifier", _IDENT1),
+            _f("type", _S),
+            _f("timestamp", _S),
+            _f("total", _I),
+        ]
+    ),
+    "Parameters": T.StructType(
+        [
+            _f("id", _S),
+            _f(
+                "parameter",
+                _arr(
+                    _f("name", _S),
+                    _f("valueString", _S),
+                    _f("valueBoolean", _B),
+                    _f("valueInteger", _I),
+                    _f("valueDecimal", _DEC),
+                    _f("valueCode", _S),
+                ),
+            ),
+        ]
+    ),
+    "TestReport": T.StructType(
+        [
+            _f("id", _S),
+            _f("name", _S),
+            _f("status", _S),
+            _f("testScript", REF),
+            _f("result", _S),
+            _f("score", _DEC),
+            _f("tester", _S),
+            _f("issued", _S),
+        ]
+    ),
+}
