@@ -1,0 +1,202 @@
+"""Terminology operations: ValueSet expansion/membership, ConceptMap
+translation.
+
+The reference ingests with Pathling, whose query layer offers
+terminology functions (`memberof`, `translate`) alongside the encoder
+(/root/reference/src/main.py:49 pulls the Pathling engine in). This
+module re-expresses the data-parallel core of those operations
+Spark-first over the encoded ValueSet / ConceptMap / CodeSystem frames
+(schemas_catalog.py):
+
+- ``expand_valueset`` — ValueSet.compose.include (explicit concepts +
+  whole-system includes against a CodeSystem frame) and pre-computed
+  ValueSet.expansion.contains, flattened to a (system, code) membership
+  frame;
+- ``member_of`` — tag a fact-side (system, code) pair with a boolean:
+  is it in the expansion;
+- ``conceptmap_rules`` / ``translate`` — flatten
+  ConceptMap.group[].element[].target[] to mapping rules and apply them.
+
+100 TB shape: terminology artifacts are classic small dimensions — a
+large ValueSet is ~100k codes, a large ConceptMap ~1M rules; both fit
+in a broadcast comfortably, while the fact side (observations, claims)
+is the 100 TB table. Every join here therefore BROADCASTS the
+terminology side explicitly so the fact side is never shuffled; the
+plan-audit test asserts BroadcastHashJoin. No remote terminology-server
+calls: expansion is computed from the encoded resources themselves
+(the $expand-over-REST path is an external service, out of engine
+scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def expand_valueset(valuesets: DataFrame, codesystems: DataFrame | None = None) -> DataFrame:
+    """Flatten encoded ValueSet rows to (valueset_url, system, code).
+
+    Three include shapes, unioned:
+
+    - ``compose.include[].concept[]`` — explicit code list;
+    - ``compose.include[]`` with NO concept list — include the whole
+      code system: joined against ``codesystems`` (encoded CodeSystem
+      rows, ``concept[]`` flattened) when provided, else contributes
+      nothing (the system's codes are unknowable without its
+      CodeSystem resource);
+    - ``expansion.contains[]`` — a pre-expanded snapshot carried in
+      the resource.
+
+    Duplicates across shapes collapse with one distinct on the
+    (valueset_url, system, code) key — the output is a membership SET.
+    Each explode is linear in the number of codes; nothing here touches
+    a fact table.
+    """
+    inc = valuesets.select(
+        F.col("url").alias("valueset_url"),
+        F.explode("compose.include").alias("include"),
+    )
+    explicit = inc.filter(F.col("include.concept").isNotNull()).select(
+        "valueset_url",
+        F.col("include.system").alias("system"),
+        F.explode("include.concept").alias("c"),
+    ).select("valueset_url", "system", F.col("c.code").alias("code"))
+
+    parts = [explicit]
+
+    whole_system = inc.filter(F.col("include.concept").isNull()).select(
+        "valueset_url", F.col("include.system").alias("system")
+    )
+    if codesystems is not None:
+        cs_codes = codesystems.select(
+            F.col("url").alias("system"),
+            F.explode("concept").alias("c"),
+        ).select("system", F.col("c.code").alias("code"))
+        # whole-system includes are few; the CodeSystem side is the
+        # larger of the two dims — broadcast the include list
+        parts.append(
+            cs_codes.join(F.broadcast(whole_system), "system").select(
+                "valueset_url", "system", "code"
+            )
+        )
+
+    snapshot = valuesets.filter(F.col("expansion").isNotNull()).select(
+        F.col("url").alias("valueset_url"),
+        F.explode("expansion.contains").alias("c"),
+    ).select(
+        "valueset_url",
+        F.col("c.system").alias("system"),
+        F.col("c.code").alias("code"),
+    )
+    parts.append(snapshot)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def member_of(
+    facts: DataFrame,
+    expansion: DataFrame,
+    system_col: str = "system",
+    code_col: str = "code",
+    out_col: str = "member_of",
+) -> DataFrame:
+    """Append ``out_col`` (boolean): is (system_col, code_col) in the
+    expansion frame (as produced by :func:`expand_valueset`, already
+    filtered to ONE value set)?
+
+    Pathling's ``memberof(uri)`` per-element call, as a columnar join:
+    the expansion is deduplicated then BROADCAST, so the fact side —
+    the 100 TB table — streams through a BroadcastHashJoin with no
+    shuffle and no row-count change (left join on a deduped key cannot
+    fan out). NULL system/code → false, matching memberof's empty-
+    collection semantics.
+    """
+    dim = (
+        expansion.select(
+            F.col("system").alias("__vs_system"),
+            F.col("code").alias("__vs_code"),
+        )
+        .distinct()
+        .withColumn("__vs_hit", F.lit(True))
+    )
+    joined = facts.join(
+        F.broadcast(dim),
+        on=(
+            (F.col(system_col) == F.col("__vs_system"))
+            & (F.col(code_col) == F.col("__vs_code"))
+        ),
+        how="left",
+    )
+    return joined.withColumn(
+        out_col, F.coalesce(F.col("__vs_hit"), F.lit(False))
+    ).drop("__vs_system", "__vs_code", "__vs_hit")
+
+
+def conceptmap_rules(conceptmaps: DataFrame) -> DataFrame:
+    """Flatten encoded ConceptMap rows to one mapping rule per row:
+    (map_url, source_system, source_code, target_system, target_code,
+    equivalence). Pure explodes, linear in rule count."""
+    g = conceptmaps.select(
+        F.col("url").alias("map_url"),
+        F.explode("group").alias("g"),
+    )
+    return g.select(
+        "map_url",
+        F.col("g.source").alias("source_system"),
+        F.col("g.target").alias("target_system"),
+        F.explode("g.element").alias("e"),
+    ).select(
+        "map_url",
+        "source_system",
+        "target_system",
+        F.col("e.code").alias("source_code"),
+        F.explode("e.target").alias("t"),
+    ).select(
+        "map_url",
+        "source_system",
+        "source_code",
+        "target_system",
+        F.col("t.code").alias("target_code"),
+        F.col("t.equivalence").alias("equivalence"),
+    )
+
+
+def translate(
+    facts: DataFrame,
+    rules: DataFrame,
+    system_col: str = "system",
+    code_col: str = "code",
+    keep_unmapped: bool = True,
+) -> DataFrame:
+    """Apply ConceptMap rules (from :func:`conceptmap_rules`, already
+    filtered to ONE map) to a fact frame: appends target_system /
+    target_code / equivalence for each rule matching (system_col,
+    code_col).
+
+    Pathling's ``translate(uri)``. One source code may map to several
+    targets, so this CAN fan rows out — deliberate, same as the spec's
+    collection result; callers needing 1:1 filter on equivalence
+    first. The rules frame is the broadcast dim; the fact side never
+    shuffles. ``keep_unmapped=False`` drops unmatched rows (inner
+    join) instead of carrying NULL targets.
+    """
+    dim = rules.select(
+        F.col("source_system").alias("__cm_system"),
+        F.col("source_code").alias("__cm_code"),
+        "target_system",
+        "target_code",
+        "equivalence",
+    )
+    joined = facts.join(
+        F.broadcast(dim),
+        on=(
+            (F.col(system_col) == F.col("__cm_system"))
+            & (F.col(code_col) == F.col("__cm_code"))
+        ),
+        how="left" if keep_unmapped else "inner",
+    )
+    return joined.drop("__cm_system", "__cm_code")
