@@ -1,0 +1,336 @@
+"""SQL-on-FHIR ViewDefinition compiler: declarative flat views over
+encoded resources.
+
+The reference's query surface is Pathling, whose modern face is the
+public SQL-on-FHIR v2 spec: a ViewDefinition resource declares a flat,
+SQL-ready view over a FHIR resource type (columns as FHIRPath
+expressions, `forEach` unnesting, `where` filters), and an engine
+compiles it. This module compiles a ViewDefinition dict straight to a
+Spark DataFrame plan over the curated encode
+(operators/bundles.encode_resources) — every path becomes a Catalyst
+column expression, every forEach an `explode`, so the whole view stays
+inside whole-stage codegen with zero Python in the row path, and
+Catalyst prunes unread resource columns / pushes `where` filters into
+the scan exactly as for a hand-written query.
+
+Supported subset (compile-time errors otherwise, never silent):
+
+- ``resource``, ``select[].column[{name, path, type}]``,
+  ``select[].forEach`` / ``forEachOrNull`` (with nested ``select``,
+  recursively), ``select[].unionAll`` (as the final select element),
+  ``where[{path}]`` (entries AND together, per spec).
+- Column-path FHIRPath subset: dotted member access, ``[i]`` indexing,
+  ``first()``, ``exists()``, ``empty()``, ``count()``,
+  ``getResourceKey()``. Paths must be SINGULAR: traversing an array
+  mid-path without ``first()`` / ``[i]`` / an enclosing ``forEach``
+  raises (the spec's singular-path rule), so a view can't silently
+  take Spark's struct-over-array broadcast semantics.
+- ``where`` paths: ``<path> = <literal>``, ``<path> != <literal>``, a
+  bare boolean path, or ``<path>.exists()``.
+
+Out of subset (raise): ``constant`` substitution, ``ofType()``,
+``getReferenceKey()`` (callers resolve references with
+``resolve_references`` before the view), ``join()``, arithmetic.
+
+100 TB shape: a compiled view is a projection + optional generate
+(explode) + filter — embarrassingly parallel, no shuffle, no Python.
+``forEach`` multiplies rows by per-resource array length only.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fhir_to_lakehouse_spark.schemas import schema_for
+
+
+class ViewCompileError(ValueError):
+    """A ViewDefinition uses something outside the supported subset or
+    inconsistent with the resource schema."""
+
+
+# FHIR primitive -> Spark cast target (column-level `type` hints)
+_TYPE_MAP = {
+    "string": "string",
+    "code": "string",
+    "id": "string",
+    "uri": "string",
+    "url": "string",
+    "canonical": "string",
+    "markdown": "string",
+    "base64Binary": "string",
+    "boolean": "boolean",
+    "integer": "int",
+    "positiveInt": "int",
+    "unsignedInt": "int",
+    "decimal": "decimal(38,18)",
+    "date": "date",
+    "dateTime": "string",
+    "instant": "string",
+    "time": "string",
+}
+
+_SEG_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)(\[(\d+)\])?$")
+_FUNC_RE = re.compile(r"^([A-Za-z]+)\(\)$")
+
+
+def _split_path(path: str) -> list[str]:
+    segs = [s.strip() for s in path.strip().split(".")]
+    if any(not s for s in segs):
+        raise ViewCompileError(f"malformed path: {path!r}")
+    return segs
+
+
+def _resolve(
+    ctx: Column | None,
+    dtype: T.DataType,
+    path: str,
+) -> tuple[Column, T.DataType]:
+    """Compile a FHIRPath-subset path to (Column, result DataType)
+    relative to ``ctx`` (None = the resource root: fields are
+    DataFrame columns). Enforces the singular-path rule."""
+    segs = _split_path(path)
+    col = ctx
+    for i, seg in enumerate(segs):
+        fm = _FUNC_RE.match(seg)
+        if fm:
+            fn = fm.group(1)
+            if fn == "getResourceKey":
+                if i != 0 or ctx is not None:
+                    raise ViewCompileError(
+                        "getResourceKey() is only valid as a whole "
+                        "root-level path"
+                    )
+                return F.col("id"), T.StringType()
+            if col is None:
+                raise ViewCompileError(f"{fn}() needs a preceding path")
+            if fn == "first":
+                if not isinstance(dtype, T.ArrayType):
+                    raise ViewCompileError(
+                        f"first() on non-collection in {path!r}"
+                    )
+                # FHIRPath collection semantics: first()/[i] on an empty or
+                # short collection is EMPTY (null), never an error
+                col, dtype = F.try_element_at(col, F.lit(1)), dtype.elementType
+                continue
+            if fn == "exists":
+                if isinstance(dtype, T.ArrayType):
+                    return (
+                        F.coalesce(F.size(col), F.lit(0)) > 0,
+                        T.BooleanType(),
+                    )
+                return col.isNotNull(), T.BooleanType()
+            if fn == "empty":
+                if isinstance(dtype, T.ArrayType):
+                    return (
+                        F.coalesce(F.size(col), F.lit(0)) == 0,
+                        T.BooleanType(),
+                    )
+                return col.isNull(), T.BooleanType()
+            if fn == "count":
+                if isinstance(dtype, T.ArrayType):
+                    return (
+                        F.coalesce(F.size(col), F.lit(0)),
+                        T.IntegerType(),
+                    )
+                return (
+                    F.when(col.isNotNull(), F.lit(1)).otherwise(F.lit(0)),
+                    T.IntegerType(),
+                )
+            raise ViewCompileError(f"unsupported function {fn}() in {path!r}")
+
+        m = _SEG_RE.match(seg)
+        if not m:
+            raise ViewCompileError(f"malformed segment {seg!r} in {path!r}")
+        name, _, idx = m.groups()
+
+        if isinstance(dtype, T.ArrayType):
+            raise ViewCompileError(
+                f"path {path!r} traverses a collection at {name!r} — "
+                "use first(), [i], or an enclosing forEach "
+                "(singular-path rule)"
+            )
+        if not isinstance(dtype, T.StructType):
+            raise ViewCompileError(
+                f"path {path!r}: {name!r} accessed on a primitive"
+            )
+        field = next((f for f in dtype.fields if f.name == name), None)
+        if field is None:
+            raise ViewCompileError(
+                f"path {path!r}: no field {name!r} on this element "
+                f"(schema fields: {[f.name for f in dtype.fields]})"
+            )
+        col = F.col(name) if col is None else col.getField(name)
+        dtype = field.dataType
+        if idx is not None:
+            if not isinstance(dtype, T.ArrayType):
+                raise ViewCompileError(
+                    f"path {path!r}: [{idx}] on non-collection {name!r}"
+                )
+            col, dtype = F.try_element_at(col, F.lit(int(idx) + 1)), dtype.elementType
+    if col is None:
+        raise ViewCompileError(f"empty path: {path!r}")
+    return col, dtype
+
+
+_CMP_RE = re.compile(r"^(.*?)\s*(!=|=)\s*(.+)$")
+
+
+def _literal(text: str) -> Column:
+    text = text.strip()
+    if len(text) >= 2 and text[0] == "'" and text[-1] == "'":
+        return F.lit(text[1:-1])
+    if text in ("true", "false"):
+        return F.lit(text == "true")
+    try:
+        return F.lit(int(text))
+    except ValueError:
+        pass
+    try:
+        return F.lit(float(text))
+    except ValueError:
+        raise ViewCompileError(f"unsupported literal {text!r}") from None
+
+
+def _predicate(path: str, dtype: T.DataType) -> Column:
+    m = _CMP_RE.match(path)
+    if m:
+        left, op, right = m.groups()
+        col, _ = _resolve(None, dtype, left)
+        lit = _literal(right)
+        return (col == lit) if op == "=" else (col != lit)
+    col, cdt = _resolve(None, dtype, path)
+    if not isinstance(cdt, T.BooleanType):
+        raise ViewCompileError(
+            f"where path {path!r} is not boolean (got {cdt.simpleString()})"
+        )
+    # FHIRPath where-semantics: an empty (null) boolean does not match
+    return F.coalesce(col, F.lit(False))
+
+
+def compile_view(view: dict, encoded: DataFrame) -> DataFrame:
+    """Compile a ViewDefinition dict against an encoded resource frame
+    (the output of ``encode_resources`` — or a stored table in that
+    layout — for ``view['resource']``) into a flat DataFrame whose
+    columns are exactly the view's declared columns, in declaration
+    order."""
+    for key in ("constant",):
+        if view.get(key):
+            raise ViewCompileError(f"ViewDefinition {key!r} is not supported")
+    rtype = view.get("resource")
+    if not rtype:
+        raise ViewCompileError("ViewDefinition needs a 'resource'")
+    schema = schema_for(rtype)
+    if len(schema.fields) <= 1:
+        raise ViewCompileError(
+            f"resource type {rtype!r} has no curated schema"
+        )
+
+    df = encoded
+    for w in view.get("where", []) or []:
+        df = df.filter(_predicate(w["path"], schema))
+
+    out: list[tuple[str, str]] = []  # (view column name, temp column)
+    n = [0]
+
+    def fresh(prefix: str) -> str:
+        n[0] += 1
+        return f"__vd_{prefix}_{n[0]}"
+
+    def apply_selects(
+        df: DataFrame,
+        selects: list[dict],
+        ctx: Column | None,
+        dtype: T.DataType,
+    ) -> DataFrame:
+        for pos, sel in enumerate(selects):
+            fe = sel.get("forEach") or sel.get("forEachOrNull")
+            if fe is not None and sel.get("unionAll"):
+                raise ViewCompileError(
+                    "forEach and unionAll on the same select node "
+                    "is not supported — nest the unionAll in a child "
+                    "select"
+                )
+            if fe is not None:
+                col, cdt = _resolve(ctx, dtype, fe)
+                if not isinstance(cdt, T.ArrayType):
+                    raise ViewCompileError(
+                        f"forEach path {fe!r} is not a collection"
+                    )
+                tmp = fresh("ctx")
+                gen = F.explode if "forEach" in sel else F.explode_outer
+                df = df.withColumn(tmp, gen(col))
+                df = emit_node(df, sel, F.col(tmp), cdt.elementType)
+            else:
+                df = emit_node(df, sel, ctx, dtype)
+            if sel.get("unionAll"):
+                if pos != len(selects) - 1:
+                    raise ViewCompileError(
+                        "unionAll is supported only as the final "
+                        "select element"
+                    )
+                df = apply_union(df, sel["unionAll"], ctx, dtype)
+        return df
+
+    def emit_node(
+        df: DataFrame, sel: dict, ctx: Column | None, dtype: T.DataType
+    ) -> DataFrame:
+        for c in sel.get("column", []) or []:
+            col, cdt = _resolve(ctx, dtype, c["path"])
+            want = c.get("type")
+            if want is not None:
+                target = _TYPE_MAP.get(want)
+                if target is None:
+                    raise ViewCompileError(
+                        f"column {c['name']!r}: unsupported type {want!r}"
+                    )
+                col = col.cast(target)
+            tmp = fresh("col")
+            df = df.withColumn(tmp, col)
+            out.append((c["name"], tmp))
+        if sel.get("select"):
+            df = apply_selects(df, sel["select"], ctx, dtype)
+        return df
+
+    def apply_union(
+        df: DataFrame, branches: list[dict], ctx: Column | None, dtype: T.DataType
+    ) -> DataFrame:
+        """Each branch contributes the SAME new column names; rows
+        union. Compiled per-branch from the pre-union frame, then
+        reduced to (prior outs + branch outs) and unionByName'd —
+        which is why unionAll must close its select list."""
+        prior = list(out)
+        frames = []
+        branch_names: list[list[str]] = []
+        for b in branches:
+            del out[len(prior):]
+            bdf = apply_selects(df, [b], ctx, dtype)
+            names = [name for name, _ in out[len(prior):]]
+            branch_names.append(names)
+            proj = [F.col(tmp).alias(f"__u_{name}") for name, tmp in out]
+            frames.append(bdf.select(*proj))
+        if any(set(bn) != set(branch_names[0]) for bn in branch_names):
+            raise ViewCompileError(
+                f"unionAll branches declare different columns: {branch_names}"
+            )
+        del out[len(prior):]
+        u = frames[0]
+        for fdf in frames[1:]:
+            u = u.unionByName(fdf)
+        # every surviving column now lives under its __u_ alias
+        out[:] = [(name, f"__u_{name}") for name, _ in prior] + [
+            (name, f"__u_{name}") for name in branch_names[0]
+        ]
+        return u
+
+    df = apply_selects(df, view.get("select", []) or [], None, schema)
+    if not out:
+        raise ViewCompileError("ViewDefinition declares no columns")
+    names = [name for name, _ in out]
+    if len(set(names)) != len(names):
+        raise ViewCompileError(f"duplicate view column names: {names}")
+    return df.select(*[F.col(tmp).alias(name) for name, tmp in out])

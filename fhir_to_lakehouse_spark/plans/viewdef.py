@@ -1,0 +1,163 @@
+"""Oracle-checked SQL-on-FHIR ViewDefinition queries.
+
+The declarative view layer (operators/view_definition.py) run
+end-to-end: real ViewDefinition dicts compiled over resources that
+went through the full bundle chain (synthesize JSON -> parse ->
+explode -> encode), checked against DuckDB recomputing the same view
+straight from the source tables. What a Pathling/SQL-on-FHIR user
+writes today runs here unchanged (within the documented subset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.operators.bundles import (
+    encode_resources,
+    prepare_stream,
+)
+from fhir_to_lakehouse_spark.operators.view_definition import compile_view
+from fhir_to_lakehouse_spark.plans.pipeline_q import _observation_events
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+# the blood-pressure flattening view from the SQL-on-FHIR examples,
+# adapted to the synthesized Observation shape of _observation_events:
+# one row per component, root columns repeated
+_OBS_VIEW = {
+    "resource": "Observation",
+    "where": [{"path": "status = 'final'"}],
+    "select": [
+        {
+            "column": [
+                {"name": "id", "path": "getResourceKey()"},
+                {"name": "obs_value", "path": "valueQuantity.value", "type": "decimal"},
+                {"name": "unit", "path": "valueQuantity.unit"},
+                {
+                    "name": "range_low",
+                    "path": "referenceRange.first().low.value",
+                    "type": "decimal",
+                },
+                {"name": "n_components", "path": "component.count()"},
+            ]
+        },
+        {
+            "forEach": "component",
+            "column": [
+                {"name": "comp_code", "path": "code.text"},
+                {
+                    "name": "comp_value",
+                    "path": "valueQuantity.value",
+                    "type": "decimal",
+                },
+                {"name": "comp_note", "path": "valueString"},
+            ],
+        },
+    ],
+}
+
+
+@query(
+    "viewdef_observation_components",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR)                       AS id,
+           CAST(value AS DECIMAL(18,2))                    AS obs_value,
+           'mm[Hg]'                                        AS unit,
+           CAST(90 AS DECIMAL(18,2))                       AS range_low,
+           3                                               AS n_components,
+           c.comp_code                                     AS comp_code,
+           CASE c.comp_code
+                WHEN 'systolic'
+                THEN CAST(CAST(value AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2))
+                WHEN 'diastolic'
+                THEN CAST(CAST(value AS DECIMAL(18,2)) + 60 AS DECIMAL(18,2))
+           END                                             AS comp_value,
+           CASE WHEN c.comp_code = 'note' THEN event_type END AS comp_note
+    FROM events,
+         (VALUES ('systolic'), ('diastolic'), ('note')) AS c(comp_code)
+    """,
+)
+def viewdef_observation_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ViewDefinition with root columns (getResourceKey, quantity
+    value/unit, first()-indexed referenceRange, count()) plus a
+    forEach over component flattens blood-pressure panels to one row
+    per component — compiled to a pure projection+explode plan, the
+    same rows DuckDB gets by cross-joining the 3-component domain.
+
+    Parity anchor: the hand-written equivalent is
+    pipeline_observation_components; this one is DECLARED, not coded."""
+    events = _observation_events(spark, sf_dir)
+    obs = prepare_stream(events).filter(F.col("resource_type") == "Observation")
+    enc = encode_resources(obs, "Observation")
+    return compile_view(_OBS_VIEW, enc)
+
+
+_PATIENT_VIEW = {
+    "resource": "Patient",
+    "select": [
+        {
+            "column": [
+                {"name": "pid", "path": "getResourceKey()"},
+                {"name": "family", "path": "name.first().family"},
+                {"name": "is_active", "path": "active", "type": "boolean"},
+            ]
+        },
+        {
+            # forEachOrNull: patients without an address keep one row
+            # with a NULL city — LEFT-JOIN-shaped unnesting
+            "forEachOrNull": "address",
+            "column": [{"name": "city", "path": "city"}],
+        },
+    ],
+}
+
+
+@query(
+    "viewdef_patient_addresses",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR)                     AS pid,
+           'Fam-' || CAST(c_custkey AS VARCHAR)           AS family,
+           (c_custkey % 2 = 0)                            AS is_active,
+           CASE WHEN c_custkey % 3 <> 0
+                THEN 'City-' || CAST(c_nationkey AS VARCHAR) END AS city
+    FROM customer
+    """,
+)
+def viewdef_patient_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forEachOrNull semantics through the compiler: every third
+    synthesized Patient has NO address array, and the view must keep
+    exactly one row for them with a NULL city (explode_outer), while
+    addressed patients unnest normally. The oracle reproduces the
+    shape with a CASE, row counts identical by construction."""
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    empty_addr = F.expr(
+        "CAST(array() AS array<struct<city:string>>)"
+    )
+    addr = F.when(
+        F.col("c_custkey") % 3 == 0, empty_addr
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.concat(
+                    F.lit("City-"), F.col("c_nationkey").cast("string")
+                ).alias("city")
+            )
+        )
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            key.alias("id"),
+            (F.col("c_custkey") % 2 == 0).alias("active"),
+            F.array(
+                F.struct(F.concat(F.lit("Fam-"), key).alias("family"))
+            ).alias("name"),
+            addr.alias("address"),
+        )
+    )
+    enc = encode_resources(
+        customer.select(resource.alias("resource")), "Patient"
+    )
+    return compile_view(_PATIENT_VIEW, enc)

@@ -1,0 +1,291 @@
+"""Truth tables for the SQL-on-FHIR ViewDefinition compiler
+(operators/view_definition.py): column paths, forEach/forEachOrNull
+row semantics, where filters, unionAll, and the compile-time guardrails
+(singular-path rule, unknown fields, unsupported features)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+from fhir_to_lakehouse_spark.operators.view_definition import (
+    ViewCompileError,
+    compile_view,
+)
+
+
+def _patients(spark):
+    rows = [
+        {
+            "resourceType": "Patient",
+            "id": "p1",
+            "active": True,
+            "gender": "female",
+            "name": [
+                {"family": "Ada", "given": ["A", "B"]},
+                {"family": "Alt", "given": ["C"]},
+            ],
+            "address": [{"city": "Koeln"}, {"city": "Bonn"}],
+        },
+        {
+            "resourceType": "Patient",
+            "id": "p2",
+            "active": False,
+            "gender": "male",
+            "name": [{"family": "Bob", "given": ["X"]}],
+            "address": [],
+        },
+    ]
+    df = spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "resource string"
+    )
+    return encode_resources(df, "Patient")
+
+
+def test_columns_first_and_resource_key(spark):
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "getResourceKey()"},
+                    {"name": "family", "path": "name.first().family"},
+                    {"name": "second_given", "path": "name[0].given[1]"},
+                    {"name": "n_names", "path": "name.count()"},
+                    {"name": "has_address", "path": "address.exists()"},
+                    {"name": "is_active", "path": "active", "type": "boolean"},
+                ]
+            }
+        ],
+    }
+    got = {
+        r.pid: r for r in compile_view(view, _patients(spark)).collect()
+    }
+    assert got["p1"].family == "Ada"
+    assert got["p1"].second_given == "B"
+    assert got["p1"].n_names == 2
+    assert got["p1"].has_address is True
+    assert got["p2"].second_given is None
+    assert got["p2"].has_address is False
+    assert got["p2"].is_active is False
+
+
+def test_for_each_explodes_and_or_null_keeps(spark):
+    base = {
+        "resource": "Patient",
+        "select": [
+            {"column": [{"name": "pid", "path": "id"}]},
+            {
+                "forEach": "address",
+                "column": [{"name": "city", "path": "city"}],
+            },
+        ],
+    }
+    rows = compile_view(base, _patients(spark)).collect()
+    # p2's empty address array yields NO rows under forEach
+    assert sorted((r.pid, r.city) for r in rows) == [
+        ("p1", "Bonn"),
+        ("p1", "Koeln"),
+    ]
+
+    base["select"][1] = {
+        "forEachOrNull": "address",
+        "column": [{"name": "city", "path": "city"}],
+    }
+    rows = compile_view(base, _patients(spark)).collect()
+    assert sorted(
+        [(r.pid, r.city) for r in rows], key=lambda t: (t[0], str(t[1]))
+    ) == [("p1", "Bonn"), ("p1", "Koeln"), ("p2", None)]
+
+
+def test_nested_for_each(spark):
+    """forEach inside forEach: ClaimResponse.item[].adjudication[]
+    flattens to one row per (item, adjudication) pair with columns
+    from both levels."""
+    cr = {
+        "resourceType": "ClaimResponse",
+        "id": "cr1",
+        "item": [
+            {
+                "itemSequence": 1,
+                "adjudication": [
+                    {"amount": {"value": 70.0, "currency": "USD"}},
+                    {"amount": {"value": 5.0, "currency": "USD"}},
+                ],
+            },
+            {
+                "itemSequence": 2,
+                "adjudication": [
+                    {"amount": {"value": 25.0, "currency": "USD"}}
+                ],
+            },
+        ],
+    }
+    df = spark.createDataFrame([(json.dumps(cr),)], "resource string")
+    enc = encode_resources(df, "ClaimResponse")
+    view = {
+        "resource": "ClaimResponse",
+        "select": [
+            {"column": [{"name": "rid", "path": "id"}]},
+            {
+                "forEach": "item",
+                "column": [{"name": "seq", "path": "itemSequence"}],
+                "select": [
+                    {
+                        "forEach": "adjudication",
+                        "column": [
+                            {
+                                "name": "amount",
+                                "path": "amount.value",
+                                "type": "decimal",
+                            }
+                        ],
+                    }
+                ],
+            },
+        ],
+    }
+    rows = compile_view(view, enc).collect()
+    got = sorted((r.rid, r.seq, float(r.amount)) for r in rows)
+    assert got == [("cr1", 1, 5.0), ("cr1", 1, 70.0), ("cr1", 2, 25.0)]
+
+
+def test_where_filters_and(spark):
+    view = {
+        "resource": "Patient",
+        "where": [
+            {"path": "gender = 'female'"},
+            {"path": "active"},
+        ],
+        "select": [{"column": [{"name": "pid", "path": "id"}]}],
+    }
+    assert [r.pid for r in compile_view(view, _patients(spark)).collect()] == [
+        "p1"
+    ]
+    view["where"] = [{"path": "address.exists()"}]
+    assert [r.pid for r in compile_view(view, _patients(spark)).collect()] == [
+        "p1"
+    ]
+    view["where"] = [{"path": "gender != 'female'"}]
+    assert [r.pid for r in compile_view(view, _patients(spark)).collect()] == [
+        "p2"
+    ]
+
+
+def test_union_all(spark):
+    view = {
+        "resource": "Patient",
+        "select": [
+            {"column": [{"name": "pid", "path": "id"}]},
+            {
+                "unionAll": [
+                    {
+                        "forEach": "address",
+                        "column": [{"name": "place", "path": "city"}],
+                    },
+                    {
+                        "forEach": "name",
+                        "column": [{"name": "place", "path": "family"}],
+                    },
+                ]
+            },
+        ],
+    }
+    rows = compile_view(view, _patients(spark)).collect()
+    assert sorted((r.pid, r.place) for r in rows) == [
+        ("p1", "Ada"),
+        ("p1", "Alt"),
+        ("p1", "Bonn"),
+        ("p1", "Koeln"),
+        ("p2", "Bob"),
+    ]
+
+
+def test_guardrails(spark):
+    pats = _patients(spark)
+    # singular-path rule: name is a collection
+    with pytest.raises(ViewCompileError, match="singular"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [
+                    {"column": [{"name": "f", "path": "name.family"}]}
+                ],
+            },
+            pats,
+        )
+    # unknown field
+    with pytest.raises(ViewCompileError, match="no field"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [{"column": [{"name": "x", "path": "nope"}]}],
+            },
+            pats,
+        )
+    # constants are out of subset
+    with pytest.raises(ViewCompileError, match="constant"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "constant": [{"name": "c", "valueString": "v"}],
+                "select": [{"column": [{"name": "pid", "path": "id"}]}],
+            },
+            pats,
+        )
+    # duplicate output names
+    with pytest.raises(ViewCompileError, match="duplicate"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [
+                    {
+                        "column": [
+                            {"name": "pid", "path": "id"},
+                            {"name": "pid", "path": "gender"},
+                        ]
+                    }
+                ],
+            },
+            pats,
+        )
+    # unionAll must close the select list
+    with pytest.raises(ViewCompileError, match="final"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [
+                    {
+                        "unionAll": [
+                            {"column": [{"name": "p", "path": "id"}]}
+                        ]
+                    },
+                    {"column": [{"name": "g", "path": "gender"}]},
+                ],
+            },
+            pats,
+        )
+
+
+def test_plan_has_no_python_and_prunes(spark):
+    """The compiled view is pure Catalyst: no BatchEvalPython / Arrow
+    eval in the plan, and unread resource columns are pruned from the
+    from_json projection's downstream."""
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "id"},
+                    {"name": "family", "path": "name.first().family"},
+                ]
+            }
+        ],
+    }
+    df = compile_view(view, _patients(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
