@@ -230,11 +230,82 @@ def register_all(
     return done
 
 
+def create_views(
+    spark: SparkSession,
+    warehouse_dir: str,
+    viewdef_paths: list[str],
+    materialize_dir: str | None = None,
+) -> list[str]:
+    """Compile SQL-on-FHIR ViewDefinition JSON files into views over
+    the stored resource tables.
+
+    Each file holds one ViewDefinition (operators/view_definition.py
+    subset); its ``resource`` picks the warehouse table (the pipeline
+    stores one table per resource type), its ``name`` (default
+    ``<resource>_view``) names the result. Default registers a
+    session temp view — the compiled plan stays lazy, so queries
+    against the view still get filter pushdown into the underlying
+    scan. ``materialize_dir`` instead writes each view out as parquet
+    (the scheduled-refresh flat-view handoff shape: analysts read the
+    flat table, never the resource encoding)."""
+    import json as _json
+
+    from fhir_to_lakehouse_spark.operators.view_definition import compile_view
+
+    by_name = {
+        os.path.basename(p).removesuffix(".parquet"): p
+        for p in discover_tables(warehouse_dir, spark)
+    }
+    out = []
+    for vp in viewdef_paths:
+        with open(vp) as f:
+            vd = _json.load(f)
+        rtype = vd.get("resource")
+        table = by_name.get(rtype)
+        if table is None:
+            raise FileNotFoundError(
+                f"{vp}: no stored table for resource {rtype!r} under "
+                f"{warehouse_dir} (have: {sorted(by_name)})"
+            )
+        df = compile_view(vd, KeyedTable(spark, table).to_df())
+        name = vd.get("name") or f"{rtype.lower()}_view"
+        if materialize_dir is not None:
+            dest = os.path.join(materialize_dir, name)
+            df.write.mode("overwrite").parquet(dest)
+            out.append(f"{name} -> {dest}")
+        else:
+            df.createOrReplaceTempView(name)
+            out.append(f"{name} (temp view)")
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="lakehousekeeper")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for cmd in ("vacuum", "optimize", "register", "restore", "migrate-references"):
+    for cmd in (
+        "vacuum",
+        "optimize",
+        "register",
+        "restore",
+        "migrate-references",
+        "create-view",
+    ):
         p = sub.add_parser(cmd)
+        if cmd == "create-view":
+            p.add_argument("--warehouse", required=True)
+            p.add_argument(
+                "--viewdef",
+                action="append",
+                required=True,
+                help="ViewDefinition JSON file (repeatable)",
+            )
+            p.add_argument(
+                "--materialize",
+                default=None,
+                help="write flat parquet views under this dir instead "
+                "of registering temp views",
+            )
+            continue
         if cmd == "restore":
             p.add_argument("--table", required=True)
             p.add_argument("--version", type=int, required=True)
@@ -303,6 +374,10 @@ def main(argv: list[str] | None = None) -> int:
         out = [f"{args.table} restored to v{args.version}"]
     elif args.cmd == "migrate-references":
         out = migrate_references_all(spark, args.warehouse, to=args.to)
+    elif args.cmd == "create-view":
+        out = create_views(
+            spark, args.warehouse, args.viewdef, args.materialize
+        )
     else:
         out = register_all(spark, args.warehouse, args.schema)
     for line in out:

@@ -256,3 +256,79 @@ def test_cli_restore_and_zorder_optimize(spark, tmp_path, monkeypatch):
         ["optimize", "--warehouse", str(tmp_path), "--zorder-by", "v"]
     ) == 0
     assert {r.id: r.v for r in t.to_df().collect()} == {"a": 1, "b": 2}
+
+
+def test_create_views_temp_and_materialized(spark, tmp_path):
+    """create-view compiles a ViewDefinition JSON over the stored
+    Patient table: temp-view registration by default, parquet
+    materialization with --materialize."""
+    import json
+
+    wh = tmp_path / "wh"
+    pat = KeyedTable(spark, str(wh / "Patient.parquet"))
+    resources = [
+        {
+            "resourceType": "Patient",
+            "id": "p1",
+            "active": True,
+            "name": [{"family": "Ada", "given": ["A"]}],
+        },
+        {
+            "resourceType": "Patient",
+            "id": "p2",
+            "active": False,
+            "name": [{"family": "Bob", "given": ["B"]}],
+        },
+    ]
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    enc = encode_resources(
+        spark.createDataFrame(
+            [(json.dumps(r),) for r in resources], "resource string"
+        ),
+        "Patient",
+    )
+    pat.merge_upsert(enc.select("id", "active", "name", "resource_json"))
+
+    vd = {
+        "name": "patient_flat",
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "getResourceKey()"},
+                    {"name": "family", "path": "name.first().family"},
+                    {"name": "is_active", "path": "active", "type": "boolean"},
+                ]
+            }
+        ],
+    }
+    vp = tmp_path / "patient_flat.json"
+    vp.write_text(json.dumps(vd))
+
+    out = M.create_views(spark, str(wh), [str(vp)])
+    assert out == ["patient_flat (temp view)"]
+    got = {
+        r.pid: (r.family, r.is_active)
+        for r in spark.sql("SELECT * FROM patient_flat").collect()
+    }
+    assert got == {"p1": ("Ada", True), "p2": ("Bob", False)}
+
+    mat = tmp_path / "views"
+    out = M.create_views(spark, str(wh), [str(vp)], str(mat))
+    assert out == [f"patient_flat -> {mat / 'patient_flat'}"]
+    back = spark.read.parquet(str(mat / "patient_flat"))
+    assert back.count() == 2 and set(back.columns) == {
+        "pid",
+        "family",
+        "is_active",
+    }
+
+    # unknown resource table -> clear error
+    vd["resource"] = "Observation"
+    vp.write_text(json.dumps(vd))
+    try:
+        M.create_views(spark, str(wh), [str(vp)])
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError as e:
+        assert "Observation" in str(e)
