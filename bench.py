@@ -85,6 +85,12 @@ HEADLINE = [
     # columns -> query-time reference resolution, Money decimals)
     "events_interval_join_bucketized",
     "pipeline_invoice_decode",
+    # round 7 continued: the declarative layers — a compiled
+    # SQL-on-FHIR ViewDefinition (scan -> generate, pure codegen) and
+    # a terminology membership join (expansion broadcast, fact side
+    # unshuffled)
+    "viewdef_observation_components",
+    "terminology_memberof",
 ]
 
 

@@ -21,16 +21,21 @@ Supported subset (compile-time errors otherwise, never silent):
   ``where[{path}]`` (entries AND together, per spec).
 - Column-path FHIRPath subset: dotted member access, ``[i]`` indexing,
   ``first()``, ``exists()``, ``empty()``, ``count()``,
-  ``getResourceKey()``. Paths must be SINGULAR: traversing an array
-  mid-path without ``first()`` / ``[i]`` / an enclosing ``forEach``
-  raises (the spec's singular-path rule), so a view can't silently
-  take Spark's struct-over-array broadcast semantics.
+  ``getResourceKey()``, ``getReferenceKey([Type])`` (the spec's join
+  key extractor: bare local id from a verbatim Reference, optional
+  target-type filter — urn:uuid refs carry no type and only pass a
+  typed filter via an explicit ``Reference.type``), and FHIR choice
+  elements via ``ofType()`` (``value.ofType(Quantity)`` resolves to
+  the materialized ``valueQuantity`` variant column). Paths must be
+  SINGULAR: traversing an array mid-path without ``first()`` /
+  ``[i]`` / an enclosing ``forEach`` raises (the spec's singular-path
+  rule), so a view can't silently take Spark's struct-over-array
+  broadcast semantics.
 - ``where`` paths: ``<path> = <literal>``, ``<path> != <literal>``, a
   bare boolean path, or ``<path>.exists()``.
 
-Out of subset (raise): ``constant`` substitution, ``ofType()``,
-``getReferenceKey()`` (callers resolve references with
-``resolve_references`` before the view), ``join()``, arithmetic.
+Out of subset (raise): ``constant`` substitution, ``join()``,
+arithmetic.
 
 100 TB shape: a compiled view is a projection + optional generate
 (explode) + filter — embarrassingly parallel, no shuffle, no Python.
@@ -75,14 +80,34 @@ _TYPE_MAP = {
 }
 
 _SEG_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)(\[(\d+)\])?$")
-_FUNC_RE = re.compile(r"^([A-Za-z]+)\(\)$")
+_FUNC_RE = re.compile(r"^([A-Za-z]+)\(([A-Za-z]*)\)$")
 
 
 def _split_path(path: str) -> list[str]:
     segs = [s.strip() for s in path.strip().split(".")]
     if any(not s for s in segs):
         raise ViewCompileError(f"malformed path: {path!r}")
-    return segs
+    # fold `field.ofType(Type)` (FHIR choice elements: value.ofType(
+    # Quantity)) into the materialized JSON field name (valueQuantity)
+    # BEFORE resolution — choice variants are separate typed columns in
+    # the curated schemas, exactly like the FHIR JSON wire form
+    merged: list[str] = []
+    i = 0
+    while i < len(segs):
+        nxt = _FUNC_RE.match(segs[i + 1]) if i + 1 < len(segs) else None
+        if nxt and nxt.group(1) == "ofType":
+            t = nxt.group(2)
+            base = _SEG_RE.match(segs[i])
+            if not t or not base or base.group(2):
+                raise ViewCompileError(
+                    f"malformed ofType() use in {path!r}"
+                )
+            merged.append(base.group(1) + t[0].upper() + t[1:])
+            i += 2
+            continue
+        merged.append(segs[i])
+        i += 1
+    return merged
 
 
 def _resolve(
@@ -98,7 +123,54 @@ def _resolve(
     for i, seg in enumerate(segs):
         fm = _FUNC_RE.match(seg)
         if fm:
-            fn = fm.group(1)
+            fn, arg = fm.groups()
+            if arg and fn != "getReferenceKey":
+                raise ViewCompileError(
+                    f"{fn}() takes no argument in {path!r}"
+                )
+            if fn == "getReferenceKey":
+                if col is None or not (
+                    isinstance(dtype, T.StructType)
+                    and any(f.name == "reference" for f in dtype.fields)
+                ):
+                    raise ViewCompileError(
+                        f"getReferenceKey() in {path!r} must follow a "
+                        "Reference element"
+                    )
+                from fhir_to_lakehouse_spark.schemas import (
+                    _RELATIVE_REF_RE,
+                    _URN_UUID_RE,
+                )
+
+                ref = col.getField("reference")
+                bare = (
+                    F.when(
+                        ref.rlike(_URN_UUID_RE),
+                        F.regexp_extract(ref, _URN_UUID_RE, 1),
+                    )
+                    .when(
+                        ref.rlike(_RELATIVE_REF_RE),
+                        F.regexp_extract(ref, _RELATIVE_REF_RE, 2),
+                    )
+                    # absolute URLs / conditional refs have no local key
+                    .otherwise(F.lit(None).cast("string"))
+                )
+                if arg:
+                    has_type = any(f.name == "type" for f in dtype.fields)
+                    explicit = (
+                        col.getField("type") if has_type else F.lit(None)
+                    )
+                    rtype = F.coalesce(
+                        explicit,
+                        F.when(
+                            ref.rlike(_RELATIVE_REF_RE),
+                            F.regexp_extract(ref, _RELATIVE_REF_RE, 1),
+                        ),
+                    )
+                    # type filter: urn:uuid refs carry no type — they
+                    # only pass when an explicit Reference.type says so
+                    bare = F.when(rtype == F.lit(arg), bare)
+                return bare, T.StringType()
             if fn == "getResourceKey":
                 if i != 0 or ctx is not None:
                     raise ViewCompileError(
@@ -334,3 +406,75 @@ def compile_view(view: dict, encoded: DataFrame) -> DataFrame:
     if len(set(names)) != len(names):
         raise ViewCompileError(f"duplicate view column names: {names}")
     return df.select(*[F.col(tmp).alias(name) for name, tmp in out])
+
+
+# --- aggregate API (Pathling $aggregate analog) --------------------------
+
+_AGG_FNS = {
+    "count": lambda c: F.count(F.lit(1)),
+    "countDistinct": F.countDistinct,
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def compile_aggregate(spec: dict, encoded: DataFrame) -> DataFrame:
+    """Grouped aggregation over encoded resources — the $aggregate
+    operation of the reference's Pathling query layer, as one Spark
+    grouped aggregate:
+
+    ``{"resource": "Observation",
+       "where":       [{"path": "status = 'final'"}],
+       "grouping":    [{"name": "g", "path": "code.text"}],
+       "aggregation": [{"name": "n", "function": "count"},
+                       {"name": "mean_value",
+                        "function": "avg",
+                        "path": "valueQuantity.value"}]}``
+
+    Paths use the same FHIRPath subset (and singular-path rule) as
+    ViewDefinition columns. ``count`` needs no path (row count);
+    every other function aggregates its path's column. One
+    ``groupBy().agg()`` — map-side combinable, single shuffle on the
+    grouping key, no Python anywhere. Output columns: groupings then
+    aggregations, in declaration order."""
+    rtype = spec.get("resource")
+    if not rtype:
+        raise ViewCompileError("aggregate spec needs a 'resource'")
+    schema = schema_for(rtype)
+    if len(schema.fields) <= 1:
+        raise ViewCompileError(f"resource type {rtype!r} has no curated schema")
+
+    df = encoded
+    for w in spec.get("where", []) or []:
+        df = df.filter(_predicate(w["path"], schema))
+
+    groupings = spec.get("grouping", []) or []
+    gcols = []
+    for g in groupings:
+        col, _ = _resolve(None, schema, g["path"])
+        gcols.append(col.alias(g["name"]))
+
+    aggs = []
+    for a in spec.get("aggregation", []) or []:
+        fn = _AGG_FNS.get(a.get("function"))
+        if fn is None:
+            raise ViewCompileError(
+                f"aggregation {a.get('name')!r}: unsupported function "
+                f"{a.get('function')!r} (have: {sorted(_AGG_FNS)})"
+            )
+        if a.get("function") == "count":
+            aggs.append(_AGG_FNS["count"](None).alias(a["name"]))
+        else:
+            if "path" not in a:
+                raise ViewCompileError(
+                    f"aggregation {a['name']!r}: {a['function']} needs a path"
+                )
+            col, _ = _resolve(None, schema, a["path"])
+            aggs.append(fn(col).alias(a["name"]))
+    if not aggs:
+        raise ViewCompileError("aggregate spec declares no aggregations")
+    if gcols:
+        return df.groupBy(*gcols).agg(*aggs)
+    return df.agg(*aggs)

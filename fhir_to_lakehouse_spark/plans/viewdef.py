@@ -161,3 +161,99 @@ def viewdef_patient_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select(resource.alias("resource")), "Patient"
     )
     return compile_view(_PATIENT_VIEW, enc)
+
+
+_OBS_AGG = {
+    "resource": "Observation",
+    "where": [{"path": "status = 'final'"}],
+    "grouping": [{"name": "subject_ref", "path": "subject.reference"}],
+    "aggregation": [
+        {"name": "n", "function": "count"},
+        {"name": "total_value", "function": "sum", "path": "valueQuantity.value"},
+        {"name": "min_value", "function": "min", "path": "valueQuantity.value"},
+    ],
+}
+
+
+@query(
+    "viewdef_aggregate_observations",
+    oracle="""
+    SELECT 'Patient/' || CAST(user_id AS VARCHAR)       AS subject_ref,
+           COUNT(*)                                     AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                AS DECIMAL(18,2))                       AS total_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,2)))
+                AS DECIMAL(18,2))                       AS min_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def viewdef_aggregate_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The $aggregate analog declared as a spec, not coded: per-subject
+    observation counts and exact DECIMAL value sums/mins over the
+    encoded frame (grouping path = the verbatim subject.reference
+    string, so this also pins storage-parity reference semantics).
+    Compiles to ONE map-side-combinable grouped aggregate — single
+    shuffle on the grouping key."""
+    from fhir_to_lakehouse_spark.operators.view_definition import (
+        compile_aggregate,
+    )
+
+    events = _observation_events(spark, sf_dir)
+    obs = prepare_stream(events).filter(F.col("resource_type") == "Observation")
+    enc = encode_resources(obs, "Observation")
+    agg = compile_aggregate(_OBS_AGG, enc)
+    return agg.select(
+        "subject_ref",
+        "n",
+        F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+        F.col("min_value").cast("decimal(18,2)").alias("min_value"),
+    )
+
+
+_OBS_SUBJECT_VIEW = {
+    "resource": "Observation",
+    "select": [
+        {
+            "column": [
+                {"name": "oid", "path": "getResourceKey()"},
+                # the spec's join-key extractor over the VERBATIM
+                # stored reference — no resolve_references pass needed
+                {
+                    "name": "patient_key",
+                    "path": "subject.getReferenceKey(Patient)",
+                },
+                # FHIR choice element through ofType()
+                {
+                    "name": "qty",
+                    "path": "value.ofType(Quantity).value",
+                    "type": "decimal",
+                },
+            ]
+        }
+    ],
+}
+
+
+@query(
+    "viewdef_observation_subjects",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR)          AS oid,
+           CAST(user_id AS VARCHAR)           AS patient_key,
+           CAST(value AS DECIMAL(18,2))       AS qty
+    FROM events
+    """,
+)
+def viewdef_observation_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getReferenceKey(Patient) + value.ofType(Quantity) through the
+    compiler: the view extracts bare join keys straight from the
+    storage-verbatim 'Patient/<id>' reference strings and resolves the
+    choice-typed value — the two functions that make compiled views
+    join-ready without any hand-written reference surgery."""
+    events = _observation_events(spark, sf_dir)
+    obs = prepare_stream(events).filter(F.col("resource_type") == "Observation")
+    enc = encode_resources(obs, "Observation")
+    view = compile_view(_OBS_SUBJECT_VIEW, enc)
+    return view.select(
+        "oid", "patient_key", F.col("qty").cast("decimal(18,2)").alias("qty")
+    )

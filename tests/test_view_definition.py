@@ -289,3 +289,153 @@ def test_plan_has_no_python_and_prunes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_compile_aggregate_grouped_and_global(spark):
+    from fhir_to_lakehouse_spark.operators.view_definition import (
+        compile_aggregate,
+    )
+
+    pats = _patients(spark)
+    spec = {
+        "resource": "Patient",
+        "grouping": [{"name": "g", "path": "gender"}],
+        "aggregation": [
+            {"name": "n", "function": "count"},
+            {"name": "names", "function": "max", "path": "name.count()"},
+        ],
+    }
+    got = {r.g: (r.n, r.names) for r in compile_aggregate(spec, pats).collect()}
+    assert got == {"female": (1, 2), "male": (1, 1)}
+
+    # no grouping -> one global row; where applies first
+    spec2 = {
+        "resource": "Patient",
+        "where": [{"path": "active"}],
+        "aggregation": [{"name": "n", "function": "count"}],
+    }
+    assert compile_aggregate(spec2, pats).collect()[0].n == 1
+
+
+def test_compile_aggregate_guardrails(spark):
+    from fhir_to_lakehouse_spark.operators.view_definition import (
+        compile_aggregate,
+    )
+
+    pats = _patients(spark)
+    with pytest.raises(ViewCompileError, match="unsupported function"):
+        compile_aggregate(
+            {
+                "resource": "Patient",
+                "aggregation": [{"name": "x", "function": "median"}],
+            },
+            pats,
+        )
+    with pytest.raises(ViewCompileError, match="needs a path"):
+        compile_aggregate(
+            {
+                "resource": "Patient",
+                "aggregation": [{"name": "x", "function": "sum"}],
+            },
+            pats,
+        )
+    with pytest.raises(ViewCompileError, match="no aggregations"):
+        compile_aggregate({"resource": "Patient", "grouping": []}, pats)
+
+
+def test_get_reference_key_and_of_type(spark):
+    """The spec's join-enabling functions: getReferenceKey() extracts
+    the bare local id from a VERBATIM stored reference (urn + relative
+    forms; absolute URLs yield NULL), the typed variant filters on the
+    target type, and ofType() resolves FHIR choice elements to their
+    materialized variant column."""
+    obs = [
+        {
+            "resourceType": "Observation",
+            "id": "o1",
+            "status": "final",
+            "subject": {"reference": "Patient/p9"},
+            "valueQuantity": {"value": 7.5, "unit": "mg"},
+        },
+        {
+            "resourceType": "Observation",
+            "id": "o2",
+            "status": "final",
+            "subject": {"reference": "urn:uuid:abc-123"},
+            "valueString": "positive",
+        },
+        {
+            "resourceType": "Observation",
+            "id": "o3",
+            "status": "final",
+            "subject": {"reference": "https://ex.org/fhir/Patient/x"},
+        },
+    ]
+    enc = encode_resources(
+        spark.createDataFrame(
+            [(json.dumps(r),) for r in obs], "resource string"
+        ),
+        "Observation",
+    )
+    view = {
+        "resource": "Observation",
+        "select": [
+            {
+                "column": [
+                    {"name": "oid", "path": "getResourceKey()"},
+                    {"name": "subject_key", "path": "subject.getReferenceKey()"},
+                    {
+                        "name": "patient_key",
+                        "path": "subject.getReferenceKey(Patient)",
+                    },
+                    {
+                        "name": "qty",
+                        "path": "value.ofType(Quantity).value",
+                        "type": "decimal",
+                    },
+                    {"name": "note", "path": "value.ofType(string)"},
+                ]
+            }
+        ],
+    }
+    rows = {r.oid: r for r in compile_view(view, enc).collect()}
+    # relative form: key + typed filter both hit
+    assert rows["o1"].subject_key == "p9"
+    assert rows["o1"].patient_key == "p9"
+    assert float(rows["o1"].qty) == 7.5
+    assert rows["o1"].note is None
+    # urn form: key extracted; typed filter cannot confirm -> NULL
+    assert rows["o2"].subject_key == "abc-123"
+    assert rows["o2"].patient_key is None
+    assert rows["o2"].note == "positive"
+    # absolute URL: no local key at all
+    assert rows["o3"].subject_key is None
+    assert rows["o3"].patient_key is None
+
+
+def test_get_reference_key_guardrails(spark):
+    pats = _patients(spark)
+    with pytest.raises(ViewCompileError, match="Reference element"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [
+                    {
+                        "column": [
+                            {"name": "x", "path": "gender.getReferenceKey()"}
+                        ]
+                    }
+                ],
+            },
+            pats,
+        )
+    with pytest.raises(ViewCompileError, match="no argument"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [
+                    {"column": [{"name": "x", "path": "name.first(Zzz)"}]}
+                ],
+            },
+            pats,
+        )
