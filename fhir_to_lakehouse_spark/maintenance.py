@@ -279,6 +279,36 @@ def create_views(
     return out
 
 
+def export_bulk(
+    spark: SparkSession,
+    warehouse_dir: str,
+    out_dir: str,
+    types: list[str] | None = None,
+    files_per_type: int | None = 1,
+) -> list[str]:
+    """Bulk Data $export of the warehouse: every stored resource table
+    (or just ``types``) written as flat per-type NDJSON under
+    ``out_dir/<Type>`` — the lossless ``resource_json`` lines, so the
+    export round-trips byte-identically through
+    sources/bulk_export.read_bulk_export. ``files_per_type=None``
+    keeps full write parallelism for big tables."""
+    from fhir_to_lakehouse_spark.sources.bulk_export import write_bulk_export
+
+    out = []
+    for path in discover_tables(warehouse_dir, spark):
+        name = os.path.basename(path).removesuffix(".parquet")
+        if types and name not in types:
+            continue
+        df = KeyedTable(spark, path).to_df()
+        if "resource_json" not in df.columns:
+            out.append(f"{name}: SKIPPED (no resource_json column)")
+            continue
+        dest = os.path.join(out_dir, name)
+        write_bulk_export(df, dest, coalesce_files=files_per_type)
+        out.append(f"{name} -> {dest}")
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="lakehousekeeper")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -289,8 +319,26 @@ def main(argv: list[str] | None = None) -> int:
         "restore",
         "migrate-references",
         "create-view",
+        "export",
     ):
         p = sub.add_parser(cmd)
+        if cmd == "export":
+            p.add_argument("--warehouse", required=True)
+            p.add_argument("--out", required=True)
+            p.add_argument(
+                "--type",
+                action="append",
+                default=None,
+                help="limit to these resource types (repeatable)",
+            )
+            p.add_argument(
+                "--files-per-type",
+                type=int,
+                default=1,
+                help="coalesce each type to N files (0 = keep full "
+                "write parallelism)",
+            )
+            continue
         if cmd == "create-view":
             p.add_argument("--warehouse", required=True)
             p.add_argument(
@@ -377,6 +425,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "create-view":
         out = create_views(
             spark, args.warehouse, args.viewdef, args.materialize
+        )
+    elif args.cmd == "export":
+        out = export_bulk(
+            spark,
+            args.warehouse,
+            args.out,
+            types=args.type,
+            files_per_type=args.files_per_type or None,
         )
     else:
         out = register_all(spark, args.warehouse, args.schema)

@@ -23,8 +23,10 @@ the same parallelism as parquet (minus column pruning, which is
 inherent to the format: that is exactly why the pipeline's landing
 table is parquet/Delta and this reader exists only at the edge).
 Malformed lines follow the bundle pipeline's dead-letter philosophy:
-they don't kill the job, they land in a ``_corrupt`` flag the caller
-can route (count goes to the pipeline metrics listener).
+they never kill the job — ``from_json`` (PERMISSIVE) decodes them to
+all-null typed columns while ``resource_json`` keeps the offending
+line verbatim, so callers route them with ``id IS NULL`` exactly like
+the bundle path's corrupt probe.
 """
 
 from __future__ import annotations

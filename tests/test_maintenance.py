@@ -332,3 +332,48 @@ def test_create_views_temp_and_materialized(spark, tmp_path):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError as e:
         assert "Observation" in str(e)
+
+
+def test_export_bulk_roundtrip(spark, tmp_path):
+    """maintenance export writes each stored resource table as per-type
+    NDJSON that reads back byte-identically through read_bulk_export;
+    tables without resource_json are skipped, not crashed."""
+    import json
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+    from fhir_to_lakehouse_spark.sources.bulk_export import read_bulk_export
+
+    wh = tmp_path / "wh"
+    resources = [
+        {"resourceType": "Patient", "id": "p1", "active": True},
+        {"resourceType": "Patient", "id": "p2", "active": False},
+    ]
+    enc = encode_resources(
+        spark.createDataFrame(
+            [(json.dumps(r),) for r in resources], "resource string"
+        ),
+        "Patient",
+    )
+    KeyedTable(spark, str(wh / "Patient.parquet")).merge_upsert(
+        enc.select("id", "active", "resource_json")
+    )
+    # a non-resource table (no resource_json) must be skipped
+    KeyedTable(spark, str(wh / "Metrics.parquet")).merge_upsert(
+        spark.createDataFrame([("a", 1)], SCHEMA)
+    )
+
+    out = M.export_bulk(spark, str(wh), str(tmp_path / "exp"))
+    assert any(line.startswith("Metrics: SKIPPED") for line in out)
+    assert any(line.startswith("Patient -> ") for line in out)
+
+    back = read_bulk_export(spark, str(tmp_path / "exp" / "Patient"), "Patient")
+    assert sorted(r.id for r in back.collect()) == ["p1", "p2"]
+    orig = sorted(r.resource_json for r in enc.collect())
+    redo = sorted(r.resource_json for r in back.collect())
+    assert orig == redo
+
+    # --type filter restricts the export set
+    only = M.export_bulk(
+        spark, str(wh), str(tmp_path / "exp2"), types=["Metrics"]
+    )
+    assert only == ["Metrics: SKIPPED (no resource_json column)"]
