@@ -103,6 +103,7 @@ def member_of(
     system_col: str = "system",
     code_col: str = "code",
     out_col: str = "member_of",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Append ``out_col`` (boolean): is (system_col, code_col) in the
     expansion frame (as produced by :func:`expand_valueset`, already
@@ -114,6 +115,12 @@ def member_of(
     shuffle and no row-count change (left join on a deduped key cannot
     fan out). NULL system/code → false, matching memberof's empty-
     collection semantics.
+
+    ``broadcast=False`` opts out for a pathological expansion too big
+    for executor memory (a full SNOMED transitive closure): the join
+    falls back to Spark's size-based strategy choice (shuffle join),
+    trading one fact-side shuffle for bounded memory — the same
+    escape hatch pattern as functions/graph.py's broadcast_threshold.
     """
     dim = (
         expansion.select(
@@ -124,7 +131,7 @@ def member_of(
         .withColumn("__vs_hit", F.lit(True))
     )
     joined = facts.join(
-        F.broadcast(dim),
+        F.broadcast(dim) if broadcast else dim,
         on=(
             (F.col(system_col) == F.col("__vs_system"))
             & (F.col(code_col) == F.col("__vs_code"))
@@ -171,6 +178,7 @@ def translate(
     system_col: str = "system",
     code_col: str = "code",
     keep_unmapped: bool = True,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Apply ConceptMap rules (from :func:`conceptmap_rules`, already
     filtered to ONE map) to a fact frame: appends target_system /
@@ -182,7 +190,8 @@ def translate(
     collection result; callers needing 1:1 filter on equivalence
     first. The rules frame is the broadcast dim; the fact side never
     shuffles. ``keep_unmapped=False`` drops unmatched rows (inner
-    join) instead of carrying NULL targets.
+    join) instead of carrying NULL targets. ``broadcast=False`` is the
+    giant-map escape hatch (see member_of).
     """
     dim = rules.select(
         F.col("source_system").alias("__cm_system"),
@@ -192,7 +201,7 @@ def translate(
         "equivalence",
     )
     joined = facts.join(
-        F.broadcast(dim),
+        F.broadcast(dim) if broadcast else dim,
         on=(
             (F.col(system_col) == F.col("__cm_system"))
             & (F.col(code_col) == F.col("__cm_code"))

@@ -188,3 +188,31 @@ class TestTranslate:
         facts = spark.createDataFrame([Row(id=1, system="s", code="a")])
         plan = translate(facts, rules)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, plan
+
+
+def test_broadcast_opt_out_plans_shuffle_join(spark):
+    """broadcast=False is the giant-dim escape hatch: the plan must
+    NOT force a broadcast (Spark may still pick one by size stats, so
+    pin autoBroadcastJoinThreshold off for the assertion)."""
+    from pyspark.sql import Row
+
+    expansion = spark.createDataFrame(
+        [Row(valueset_url="u", system="s", code="a")]
+    )
+    facts = spark.createDataFrame([Row(id=1, system="s", code="a")])
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            member_of(facts, expansion, broadcast=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        got = {r.id: r.member_of for r in member_of(
+            facts, expansion, broadcast=False
+        ).collect()}
+        assert got == {1: True}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
