@@ -1588,12 +1588,12 @@ RESOURCE_SCHEMAS: dict[str, T.StructType] = {
 # Round-7 tranche 3: the remaining R4 4.0.1 resource types (compact
 # curated schemas, schemas_catalog.py) — the registry now covers the
 # FULL official list of 146 concrete types, so no resourceType ever
-# degrades to GENERIC_SCHEMA. Import placed after the primitives the
-# catalog module reuses (Python resolves the partial-module cycle
-# because everything it pulls is already bound above).
-from fhir_to_lakehouse_spark.schemas_catalog import CATALOG_SCHEMAS  # noqa: E402
-
-RESOURCE_SCHEMAS.update(CATALOG_SCHEMAS)
+# degrades to GENERIC_SCHEMA. The catalog module registers itself into
+# RESOURCE_SCHEMAS at its import; this is a plain MODULE import (no
+# attribute access) so both import orders resolve the cycle — if the
+# catalog module started first, it is partially initialized here and
+# finishes its registration right after this module completes.
+import fhir_to_lakehouse_spark.schemas_catalog  # noqa: E402,F401
 
 # Fallback for a resourceType OUTSIDE the R4 registry (custom/basic
 # profiles, future-version types): id only (the merge key) + the raw

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 from fhir_to_lakehouse_spark.schemas import (
+    RESOURCE_SCHEMAS,
     _CODEABLE_CONCEPT as CC,
     _CODING,
     _MONEY,
@@ -1166,3 +1167,8 @@ CATALOG_SCHEMAS: dict[str, T.StructType] = {
         ]
     ),
 }
+
+# self-registration: executed at import, regardless of whether this
+# module or schemas.py was imported first (see the trailing module
+# import in schemas.py for the cycle note)
+RESOURCE_SCHEMAS.update(CATALOG_SCHEMAS)

@@ -1392,3 +1392,24 @@ def test_catalog_schemas_tolerate_extra_fields(spark, rtype, resource, probe):
     row = resolve_references(encode_resources(df, rtype), rtype).collect()[0]
     assert row.id == resource["id"]
     assert probe(row)
+
+
+def test_catalog_module_imports_standalone():
+    """Importing schemas_catalog BEFORE schemas must not trip the
+    module cycle (regression: the original trailing from-import in
+    schemas.py raised ImportError under this order)."""
+    import subprocess
+    import sys
+
+    code = (
+        "from fhir_to_lakehouse_spark.schemas_catalog import CATALOG_SCHEMAS\n"
+        "from fhir_to_lakehouse_spark.schemas import RESOURCE_SCHEMAS\n"
+        "assert len(RESOURCE_SCHEMAS) == 146, len(RESOURCE_SCHEMAS)\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr
