@@ -439,3 +439,61 @@ def test_get_reference_key_guardrails(spark):
             },
             pats,
         )
+
+
+def test_shipped_viewdef_artifacts_compile(spark):
+    """Every ViewDefinition JSON shipped under viewdefs/ compiles and
+    runs against a sample of its resource type — the artifacts users
+    feed to `maintenance create-view` can never rot silently."""
+    import glob
+
+    samples = {
+        "Patient": {
+            "resourceType": "Patient",
+            "id": "p1",
+            "gender": "female",
+            "birthDate": "1980-02-02",
+            "active": True,
+            "name": [{"family": "Ada", "given": ["A"]}],
+            "address": [{"city": "Koeln", "postalCode": "50667"}],
+        },
+        "Observation": {
+            "resourceType": "Observation",
+            "id": "o1",
+            "status": "final",
+            "code": {"text": "glucose"},
+            "subject": {"reference": "Patient/p1"},
+            "valueQuantity": {"value": 5.5, "unit": "mmol/L"},
+        },
+        "Condition": {
+            "resourceType": "Condition",
+            "id": "c1",
+            "subject": {"reference": "Patient/p1"},
+            "code": {
+                "coding": [
+                    {"system": "http://snomed.info/sct", "code": "44054006",
+                     "display": "Diabetes"}
+                ],
+                "text": "Diabetes",
+            },
+        },
+    }
+    paths = sorted(glob.glob("/root/repo/viewdefs/*.json"))
+    assert len(paths) >= 3
+    for p in paths:
+        vd = json.loads(open(p).read())
+        rtype = vd["resource"]
+        enc = encode_resources(
+            spark.createDataFrame(
+                [(json.dumps(samples[rtype]),)], "resource string"
+            ),
+            rtype,
+        )
+        rows = compile_view(vd, enc).collect()
+        assert len(rows) >= 1, p
+        # every declared column materialized
+        declared = [
+            c["name"] for s in vd["select"] for c in s.get("column", [])
+        ]
+        for name in declared:
+            assert name in rows[0].asDict(), (p, name)
