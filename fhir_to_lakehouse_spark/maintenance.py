@@ -279,6 +279,37 @@ def create_views(
     return out
 
 
+def refresh_view(
+    spark: SparkSession,
+    table_path: str,
+    viewdef_path: str,
+    dest: str,
+    key: str = "id",
+) -> str:
+    """Incrementally refresh a materialized flat view from its source
+    table's change feed (operators/materialized_view.py). First call
+    builds the view in full; later calls recompile only the resources
+    whose rows changed since the last refresh. Scheduled alongside
+    OPTIMIZE/VACUUM, this is the analyst-facing flat-table cadence."""
+    import json as _json
+
+    from fhir_to_lakehouse_spark.operators.materialized_view import (
+        MaterializedFlatView,
+    )
+
+    with open(viewdef_path) as f:
+        vd = _json.load(f)
+    src = KeyedTable(spark, table_path, key=key, changelog=True)
+    mv = MaterializedFlatView(vd, src, dest)
+    stats = mv.refresh()
+    name = vd.get("name") or os.path.basename(dest)
+    return (
+        f"{name}: {stats['mode']} "
+        f"(versions {stats['from_version']}..{stats['to_version']}, "
+        f"resources {stats['resources']})"
+    )
+
+
 def export_bulk(
     spark: SparkSession,
     warehouse_dir: str,
@@ -320,8 +351,15 @@ def main(argv: list[str] | None = None) -> int:
         "migrate-references",
         "create-view",
         "export",
+        "refresh-view",
     ):
         p = sub.add_parser(cmd)
+        if cmd == "refresh-view":
+            p.add_argument("--table", required=True)
+            p.add_argument("--viewdef", required=True)
+            p.add_argument("--dest", required=True)
+            p.add_argument("--key", default="id")
+            continue
         if cmd == "export":
             p.add_argument("--warehouse", required=True)
             p.add_argument("--out", required=True)
@@ -426,6 +464,12 @@ def main(argv: list[str] | None = None) -> int:
         out = create_views(
             spark, args.warehouse, args.viewdef, args.materialize
         )
+    elif args.cmd == "refresh-view":
+        out = [
+            refresh_view(
+                spark, args.table, args.viewdef, args.dest, key=args.key
+            )
+        ]
     elif args.cmd == "export":
         out = export_bulk(
             spark,

@@ -377,3 +377,50 @@ def test_export_bulk_roundtrip(spark, tmp_path):
         spark, str(wh), str(tmp_path / "exp2"), types=["Metrics"]
     )
     assert only == ["Metrics: SKIPPED (no resource_json column)"]
+
+
+def test_refresh_view_cli_function(spark, tmp_path):
+    """refresh-view: full build then incremental, through the
+    maintenance-level wrapper."""
+    import json
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    def enc(patients):
+        return encode_resources(
+            spark.createDataFrame(
+                [(json.dumps(p),) for p in patients], "resource string"
+            ),
+            "Patient",
+        ).select("id", "gender", "resource_json")
+
+    tbl = str(tmp_path / "Patient.parquet")
+    src = KeyedTable(spark, tbl, changelog=True)
+    src.merge_upsert(
+        enc([{"resourceType": "Patient", "id": "p1", "gender": "female"}])
+    )
+    vd = {
+        "name": "pf",
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "getResourceKey()"},
+                    {"name": "gender", "path": "gender"},
+                ]
+            }
+        ],
+    }
+    vp = tmp_path / "pf.json"
+    vp.write_text(json.dumps(vd))
+    dest = str(tmp_path / "pf")
+
+    msg = M.refresh_view(spark, tbl, str(vp), dest)
+    assert msg.startswith("pf: full")
+    src.merge_upsert(
+        enc([{"resourceType": "Patient", "id": "p2", "gender": "male"}])
+    )
+    msg = M.refresh_view(spark, tbl, str(vp), dest)
+    assert "incremental" in msg and "resources 1" in msg
+    got = {r.pid: r.gender for r in spark.read.parquet(dest).collect()}
+    assert got == {"p1": "female", "p2": "male"}
