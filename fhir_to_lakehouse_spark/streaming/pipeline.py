@@ -70,6 +70,12 @@ class PipelineConfig:
     # keep prefixed references while new merges write bare ids, so
     # only enable it on fresh tables or after a one-off rewrite.
     normalize_references_at_write: bool = False
+    # (ViewDefinition dict, destination path) pairs: each view is
+    # materialized flat and refreshed INCREMENTALLY at the upkeep
+    # cadence (operators/materialized_view.py — per-resource
+    # post-image recompile off the change feed). Configuring a view
+    # turns the change feed on for its resource type's table.
+    materialized_views: list[tuple[dict, str]] = field(default_factory=list)
 
 
 class BundlePipeline:
@@ -90,6 +96,9 @@ class BundlePipeline:
 
     def table(self, resource_type: str) -> KeyedTable:
         if resource_type not in self._tables:
+            viewed = {
+                v.get("resource") for v, _ in self.cfg.materialized_views
+            }
             self._tables[resource_type] = KeyedTable(
                 self.spark,
                 os.path.join(
@@ -100,6 +109,9 @@ class BundlePipeline:
                 # the source is key-unique by construction — skip the
                 # fallback's duplicate-key probe job
                 verify_unique_source=False,
+                # a configured materialized view consumes this table's
+                # change feed — turn it on
+                changelog=resource_type in viewed,
                 table_properties=self.cfg.table_properties,
             )
         return self._tables[resource_type]
@@ -356,6 +368,23 @@ class BundlePipeline:
             if tbl.exists():
                 tbl.optimize()
                 tbl.vacuum(self.cfg.vacuum_retention_hours)
+        self.refresh_views()
+
+    def refresh_views(self) -> list[dict]:
+        """Refresh every configured materialized flat view from its
+        table's change feed (incremental after the first build) —
+        runs at the upkeep cadence, so analyst-facing flat tables
+        track the stream within ``upkeep_interval`` batches."""
+        from fhir_to_lakehouse_spark.operators.materialized_view import (
+            MaterializedFlatView,
+        )
+
+        stats = []
+        for view, dest in self.cfg.materialized_views:
+            src = self.table(view.get("resource"))
+            if src.exists():
+                stats.append(MaterializedFlatView(view, src, dest).refresh())
+        return stats
 
     # -- streaming shell -------------------------------------------------
 
