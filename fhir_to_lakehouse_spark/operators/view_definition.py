@@ -284,12 +284,113 @@ def _predicate(path: str, dtype: T.DataType) -> Column:
     return F.coalesce(col, F.lit(False))
 
 
-def compile_view(view: dict, encoded: DataFrame) -> DataFrame:
+_MEMBEROF_RE = re.compile(r"^(.*)\.memberOf\('([^']+)'\)$")
+
+
+def _codings_array(col: Column, dtype: T.DataType, path: str) -> Column:
+    """Normalize a memberOf() subject to array<struct> of Codings:
+    CodeableConcept -> its coding array; Coding array -> itself;
+    single Coding -> one-element array."""
+    if isinstance(dtype, T.StructType):
+        coding = next((f for f in dtype.fields if f.name == "coding"), None)
+        if coding is not None and isinstance(coding.dataType, T.ArrayType):
+            return col.getField("coding")
+        names = {f.name for f in dtype.fields}
+        if {"system", "code"} <= names:
+            return F.array(col)
+    if isinstance(dtype, T.ArrayType) and isinstance(
+        dtype.elementType, T.StructType
+    ):
+        names = {f.name for f in dtype.elementType.fields}
+        if {"system", "code"} <= names:
+            return col
+    raise ViewCompileError(
+        f"memberOf() in {path!r} needs a CodeableConcept, Coding, or "
+        f"Coding-array element"
+    )
+
+
+def _apply_member_of(
+    df: DataFrame,
+    sub_path: str,
+    url: str,
+    schema: T.StructType,
+    valuesets: DataFrame,
+    max_inline_codes: int,
+) -> DataFrame:
+    """FHIRPath memberOf(valueSetUrl) as a filter: keep resources where
+    ANY coding of the subject element is in the value set expansion.
+
+    Two physical strategies, picked by expansion size:
+    - small (<= max_inline_codes): the expansion folds into a LITERAL
+      array constant inside a codegen'd `exists(..., array_contains)`
+      predicate — zero joins, zero shuffles, pushes like any filter;
+    - large: per-row coding explode joined against the BROADCAST
+      expansion, matching resource ids semi-joined back. One fact-side
+      shuffle (the semi join on id); still no unbounded driver state —
+      the inline probe reads at most max_inline_codes+1 rows.
+    """
+    col, dtype = _resolve(None, schema, sub_path)
+    arr = _codings_array(col, dtype, sub_path)
+    pairs = valuesets.filter(F.col("valueset_url") == url).select(
+        "system", "code"
+    )
+    probe = pairs.limit(max_inline_codes + 1).collect()
+    if len(probe) <= max_inline_codes:
+        lit_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(r["system"]).alias("system"),
+                    F.lit(r["code"]).alias("code"),
+                )
+                for r in probe
+            ]
+        )
+        if not probe:
+            return df.filter(F.lit(False))
+        pred = F.exists(
+            arr,
+            lambda c: F.array_contains(
+                lit_arr,
+                F.struct(
+                    c["system"].alias("system"), c["code"].alias("code")
+                ),
+            ),
+        )
+        return df.filter(F.coalesce(pred, F.lit(False)))
+    matches = (
+        df.select("id", F.explode(arr).alias("__c"))
+        .join(
+            F.broadcast(pairs),
+            on=(
+                (F.col("__c.system") == F.col("system"))
+                & (F.col("__c.code") == F.col("code"))
+            ),
+            how="inner",
+        )
+        .select("id")
+        .distinct()
+    )
+    return df.join(matches, "id", "left_semi")
+
+
+def compile_view(
+    view: dict,
+    encoded: DataFrame,
+    valuesets: DataFrame | None = None,
+    max_inline_codes: int = 4096,
+) -> DataFrame:
     """Compile a ViewDefinition dict against an encoded resource frame
     (the output of ``encode_resources`` — or a stored table in that
     layout — for ``view['resource']``) into a flat DataFrame whose
     columns are exactly the view's declared columns, in declaration
-    order."""
+    order.
+
+    ``valuesets`` (an expansion frame from
+    ``functions.terminology.expand_valueset``) enables
+    ``memberOf('<url>')`` in where paths — the spec's terminology
+    function, answered from encoded artifacts instead of a terminology
+    server."""
     for key in ("constant",):
         if view.get(key):
             raise ViewCompileError(f"ViewDefinition {key!r} is not supported")
@@ -304,7 +405,19 @@ def compile_view(view: dict, encoded: DataFrame) -> DataFrame:
 
     df = encoded
     for w in view.get("where", []) or []:
-        df = df.filter(_predicate(w["path"], schema))
+        mo = _MEMBEROF_RE.match(w["path"].strip())
+        if mo:
+            if valuesets is None:
+                raise ViewCompileError(
+                    f"where path {w['path']!r} uses memberOf() — pass "
+                    "the valuesets expansion frame to compile_view"
+                )
+            df = _apply_member_of(
+                df, mo.group(1), mo.group(2), schema, valuesets,
+                max_inline_codes,
+            )
+        else:
+            df = df.filter(_predicate(w["path"], schema))
 
     out: list[tuple[str, str]] = []  # (view column name, temp column)
     n = [0]

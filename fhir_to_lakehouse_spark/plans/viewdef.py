@@ -257,3 +257,65 @@ def viewdef_observation_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.select(
         "oid", "patient_key", F.col("qty").cast("decimal(18,2)").alias("qty")
     )
+
+
+@query(
+    "viewdef_memberof_filter",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR)   AS oid,
+           p_brand                      AS brand_code
+    FROM part
+    WHERE CAST(SUBSTRING(p_brand, 7) AS INT) <= 12
+    """,
+)
+def viewdef_memberof_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spec's terminology where-function through the compiler:
+    Observations coded per part brand, filtered by
+    code.memberOf(<ValueSet url>) against the SAME encoded ValueSet /
+    CodeSystem artifacts the terminology queries expand — the
+    expansion folds into an inline codegen predicate (<=25 codes), so
+    the filter is join-free. The oracle re-derives membership from the
+    brand-suffix rule the ValueSet was built with."""
+    from fhir_to_lakehouse_spark.functions.terminology import expand_valueset
+    from fhir_to_lakehouse_spark.plans.terminology import (
+        _CS_BRAND,
+        _VS_URL,
+        _codesystem_df,
+        _valueset_df,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    resource = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("p_partkey").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit(_CS_BRAND).alias("system"),
+                        F.col("p_brand").alias("code"),
+                    )
+                ).alias("coding")
+            ).alias("code"),
+        )
+    )
+    enc = encode_resources(
+        part.select(resource.alias("resource")), "Observation"
+    )
+    expansion = expand_valueset(
+        _valueset_df(spark, sf_dir), _codesystem_df(spark, sf_dir)
+    )
+    view = {
+        "resource": "Observation",
+        "where": [{"path": f"code.memberOf('{_VS_URL}')"}],
+        "select": [
+            {
+                "column": [
+                    {"name": "oid", "path": "getResourceKey()"},
+                    {"name": "brand_code", "path": "code.coding[0].code"},
+                ]
+            }
+        ],
+    }
+    return compile_view(view, enc, valuesets=expansion)

@@ -497,3 +497,80 @@ def test_shipped_viewdef_artifacts_compile(spark):
         ]
         for name in declared:
             assert name in rows[0].asDict(), (p, name)
+
+
+def _member_fixture(spark):
+    obs = [
+        {
+            "resourceType": "Observation",
+            "id": "o1",
+            "status": "final",
+            "code": {
+                "coding": [
+                    {"system": "http://loinc.org", "code": "718-7"},
+                    {"system": "http://other", "code": "x"},
+                ]
+            },
+        },
+        {
+            "resourceType": "Observation",
+            "id": "o2",
+            "status": "final",
+            "code": {"coding": [{"system": "http://loinc.org", "code": "999"}]},
+        },
+        {"resourceType": "Observation", "id": "o3", "status": "final"},
+    ]
+    enc = encode_resources(
+        spark.createDataFrame(
+            [(json.dumps(r),) for r in obs], "resource string"
+        ),
+        "Observation",
+    )
+    expansion = spark.createDataFrame(
+        [
+            ("http://x/vs/hgb", "http://loinc.org", "718-7"),
+            ("http://x/vs/hgb", "http://loinc.org", "717-9"),
+            ("http://x/vs/other", "http://loinc.org", "999"),
+        ],
+        "valueset_url string, system string, code string",
+    )
+    view = {
+        "resource": "Observation",
+        "where": [{"path": "code.memberOf('http://x/vs/hgb')"}],
+        "select": [{"column": [{"name": "oid", "path": "id"}]}],
+    }
+    return enc, expansion, view
+
+
+def test_member_of_where_inline_and_join_paths(spark):
+    """memberOf() keeps resources with ANY matching coding; null-coded
+    resources drop; both physical strategies (inline literal vs
+    explode+semi-join) produce identical rows."""
+    enc, expansion, view = _member_fixture(spark)
+    inline = compile_view(view, enc, valuesets=expansion)
+    assert [r.oid for r in inline.collect()] == ["o1"]
+    joined = compile_view(view, enc, valuesets=expansion, max_inline_codes=0)
+    assert [r.oid for r in joined.collect()] == ["o1"]
+    # the inline strategy stays join-free
+    assert "Join" not in inline._jdf.queryExecution().executedPlan().toString()
+
+    # unknown value set -> no rows (empty expansion is empty set)
+    view2 = {
+        "resource": "Observation",
+        "where": [{"path": "code.memberOf('http://x/vs/none')"}],
+        "select": [{"column": [{"name": "oid", "path": "id"}]}],
+    }
+    assert compile_view(view2, enc, valuesets=expansion).count() == 0
+
+
+def test_member_of_guardrails(spark):
+    enc, expansion, view = _member_fixture(spark)
+    with pytest.raises(ViewCompileError, match="valuesets"):
+        compile_view(view, enc)
+    bad = {
+        "resource": "Observation",
+        "where": [{"path": "status.memberOf('http://x/vs/hgb')"}],
+        "select": [{"column": [{"name": "oid", "path": "id"}]}],
+    }
+    with pytest.raises(ViewCompileError, match="CodeableConcept"):
+        compile_view(bad, enc, valuesets=expansion)
