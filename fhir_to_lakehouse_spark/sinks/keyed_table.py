@@ -517,9 +517,19 @@ class KeyedTable:
         ``_change_type`` (insert | update_preimage | update_postimage |
         delete) and the partition column ``commit_version``, so an
         incremental consumer reads only the new version directories
-        (partition pruning on commit_version)."""
-        df = self.spark.read.option("basePath", self._changelog_path).parquet(
-            self._changelog_path
+        (partition pruning on commit_version).
+
+        mergeSchema is ON: the changelog is append-only, so commits
+        written before a schema widening (an encoder-catalog upgrade
+        adding nested fields) carry the OLD file schema — without
+        merging, Spark samples one file's schema and silently DROPS
+        the new fields from every post-image, corrupting as_of
+        reconstruction and incremental view refresh (regression:
+        tests/test_changelog.py::test_change_feed_survives_schema_widening)."""
+        df = (
+            self.spark.read.option("basePath", self._changelog_path)
+            .option("mergeSchema", "true")
+            .parquet(self._changelog_path)
         )
         return df.filter(F.col("commit_version") >= starting_version)
 

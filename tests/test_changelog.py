@@ -141,3 +141,34 @@ def test_as_of_requires_changelog(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="changelog"):
         t.as_of(0)
+
+
+def test_change_feed_survives_schema_widening(spark, tmp_path):
+    """An encoder-catalog upgrade widens nested struct columns; the
+    append-only changelog then holds files with BOTH schemas. The
+    change feed must merge them — before the mergeSchema fix, Spark
+    sampled one file's schema and silently dropped the new nested
+    field from every post-image, corrupting as_of and incremental
+    view refresh."""
+    from pyspark.sql import Row
+
+    t = KeyedTable(spark, str(tmp_path / "T.parquet"), changelog=True)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [Row(id="a", s=Row(x="1"))], "id string, s struct<x:string>"
+        )
+    )
+    t.merge_upsert(
+        spark.createDataFrame(
+            [Row(id="b", s=Row(x="2", y="new"))],
+            "id string, s struct<x:string, y:string>",
+        )
+    )
+    ch = t.table_changes(0)
+    assert "y:string" in ch.schema.simpleString()
+    by_id = {r["id"]: r["s"] for r in ch.collect()}
+    # old-commit rows widen with null; new-commit rows KEEP their data
+    assert by_id["a"].asDict() == {"x": "1", "y": None}
+    assert by_id["b"].asDict() == {"x": "2", "y": "new"}
+    state = {r["id"]: r["s"] for r in t.as_of(t.changelog_version()).collect()}
+    assert state["b"]["y"] == "new"
