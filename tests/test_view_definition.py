@@ -574,3 +574,38 @@ def test_member_of_guardrails(spark):
     }
     with pytest.raises(ViewCompileError, match="CodeableConcept"):
         compile_view(bad, enc, valuesets=expansion)
+
+
+def test_resolver_compiles_every_curated_schema_path(spark):
+    """Structural sweep: every singular path derivable from every one
+    of the 146 curated schemas (struct members chained, arrays stepped
+    with first(), depth <= 3) compiles through _resolve without
+    raising — the catalog and the path resolver can never drift apart.
+    Column-expression construction only (needs the session's JVM,
+    but runs no job)."""
+    from pyspark.sql import types as T
+
+    from fhir_to_lakehouse_spark.operators.view_definition import _resolve
+    from fhir_to_lakehouse_spark.schemas import RESOURCE_SCHEMAS
+
+    def paths(dtype, prefix, depth):
+        if depth <= 0:
+            return
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                p = f"{prefix}.{f.name}" if prefix else f.name
+                yield p
+                yield from paths(f.dataType, p, depth - 1)
+        elif isinstance(dtype, T.ArrayType):
+            p = f"{prefix}.first()"
+            yield p
+            yield from paths(dtype.elementType, p, depth - 1)
+
+    n = 0
+    for rtype, schema in RESOURCE_SCHEMAS.items():
+        for p in paths(schema, "", 3):
+            col, out_dtype = _resolve(None, schema, p)
+            assert col is not None, (rtype, p)
+            n += 1
+    # sanity: the sweep actually covered the catalog broadly
+    assert n > 2000, n
