@@ -26,11 +26,13 @@ Supported subset (compile-time errors otherwise, never silent):
   target-type filter — urn:uuid refs carry no type and only pass a
   typed filter via an explicit ``Reference.type``), and FHIR choice
   elements via ``ofType()`` (``value.ofType(Quantity)`` resolves to
-  the materialized ``valueQuantity`` variant column). Paths must be
-  SINGULAR: traversing an array mid-path without ``first()`` /
-  ``[i]`` / an enclosing ``forEach`` raises (the spec's singular-path
-  rule), so a view can't silently take Spark's struct-over-array
-  broadcast semantics.
+  the materialized ``valueQuantity`` variant column),
+  ``where(field='lit')`` (collection filter that stays a collection —
+  ``name.where(use='official').first().family``), and ``join('sep')``
+  over string collections. Paths must be SINGULAR: traversing an
+  array mid-path without ``first()`` / ``[i]`` / an enclosing
+  ``forEach`` raises (the spec's singular-path rule), so a view can't
+  silently take Spark's struct-over-array broadcast semantics.
 - ``where`` paths: ``<path> = <literal>``, ``<path> != <literal>``, a
   bare boolean path, or ``<path>.exists()``.
 
@@ -81,6 +83,11 @@ _TYPE_MAP = {
 
 _SEG_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)(\[(\d+)\])?$")
 _FUNC_RE = re.compile(r"^([A-Za-z]+)\(([A-Za-z]*)\)$")
+# where(field='literal') — collection filter that stays a collection;
+# join('sep') — string-collection concatenation. Literals must not
+# contain '.' (paths split on dots before parsing segments).
+_WHERE_SEG_RE = re.compile(r"^where\((\w+)\s*=\s*'([^'.]*)'\)$")
+_JOIN_SEG_RE = re.compile(r"^join\('([^'.]*)'\)$")
 
 
 def _split_path(path: str) -> list[str]:
@@ -121,6 +128,43 @@ def _resolve(
     segs = _split_path(path)
     col = ctx
     for i, seg in enumerate(segs):
+        wm = _WHERE_SEG_RE.match(seg)
+        if wm:
+            if not isinstance(dtype, T.ArrayType) or not isinstance(
+                dtype.elementType, T.StructType
+            ):
+                raise ViewCompileError(
+                    f"where(...) in {path!r} needs a collection of "
+                    "complex elements"
+                )
+            fname, lit = wm.groups()
+            if all(f.name != fname for f in dtype.elementType.fields):
+                raise ViewCompileError(
+                    f"where({fname}=...) in {path!r}: no such field on "
+                    "the element"
+                )
+            if col is None:
+                raise ViewCompileError(f"where() needs a preceding path")
+            # FHIRPath where(): filter the collection, stay a collection
+            col = F.filter(
+                col,
+                lambda x: F.coalesce(
+                    x[fname] == F.lit(lit), F.lit(False)
+                ),
+            )
+            continue
+        jm = _JOIN_SEG_RE.match(seg)
+        if jm:
+            if not isinstance(dtype, T.ArrayType) or not isinstance(
+                dtype.elementType, T.StringType
+            ):
+                raise ViewCompileError(
+                    f"join(...) in {path!r} needs a collection of strings"
+                )
+            if col is None:
+                raise ViewCompileError(f"join() needs a preceding path")
+            col, dtype = F.array_join(col, jm.group(1)), T.StringType()
+            continue
         fm = _FUNC_RE.match(seg)
         if fm:
             fn, arg = fm.groups()

@@ -319,3 +319,68 @@ def viewdef_memberof_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return compile_view(view, enc, valuesets=expansion)
+
+
+@query(
+    "viewdef_official_name",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR)               AS pid,
+           'Fam-' || CAST(c_custkey AS VARCHAR)     AS official_family,
+           'First Middle'                           AS official_given,
+           1                                        AS n_official
+    FROM customer
+    """,
+)
+def viewdef_official_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FHIRPath where()/join() through the compiler: each synthesized
+    Patient carries a nickname AND an official name; the view selects
+    the official one with name.where(use='official') and joins its
+    given parts — the collection filter compiles to a codegen'd
+    higher-order `filter`, no explode, no shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    name = lambda use, family, given: F.struct(  # noqa: E731
+        F.lit(use).alias("use"),
+        family.alias("family"),
+        given.alias("given"),
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            key.alias("id"),
+            F.array(
+                name("nickname", F.lit("Nick"), F.array(F.lit("N"))),
+                name(
+                    "official",
+                    F.concat(F.lit("Fam-"), key),
+                    F.array(F.lit("First"), F.lit("Middle")),
+                ),
+            ).alias("name"),
+        )
+    )
+    enc = encode_resources(
+        customer.select(resource.alias("resource")), "Patient"
+    )
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "getResourceKey()"},
+                    {
+                        "name": "official_family",
+                        "path": "name.where(use='official').first().family",
+                    },
+                    {
+                        "name": "official_given",
+                        "path": "name.where(use='official').first().given.join(' ')",
+                    },
+                    {
+                        "name": "n_official",
+                        "path": "name.where(use='official').count()",
+                    },
+                ]
+            }
+        ],
+    }
+    return compile_view(view, enc)

@@ -609,3 +609,84 @@ def test_resolver_compiles_every_curated_schema_path(spark):
             n += 1
     # sanity: the sweep actually covered the catalog broadly
     assert n > 2000, n
+
+
+def test_where_and_join_path_functions(spark):
+    """name.where(use='official').first().family picks the filtered
+    element; given.join(' ') concatenates; empty filter result -> NULL
+    via first()."""
+    pats = [
+        {
+            "resourceType": "Patient",
+            "id": "p1",
+            "name": [
+                {"use": "nickname", "family": "Nick", "given": ["N"]},
+                {"use": "official", "family": "Off", "given": ["A", "B"]},
+            ],
+        },
+        {
+            "resourceType": "Patient",
+            "id": "p2",
+            "name": [{"use": "nickname", "family": "OnlyNick", "given": ["X"]}],
+        },
+    ]
+    enc = encode_resources(
+        spark.createDataFrame(
+            [(json.dumps(p),) for p in pats], "resource string"
+        ),
+        "Patient",
+    )
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "id"},
+                    {
+                        "name": "official_family",
+                        "path": "name.where(use='official').first().family",
+                    },
+                    {
+                        "name": "official_given",
+                        "path": "name.where(use='official').first().given.join(' ')",
+                    },
+                    {
+                        "name": "n_official",
+                        "path": "name.where(use='official').count()",
+                    },
+                ]
+            }
+        ],
+    }
+    rows = {r.pid: r for r in compile_view(view, enc).collect()}
+    assert rows["p1"].official_family == "Off"
+    assert rows["p1"].official_given == "A B"
+    assert rows["p1"].n_official == 1
+    assert rows["p2"].official_family is None
+    assert rows["p2"].n_official == 0
+
+    # guardrails
+    with pytest.raises(ViewCompileError, match="no such field"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [
+                    {
+                        "column": [
+                            {"name": "x", "path": "name.where(zzz='a').count()"}
+                        ]
+                    }
+                ],
+            },
+            enc,
+        )
+    with pytest.raises(ViewCompileError, match="collection of strings"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [
+                    {"column": [{"name": "x", "path": "name.join(' ')"}]}
+                ],
+            },
+            enc,
+        )
