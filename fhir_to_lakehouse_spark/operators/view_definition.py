@@ -18,9 +18,14 @@ Supported subset (compile-time errors otherwise, never silent):
 - ``resource``, ``select[].column[{name, path, type}]``,
   ``select[].forEach`` / ``forEachOrNull`` (with nested ``select``,
   recursively), ``select[].unionAll`` (as the final select element),
-  ``where[{path}]`` (entries AND together, per spec).
+  ``where[{path}]`` (entries AND together, per spec), and
+  ``constant[{name, value[x]}]`` — ``%name`` references substitute
+  their literal text into every path before compilation (string /
+  number / boolean value keys; strings must be quote-free).
 - Column-path FHIRPath subset: dotted member access, ``[i]`` indexing,
-  ``first()``, ``exists()``, ``empty()``, ``count()``,
+  ``first()``, ``exists()``, ``empty()``, ``count()``, ``not()``
+  (chainable after any boolean, e.g. ``deceasedBoolean.not()`` or
+  ``address.exists().not()``),
   ``getResourceKey()``, ``getReferenceKey([Type])`` (the spec's join
   key extractor: bare local id from a verbatim Reference, optional
   target-type filter — urn:uuid refs carry no type and only pass a
@@ -33,11 +38,15 @@ Supported subset (compile-time errors otherwise, never silent):
   array mid-path without ``first()`` / ``[i]`` / an enclosing
   ``forEach`` raises (the spec's singular-path rule), so a view can't
   silently take Spark's struct-over-array broadcast semantics.
-- ``where`` paths: ``<path> = <literal>``, ``<path> != <literal>``, a
-  bare boolean path, or ``<path>.exists()``.
+- ``where`` paths: ``<path> <op> <literal>`` with ``=``, ``!=``,
+  ``>``, ``>=``, ``<``, ``<=`` (ordering ops reject booleans and
+  complex elements; date/dateTime strings order lexicographically,
+  which matches FHIR ordering at equal precision), a bare boolean
+  path, ``<path>.exists()`` / ``.empty()`` / ``.not()`` chains, and
+  ``<path>.memberOf('<url>')``.
 
-Out of subset (raise): ``constant`` substitution, ``join()``,
-arithmetic.
+Out of subset (raise): arithmetic, string concatenation inside
+paths.
 
 100 TB shape: a compiled view is a projection + optional generate
 (explode) + filter — embarrassingly parallel, no shuffle, no Python.
@@ -235,28 +244,38 @@ def _resolve(
                 continue
             if fn == "exists":
                 if isinstance(dtype, T.ArrayType):
-                    return (
-                        F.coalesce(F.size(col), F.lit(0)) > 0,
-                        T.BooleanType(),
-                    )
-                return col.isNotNull(), T.BooleanType()
+                    col = F.coalesce(F.size(col), F.lit(0)) > 0
+                else:
+                    col = col.isNotNull()
+                dtype = T.BooleanType()
+                continue
             if fn == "empty":
                 if isinstance(dtype, T.ArrayType):
-                    return (
-                        F.coalesce(F.size(col), F.lit(0)) == 0,
-                        T.BooleanType(),
+                    col = F.coalesce(F.size(col), F.lit(0)) == 0
+                else:
+                    col = col.isNull()
+                dtype = T.BooleanType()
+                continue
+            if fn == "not":
+                # FHIRPath not(): boolean negation; empty in -> empty
+                # out (Spark three-valued NOT matches — NULL stays
+                # NULL, and _predicate coalesces a final NULL to False)
+                if not isinstance(dtype, T.BooleanType):
+                    raise ViewCompileError(
+                        f"not() in {path!r} needs a boolean "
+                        f"(got {dtype.simpleString()})"
                     )
-                return col.isNull(), T.BooleanType()
+                col = ~col
+                continue
             if fn == "count":
                 if isinstance(dtype, T.ArrayType):
-                    return (
-                        F.coalesce(F.size(col), F.lit(0)),
-                        T.IntegerType(),
+                    col = F.coalesce(F.size(col), F.lit(0))
+                else:
+                    col = F.when(col.isNotNull(), F.lit(1)).otherwise(
+                        F.lit(0)
                     )
-                return (
-                    F.when(col.isNotNull(), F.lit(1)).otherwise(F.lit(0)),
-                    T.IntegerType(),
-                )
+                dtype = T.IntegerType()
+                continue
             raise ViewCompileError(f"unsupported function {fn}() in {path!r}")
 
         m = _SEG_RE.match(seg)
@@ -293,7 +312,16 @@ def _resolve(
     return col, dtype
 
 
-_CMP_RE = re.compile(r"^(.*?)\s*(!=|=)\s*(.+)$")
+_CMP_RE = re.compile(r"^(.*?)\s*(!=|>=|<=|=|>|<)\s*(.+)$")
+
+_CMP_OPS = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+}
 
 
 def _literal(text: str) -> Column:
@@ -316,9 +344,16 @@ def _predicate(path: str, dtype: T.DataType) -> Column:
     m = _CMP_RE.match(path)
     if m:
         left, op, right = m.groups()
-        col, _ = _resolve(None, dtype, left)
+        col, cdt = _resolve(None, dtype, left)
+        if op in (">", ">=", "<", "<=") and isinstance(
+            cdt, (T.StructType, T.ArrayType, T.BooleanType)
+        ):
+            raise ViewCompileError(
+                f"where path {path!r}: ordering comparison on "
+                f"{cdt.simpleString()}"
+            )
         lit = _literal(right)
-        return (col == lit) if op == "=" else (col != lit)
+        return _CMP_OPS[op](col, lit)
     col, cdt = _resolve(None, dtype, path)
     if not isinstance(cdt, T.BooleanType):
         raise ViewCompileError(
@@ -329,6 +364,104 @@ def _predicate(path: str, dtype: T.DataType) -> Column:
 
 
 _MEMBEROF_RE = re.compile(r"^(.*)\.memberOf\('([^']+)'\)$")
+
+# %name constant references inside paths (SQL-on-FHIR `constant`)
+_CONST_REF_RE = re.compile(r"%([A-Za-z_]\w*)")
+_CONST_STRING_KEYS = frozenset(
+    {
+        "valueString",
+        "valueCode",
+        "valueUri",
+        "valueUrl",
+        "valueCanonical",
+        "valueId",
+        "valueDate",
+        "valueDateTime",
+        "valueInstant",
+        "valueTime",
+    }
+)
+_CONST_NUMBER_KEYS = frozenset(
+    {"valueInteger", "valuePositiveInt", "valueUnsignedInt", "valueDecimal"}
+)
+
+
+def _constant_literals(view: dict) -> dict[str, str]:
+    """Map each declared ViewDefinition ``constant`` to the literal
+    TEXT it substitutes for ``%name`` references — exactly the text
+    form ``_literal`` / the segment regexes parse, so substitution is
+    a pure preprocessing pass and the rest of the compiler never sees
+    constants."""
+    lits: dict[str, str] = {}
+    for c in view.get("constant", []) or []:
+        name = c.get("name")
+        if not name or not re.fullmatch(r"[A-Za-z_]\w*", name):
+            raise ViewCompileError(
+                f"constant needs a simple name (got {name!r})"
+            )
+        keys = [k for k in c if k.startswith("value")]
+        if len(keys) != 1:
+            raise ViewCompileError(
+                f"constant {name!r} needs exactly one value[x] "
+                f"(got {sorted(keys)})"
+            )
+        key, v = keys[0], c[keys[0]]
+        if key in _CONST_STRING_KEYS:
+            if not isinstance(v, str) or "'" in v:
+                raise ViewCompileError(
+                    f"constant {name!r}: {key} must be a quote-free "
+                    "string"
+                )
+            lits[name] = f"'{v}'"
+        elif key in _CONST_NUMBER_KEYS:
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ViewCompileError(
+                    f"constant {name!r}: {key} must be a number"
+                )
+            lits[name] = repr(v)
+        elif key == "valueBoolean":
+            if not isinstance(v, bool):
+                raise ViewCompileError(
+                    f"constant {name!r}: valueBoolean must be a bool"
+                )
+            lits[name] = "true" if v else "false"
+        else:
+            raise ViewCompileError(
+                f"constant {name!r}: unsupported value key {key!r}"
+            )
+    return lits
+
+
+def _substitute_constants(node, lits: dict[str, str]):
+    """Deep-copy the view tree, replacing ``%name`` in every path
+    string (``path``, ``forEach``, ``forEachOrNull``). Unknown
+    references raise — never pass through silently."""
+
+    def sub_text(text: str) -> str:
+        def repl(m: re.Match) -> str:
+            name = m.group(1)
+            if name not in lits:
+                raise ViewCompileError(
+                    f"unknown constant %{name} in {text!r} "
+                    f"(declared: {sorted(lits)})"
+                )
+            return lits[name]
+
+        return _CONST_REF_RE.sub(repl, text)
+
+    if isinstance(node, dict):
+        return {
+            k: (
+                sub_text(v)
+                if k in ("path", "forEach", "forEachOrNull")
+                and isinstance(v, str)
+                else _substitute_constants(v, lits)
+            )
+            for k, v in node.items()
+        }
+    if isinstance(node, list):
+        return [_substitute_constants(x, lits) for x in node]
+    return node
 
 
 def _codings_array(col: Column, dtype: T.DataType, path: str) -> Column:
@@ -435,9 +568,7 @@ def compile_view(
     ``memberOf('<url>')`` in where paths — the spec's terminology
     function, answered from encoded artifacts instead of a terminology
     server."""
-    for key in ("constant",):
-        if view.get(key):
-            raise ViewCompileError(f"ViewDefinition {key!r} is not supported")
+    view = _substitute_constants(view, _constant_literals(view))
     rtype = view.get("resource")
     if not rtype:
         raise ViewCompileError("ViewDefinition needs a 'resource'")
@@ -596,6 +727,7 @@ def compile_aggregate(spec: dict, encoded: DataFrame) -> DataFrame:
     ``groupBy().agg()`` — map-side combinable, single shuffle on the
     grouping key, no Python anywhere. Output columns: groupings then
     aggregations, in declaration order."""
+    spec = _substitute_constants(spec, _constant_literals(spec))
     rtype = spec.get("resource")
     if not rtype:
         raise ViewCompileError("aggregate spec needs a 'resource'")

@@ -322,6 +322,70 @@ def viewdef_memberof_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "viewdef_constants_comparison",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR)                            AS pid,
+           CAST(printf('%04d-01-01', 1950 + c_custkey % 50)
+                AS DATE)                                         AS birth_date
+    FROM customer
+    WHERE 1950 + c_custkey % 50 >= 1975
+      AND c_custkey % 3 = 0
+      AND c_custkey % 2 = 0
+    """,
+)
+def viewdef_constants_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViewDefinition `constant` substitution plus the ordering where
+    operators and not() chaining, end to end: the view declares a
+    %cutoff date constant and keeps active patients born on/after it
+    who have NO address (`address.exists().not()`). All three where
+    entries compile to plain pushable filters below the projection —
+    the constants vanish at compile time, so the plan is identical to
+    a hand-written literal filter."""
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    birth = F.format_string(
+        "%04d-01-01", (F.lit(1950) + F.col("c_custkey") % 50).cast("int")
+    )
+    empty_addr = F.expr("CAST(array() AS array<struct<city:string>>)")
+    addr = F.when(F.col("c_custkey") % 3 == 0, empty_addr).otherwise(
+        F.array(F.struct(F.lit("Somewhere").alias("city")))
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            key.alias("id"),
+            (F.col("c_custkey") % 2 == 0).alias("active"),
+            birth.alias("birthDate"),
+            addr.alias("address"),
+        )
+    )
+    enc = encode_resources(
+        customer.select(resource.alias("resource")), "Patient"
+    )
+    view = {
+        "resource": "Patient",
+        "constant": [
+            {"name": "cutoff", "valueDate": "1975-01-01"},
+            {"name": "want_active", "valueBoolean": True},
+        ],
+        "where": [
+            {"path": "birthDate >= %cutoff"},
+            {"path": "address.exists().not()"},
+            {"path": "active = %want_active"},
+        ],
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "getResourceKey()"},
+                    {"name": "birth_date", "path": "birthDate", "type": "date"},
+                ]
+            }
+        ],
+    }
+    return compile_view(view, enc)
+
+
+@query(
     "viewdef_official_name",
     oracle="""
     SELECT CAST(c_custkey AS VARCHAR)               AS pid,

@@ -175,6 +175,132 @@ def test_where_filters_and(spark):
     ]
 
 
+def test_where_ordering_comparisons(spark):
+    rows = [
+        {"resourceType": "Patient", "id": "p1", "birthDate": "1975-06-01"},
+        {"resourceType": "Patient", "id": "p2", "birthDate": "1990-02-15"},
+        {"resourceType": "Patient", "id": "p3"},
+    ]
+    df = spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "resource string"
+    )
+    enc = encode_resources(df, "Patient")
+    sel = [{"column": [{"name": "pid", "path": "id"}]}]
+
+    def ids(where):
+        view = {"resource": "Patient", "where": [{"path": where}], "select": sel}
+        return sorted(r.pid for r in compile_view(view, enc).collect())
+
+    # date ordering (null birthDate never matches, per FHIRPath empty)
+    assert ids("birthDate >= '1980-01-01'") == ["p2"]
+    assert ids("birthDate < '1980-01-01'") == ["p1"]
+    assert ids("birthDate <= '1990-02-15'") == ["p1", "p2"]
+    assert ids("birthDate > '1990-02-15'") == []
+    # ordering on booleans / complex elements is rejected
+    with pytest.raises(ViewCompileError, match="ordering"):
+        ids("active > true")
+    with pytest.raises(ViewCompileError, match="ordering"):
+        ids("name >= 'x'")
+
+
+def test_not_chains(spark):
+    view = {
+        "resource": "Patient",
+        "where": [{"path": "active.not()"}],
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "id"},
+                    {"name": "homeless", "path": "address.exists().not()"},
+                ]
+            }
+        ],
+    }
+    rows = compile_view(view, _patients(spark)).collect()
+    assert [(r.pid, r.homeless) for r in rows] == [("p2", True)]
+    # not() needs a boolean
+    with pytest.raises(ViewCompileError, match="not\\(\\)"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [
+                    {"column": [{"name": "x", "path": "gender.not()"}]}
+                ],
+            },
+            _patients(spark),
+        )
+
+
+def test_constant_substitution(spark):
+    rows = [
+        {
+            "resourceType": "Patient",
+            "id": "p1",
+            "active": True,
+            "gender": "female",
+            "birthDate": "1975-06-01",
+            "name": [
+                {"use": "nickname", "family": "Nick"},
+                {"use": "official", "family": "Official"},
+            ],
+        },
+        {
+            "resourceType": "Patient",
+            "id": "p2",
+            "active": False,
+            "gender": "female",
+            "birthDate": "1990-02-15",
+            "name": [{"use": "official", "family": "Only"}],
+        },
+    ]
+    df = spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "resource string"
+    )
+    enc = encode_resources(df, "Patient")
+    view = {
+        "resource": "Patient",
+        "constant": [
+            {"name": "sex", "valueCode": "female"},
+            {"name": "official", "valueString": "official"},
+            {"name": "cutoff", "valueDate": "1980-01-01"},
+            {"name": "want_active", "valueBoolean": True},
+        ],
+        "where": [
+            {"path": "gender = %sex"},
+            {"path": "birthDate < %cutoff"},
+            {"path": "active = %want_active"},
+        ],
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "id"},
+                    {
+                        "name": "fam",
+                        "path": "name.where(use=%official).first().family",
+                    },
+                ]
+            }
+        ],
+    }
+    rows = compile_view(view, enc).collect()
+    assert [(r.pid, r.fam) for r in rows] == [("p1", "Official")]
+    # the aggregate compiler substitutes too
+    from fhir_to_lakehouse_spark.operators.view_definition import (
+        compile_aggregate,
+    )
+
+    agg = compile_aggregate(
+        {
+            "resource": "Patient",
+            "constant": [{"name": "sex", "valueCode": "female"}],
+            "where": [{"path": "gender = %sex"}],
+            "aggregation": [{"name": "n", "function": "count"}],
+        },
+        enc,
+    )
+    assert agg.collect()[0].n == 2
+
+
 def test_union_all(spark):
     view = {
         "resource": "Patient",
@@ -226,12 +352,35 @@ def test_guardrails(spark):
             },
             pats,
         )
-    # constants are out of subset
-    with pytest.raises(ViewCompileError, match="constant"):
+    # %ref to an undeclared constant
+    with pytest.raises(ViewCompileError, match="unknown constant"):
         compile_view(
             {
                 "resource": "Patient",
-                "constant": [{"name": "c", "valueString": "v"}],
+                "where": [{"path": "gender = %sex"}],
+                "select": [{"column": [{"name": "pid", "path": "id"}]}],
+            },
+            pats,
+        )
+    # a constant needs exactly one value[x]
+    with pytest.raises(ViewCompileError, match="exactly one"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "constant": [
+                    {"name": "c", "valueString": "v", "valueInteger": 1}
+                ],
+                "select": [{"column": [{"name": "pid", "path": "id"}]}],
+            },
+            pats,
+        )
+    # string constants must be quote-free (they substitute textually)
+    with pytest.raises(ViewCompileError, match="quote-free"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "constant": [{"name": "c", "valueString": "o'brien"}],
+                "where": [{"path": "gender = %c"}],
                 "select": [{"column": [{"name": "pid", "path": "id"}]}],
             },
             pats,
