@@ -121,7 +121,10 @@ def split_by_method(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def encode_resources(
-    df: DataFrame, resource_type: str, normalize_refs: bool = False
+    df: DataFrame,
+    resource_type: str,
+    normalize_refs: bool = False,
+    include_extensions: bool = False,
 ) -> DataFrame:
     """FHIR JSON string column -> typed columns (Pathling replacement).
 
@@ -145,8 +148,14 @@ def encode_resources(
     table format that way; the original form always survives in
     ``resource_json``. The pipeline writer exposes this as the
     explicitly-off ``normalize_references_at_write`` setting.
+
+    ``include_extensions=True`` widens the curated schema with the
+    shared FHIR ``extension`` element (the Pathling
+    ``enableExtensions`` analog, schemas.EXTENSION_SCHEMA) — opt-in
+    so default stored layouts never change; the view compiler's
+    ``extension('url')`` paths need frames encoded this way.
     """
-    schema = schema_for(resource_type)
+    schema = schema_for(resource_type, include_extensions)
     base = df.select(
         F.from_json(F.col("resource"), schema).alias("r"),
         F.col("resource").alias("resource_json"),

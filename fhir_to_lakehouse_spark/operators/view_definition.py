@@ -33,8 +33,14 @@ Supported subset (compile-time errors otherwise, never silent):
   elements via ``ofType()`` (``value.ofType(Quantity)`` resolves to
   the materialized ``valueQuantity`` variant column),
   ``where(field='lit')`` (collection filter that stays a collection —
-  ``name.where(use='official').first().family``), and ``join('sep')``
-  over string collections. Paths must be SINGULAR: traversing an
+  ``name.where(use='official').first().family``), ``join('sep')``
+  over string collections, and ``extension('url')`` (the FHIRPath
+  extension shorthand: filters the element's extension collection by
+  url and stays a collection — chains like ``extension('<race-url>').
+  first().extension('ombCategory').first().value.ofType(Coding).code``
+  compile to nested codegen'd array filters; needs a frame encoded
+  with ``include_extensions=True``). Path splitting is quote-aware,
+  so string literals — urls especially — may contain dots. Paths must be SINGULAR: traversing an
   array mid-path without ``first()`` / ``[i]`` / an enclosing
   ``forEach`` raises (the spec's singular-path rule), so a view can't
   silently take Spark's struct-over-array broadcast semantics.
@@ -93,14 +99,33 @@ _TYPE_MAP = {
 _SEG_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)(\[(\d+)\])?$")
 _FUNC_RE = re.compile(r"^([A-Za-z]+)\(([A-Za-z]*)\)$")
 # where(field='literal') — collection filter that stays a collection;
-# join('sep') — string-collection concatenation. Literals must not
-# contain '.' (paths split on dots before parsing segments).
-_WHERE_SEG_RE = re.compile(r"^where\((\w+)\s*=\s*'([^'.]*)'\)$")
-_JOIN_SEG_RE = re.compile(r"^join\('([^'.]*)'\)$")
+# join('sep') — string-collection concatenation; extension('url') —
+# the FHIRPath extension shorthand (filter by url, stays a
+# collection). Path splitting is quote-aware, so literals may contain
+# dots (URLs always do).
+_WHERE_SEG_RE = re.compile(r"^where\((\w+)\s*=\s*'([^']*)'\)$")
+_JOIN_SEG_RE = re.compile(r"^join\('([^']*)'\)$")
+_EXT_SEG_RE = re.compile(r"^extension\('([^']+)'\)$")
 
 
 def _split_path(path: str) -> list[str]:
-    segs = [s.strip() for s in path.strip().split(".")]
+    # split on '.' OUTSIDE single quotes — extension('http://...')
+    # and where(system='http://x.y') carry dots in their literals
+    segs: list[str] = []
+    buf: list[str] = []
+    in_quote = False
+    for ch in path.strip():
+        if ch == "'":
+            in_quote = not in_quote
+            buf.append(ch)
+        elif ch == "." and not in_quote:
+            segs.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    segs.append("".join(buf).strip())
+    if in_quote:
+        raise ViewCompileError(f"unbalanced quote in path: {path!r}")
     if any(not s for s in segs):
         raise ViewCompileError(f"malformed path: {path!r}")
     # fold `field.ofType(Type)` (FHIR choice elements: value.ofType(
@@ -173,6 +198,39 @@ def _resolve(
             if col is None:
                 raise ViewCompileError(f"join() needs a preceding path")
             col, dtype = F.array_join(col, jm.group(1)), T.StringType()
+            continue
+        em = _EXT_SEG_RE.match(seg)
+        if em:
+            # FHIRPath extension('url') shorthand: member access to
+            # the element's `extension` collection filtered by url —
+            # stays a collection (chain .first().value.ofType(...))
+            if not isinstance(dtype, T.StructType):
+                raise ViewCompileError(
+                    f"extension(...) in {path!r} needs a complex "
+                    "element"
+                )
+            field = next(
+                (f for f in dtype.fields if f.name == "extension"), None
+            )
+            if field is None or not isinstance(field.dataType, T.ArrayType):
+                raise ViewCompileError(
+                    f"extension(...) in {path!r}: this element carries "
+                    "no extension collection — encode with "
+                    "include_extensions=True"
+                )
+            url = em.group(1)
+            base = (
+                F.col("extension")
+                if col is None
+                else col.getField("extension")
+            )
+            col = F.filter(
+                base,
+                lambda x: F.coalesce(
+                    x["url"] == F.lit(url), F.lit(False)
+                ),
+            )
+            dtype = field.dataType
             continue
         fm = _FUNC_RE.match(seg)
         if fm:
@@ -577,6 +635,10 @@ def compile_view(
         raise ViewCompileError(
             f"resource type {rtype!r} has no curated schema"
         )
+    if "extension" in encoded.columns:
+        # frame was encoded with include_extensions=True — resolve
+        # extension('url') paths against the widened schema
+        schema = schema_for(rtype, include_extensions=True)
 
     df = encoded
     for w in view.get("where", []) or []:
@@ -734,6 +796,8 @@ def compile_aggregate(spec: dict, encoded: DataFrame) -> DataFrame:
     schema = schema_for(rtype)
     if len(schema.fields) <= 1:
         raise ViewCompileError(f"resource type {rtype!r} has no curated schema")
+    if "extension" in encoded.columns:
+        schema = schema_for(rtype, include_extensions=True)
 
     df = encoded
     for w in spec.get("where", []) or []:

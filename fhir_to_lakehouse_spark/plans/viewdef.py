@@ -385,6 +385,103 @@ def viewdef_constants_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_view(view, enc)
 
 
+_RACE_URL = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race"
+_BIRTHSEX_URL = (
+    "http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex"
+)
+
+
+@query(
+    "viewdef_extension_uscore",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR)                              AS pid,
+           CASE WHEN c_custkey % 5 <> 0
+                THEN CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END
+           END                                                     AS birthsex,
+           CASE WHEN c_custkey % 5 <> 0
+                THEN CASE WHEN c_nationkey % 2 = 0
+                          THEN '2106-3' ELSE '2054-5' END
+           END                                                     AS race_code,
+           (c_custkey % 5 <> 0)                                    AS has_race
+    FROM customer
+    """,
+)
+def viewdef_extension_uscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """US-Core-profile extension extraction through the compiler: the
+    Pathling `enableExtensions` analog end to end. Patients are
+    encoded with include_extensions=True carrying the real US Core
+    race (complex, nested ombCategory valueCoding) and birthsex
+    (valueCode) extensions; every fifth patient has none. The view's
+    extension('url') chains compile to nested codegen'd array
+    filters — no explode, no shuffle, no Python — and absent
+    extensions surface as NULL, exactly the oracle's CASE."""
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    sex = F.when(F.col("c_custkey") % 2 == 0, "F").otherwise("M")
+    race = F.when(F.col("c_nationkey") % 2 == 0, "2106-3").otherwise(
+        "2054-5"
+    )
+    sub_t = "array<struct<url:string,valueCoding:struct<system:string,code:string>>>"
+    race_ext = F.struct(
+        F.lit(_RACE_URL).alias("url"),
+        F.lit(None).cast("string").alias("valueCode"),
+        F.array(
+            F.struct(
+                F.lit("ombCategory").alias("url"),
+                F.struct(
+                    F.lit("urn:oid:2.16.840.1.113883.6.238").alias("system"),
+                    race.alias("code"),
+                ).alias("valueCoding"),
+            )
+        ).cast(sub_t).alias("extension"),
+    )
+    sex_ext = F.struct(
+        F.lit(_BIRTHSEX_URL).alias("url"),
+        sex.alias("valueCode"),
+        F.lit(None).cast(sub_t).alias("extension"),
+    )
+    ext = F.when(F.col("c_custkey") % 5 != 0, F.array(race_ext, sex_ext))
+    resource = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            key.alias("id"),
+            ext.alias("extension"),
+        )
+    )
+    enc = encode_resources(
+        customer.select(resource.alias("resource")),
+        "Patient",
+        include_extensions=True,
+    )
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "getResourceKey()"},
+                    {
+                        "name": "birthsex",
+                        "path": f"extension('{_BIRTHSEX_URL}').first().valueCode",
+                    },
+                    {
+                        "name": "race_code",
+                        "path": (
+                            f"extension('{_RACE_URL}').first()"
+                            ".extension('ombCategory').first()"
+                            ".value.ofType(Coding).code"
+                        ),
+                    },
+                    {
+                        "name": "has_race",
+                        "path": f"extension('{_RACE_URL}').exists()",
+                    },
+                ]
+            }
+        ],
+    }
+    return compile_view(view, enc)
+
+
 @query(
     "viewdef_official_name",
     oracle="""

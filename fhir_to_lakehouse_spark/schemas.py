@@ -108,6 +108,47 @@ _QUANTITY = T.StructType(
     ]
 )
 
+# FHIR Extension (opt-in, the Pathling `enableExtensions` analog —
+# /root/reference pins Pathling as its encoder, main.py:49): url plus
+# a pragmatic choice-value set covering what real corpora attach
+# (US Core race/ethnicity = complex extension with valueCoding /
+# valueString sub-extensions, birthsex = valueCode, billing profiles
+# = valueQuantity / valueReference). ONE nesting level — complex
+# extensions hold sub-extensions whose values are simple, the US-Core
+# pattern; anything deeper (or any other value[x]) stays losslessly
+# in resource_json. Kept OUT of the default schemas so stored-table
+# layouts are unchanged unless a pipeline opts in per encode.
+_EXTENSION_VALUE_FIELDS = [
+    T.StructField("valueString", T.StringType()),
+    T.StructField("valueCode", T.StringType()),
+    T.StructField("valueUri", T.StringType()),
+    T.StructField("valueBoolean", T.BooleanType()),
+    T.StructField("valueInteger", T.IntegerType()),
+    T.StructField("valueDecimal", T.DecimalType(38, 18)),
+    T.StructField("valueDate", T.StringType()),
+    T.StructField("valueDateTime", T.StringType()),
+    T.StructField("valueCoding", _CODING.elementType),
+    T.StructField("valueQuantity", _QUANTITY),
+    T.StructField("valueReference", _REFERENCE),
+    T.StructField("valueCodeableConcept", _CODEABLE_CONCEPT),
+]
+
+_SUB_EXTENSION = T.ArrayType(
+    T.StructType(
+        [T.StructField("url", T.StringType()), *_EXTENSION_VALUE_FIELDS]
+    )
+)
+
+EXTENSION_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            *_EXTENSION_VALUE_FIELDS,
+            T.StructField("extension", _SUB_EXTENSION),
+        ]
+    )
+)
+
 PATIENT_SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType()),
@@ -1601,8 +1642,22 @@ import fhir_to_lakehouse_spark.schemas_catalog  # noqa: E402,F401
 GENERIC_SCHEMA = T.StructType([T.StructField("id", T.StringType())])
 
 
-def schema_for(resource_type: str) -> T.StructType:
-    return RESOURCE_SCHEMAS.get(resource_type, GENERIC_SCHEMA)
+def schema_for(
+    resource_type: str, include_extensions: bool = False
+) -> T.StructType:
+    """Curated schema for a resource type (GENERIC_SCHEMA fallback:
+    id only, everything else via resource_json).
+
+    ``include_extensions=True`` appends the shared ``extension``
+    element (EXTENSION_SCHEMA) — opt-in so default table layouts stay
+    byte-identical; pass the same flag to ``encode_resources`` and
+    the view compiler auto-detects it from the frame."""
+    base = RESOURCE_SCHEMAS.get(resource_type, GENERIC_SCHEMA)
+    if not include_extensions:
+        return base
+    return T.StructType(
+        list(base.fields) + [T.StructField("extension", EXTENSION_SCHEMA)]
+    )
 
 
 # --- reference normalization (Bundle.entry.fullUrl resolution) -----------

@@ -301,6 +301,142 @@ def test_constant_substitution(spark):
     assert agg.collect()[0].n == 2
 
 
+_RACE_URL = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race"
+_BIRTHSEX_URL = (
+    "http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex"
+)
+
+
+def test_extension_paths(spark):
+    rows = [
+        {
+            "resourceType": "Patient",
+            "id": "p1",
+            "extension": [
+                {
+                    "url": _RACE_URL,
+                    "extension": [
+                        {
+                            "url": "ombCategory",
+                            "valueCoding": {
+                                "system": "urn:oid:2.16.840.1.113883.6.238",
+                                "code": "2106-3",
+                                "display": "White",
+                            },
+                        },
+                        {"url": "text", "valueString": "White"},
+                    ],
+                },
+                {"url": _BIRTHSEX_URL, "valueCode": "F"},
+            ],
+        },
+        {"resourceType": "Patient", "id": "p2"},
+    ]
+    df = spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "resource string"
+    )
+    enc = encode_resources(df, "Patient", include_extensions=True)
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "id"},
+                    {
+                        "name": "birthsex",
+                        "path": f"extension('{_BIRTHSEX_URL}').first().valueCode",
+                    },
+                    {
+                        "name": "race_code",
+                        "path": (
+                            f"extension('{_RACE_URL}').first()"
+                            ".extension('ombCategory').first()"
+                            ".value.ofType(Coding).code"
+                        ),
+                    },
+                    {
+                        "name": "race_text",
+                        "path": (
+                            f"extension('{_RACE_URL}').first()"
+                            ".extension('text').first().valueString"
+                        ),
+                    },
+                    {
+                        "name": "has_race",
+                        "path": f"extension('{_RACE_URL}').exists()",
+                    },
+                ]
+            }
+        ],
+    }
+    got = {r.pid: r for r in compile_view(view, enc).collect()}
+    assert got["p1"].birthsex == "F"
+    assert got["p1"].race_code == "2106-3"
+    assert got["p1"].race_text == "White"
+    assert got["p1"].has_race is True
+    assert got["p2"].birthsex is None
+    assert got["p2"].race_code is None
+    assert got["p2"].has_race is False
+    # where on an extension path
+    view_w = {
+        "resource": "Patient",
+        "where": [{"path": f"extension('{_BIRTHSEX_URL}').first().valueCode = 'F'"}],
+        "select": [{"column": [{"name": "pid", "path": "id"}]}],
+    }
+    assert [r.pid for r in compile_view(view_w, enc).collect()] == ["p1"]
+    # a frame encoded WITHOUT extensions rejects extension paths
+    with pytest.raises(ViewCompileError, match="include_extensions"):
+        compile_view(view, encode_resources(df, "Patient"))
+
+
+def test_quote_aware_literals_with_dots(spark):
+    rows = [
+        {
+            "resourceType": "Patient",
+            "id": "p1",
+            "identifier": [
+                {"system": "http://example.org/mrn", "value": "42"},
+                {"system": "urn:other", "value": "x"},
+            ],
+        }
+    ]
+    df = spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "resource string"
+    )
+    enc = encode_resources(df, "Patient")
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {
+                        "name": "mrn",
+                        "path": "identifier.where(system='http://example.org/mrn')"
+                        ".first().value",
+                    },
+                    {
+                        "name": "dotted",
+                        "path": "name.first().given.join('. ')",
+                    },
+                ]
+            }
+        ],
+    }
+    row = compile_view(view, enc).collect()[0]
+    assert row.mrn == "42"
+    assert row.dotted is None
+    with pytest.raises(ViewCompileError, match="unbalanced quote"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [
+                    {"column": [{"name": "x", "path": "id.join('x)"}]}
+                ],
+            },
+            enc,
+        )
+
+
 def test_union_all(spark):
     view = {
         "resource": "Patient",
