@@ -70,6 +70,15 @@ class PipelineConfig:
     # keep prefixed references while new merges write bare ids, so
     # only enable it on fresh tables or after a one-off rewrite.
     normalize_references_at_write: bool = False
+    # Pathling `enableExtensions` analog (OFF like Pathling's
+    # default): widen every stored table with the shared typed FHIR
+    # `extension` element (schemas.EXTENSION_SCHEMA) so compiled
+    # views can answer extension('url') paths from columns instead of
+    # resource_json. Turning it on widens the table schema — the
+    # keyed-table MERGE path already handles additive widening, so an
+    # existing deployment can flip it and old rows read NULL
+    # extensions.
+    encode_extensions: bool = False
     # (ViewDefinition dict, destination path) pairs: each view is
     # materialized flat and refreshed INCREMENTALLY at the upkeep
     # cadence (operators/materialized_view.py — per-resource
@@ -229,6 +238,7 @@ class BundlePipeline:
                 puts,
                 resource_type,
                 normalize_refs=self.cfg.normalize_references_at_write,
+                include_extensions=self.cfg.encode_extensions,
             )
             # table creation is unconditional once a type appears — the
             # reference creates the (possibly empty) table before merging,

@@ -482,3 +482,64 @@ def test_medication_request_nested_dosage_decodes_typed(spark, pipeline):
     imm = pipeline.table("Immunization").to_df().collect()[0]
     assert imm["vaccineCode"]["text"] == "influenza"
     assert imm["doseQuantity"]["value"] == decimal.Decimal("0.5")
+
+
+def test_pipeline_encode_extensions_widens_and_serves_views(spark, tmp_path):
+    """encode_extensions=True (the Pathling enableExtensions analog):
+    a table written WITHOUT extensions widens additively when the
+    setting flips on — old rows read NULL extensions — and a compiled
+    extension('url') view answers from the stored table."""
+    from fhir_to_lakehouse_spark.operators.view_definition import compile_view
+
+    base = dict(
+        warehouse_dir=str(tmp_path / "warehouse"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        upkeep_interval=50,
+    )
+    p1 = BundlePipeline(spark, PipelineConfig(**base))
+    p1.process_batch(
+        batch(
+            spark,
+            [{"value": put_bundle("Patient", "old", active=True), "offset": 0}],
+        ),
+        0,
+    )
+    birthsex_url = (
+        "http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex"
+    )
+    p2 = BundlePipeline(spark, PipelineConfig(**base, encode_extensions=True))
+    p2.process_batch(
+        batch(
+            spark,
+            [
+                {
+                    "value": put_bundle(
+                        "Patient",
+                        "new",
+                        active=True,
+                        extension=[{"url": birthsex_url, "valueCode": "F"}],
+                    ),
+                    "offset": 1,
+                }
+            ],
+        ),
+        1,
+    )
+    stored = p2.table("Patient").to_df()
+    assert "extension" in stored.columns
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "id"},
+                    {
+                        "name": "birthsex",
+                        "path": f"extension('{birthsex_url}').first().valueCode",
+                    },
+                ]
+            }
+        ],
+    }
+    got = {r.pid: r.birthsex for r in compile_view(view, stored).collect()}
+    assert got == {"old": None, "new": "F"}
