@@ -741,6 +741,19 @@ def test_shipped_viewdef_artifacts_compile(spark):
             "active": True,
             "name": [{"family": "Ada", "given": ["A"]}],
             "address": [{"city": "Koeln", "postalCode": "50667"}],
+            "extension": [
+                {
+                    "url": _RACE_URL,
+                    "extension": [
+                        {
+                            "url": "ombCategory",
+                            "valueCoding": {"code": "2106-3"},
+                        },
+                        {"url": "text", "valueString": "White"},
+                    ],
+                },
+                {"url": _BIRTHSEX_URL, "valueCode": "F"},
+            ],
         },
         "Observation": {
             "resourceType": "Observation",
@@ -773,6 +786,7 @@ def test_shipped_viewdef_artifacts_compile(spark):
                 [(json.dumps(samples[rtype]),)], "resource string"
             ),
             rtype,
+            include_extensions=True,
         )
         rows = compile_view(vd, enc).collect()
         assert len(rows) >= 1, p
