@@ -209,3 +209,116 @@ def translate(
         how="left" if keep_unmapped else "inner",
     )
     return joined.drop("__cm_system", "__cm_code")
+
+
+def codesystem_edges(codesystems: DataFrame) -> DataFrame:
+    """Flatten encoded CodeSystem rows to is-a hierarchy edges:
+    (system, parent_code, child_code).
+
+    Both R4 hierarchy encodings, unioned:
+
+    - nested ``concept[].concept[]`` containment (what
+      ``hierarchyMeaning: is-a`` means structurally; typed one level
+      deep in the curated schema — each fragment level still yields
+      its edges because deep distributions ship as flat fragments);
+    - ``concept[].property[]`` entries with code ``parent`` — how
+      flat SNOMED-style fragment distributions express the hierarchy
+      (child concept carries its parent's code as a property).
+
+    Pure explodes + one distinct on the edge key; linear in concept
+    count, never touches a fact table. Multiple CodeSystem resources
+    sharing a url (``content: fragment`` shards) union naturally —
+    edges key on the url."""
+    base = codesystems.select(
+        F.col("url").alias("system"), F.explode("concept").alias("c")
+    )
+    nested = (
+        base.filter(F.col("c.concept").isNotNull())
+        .select(
+            "system",
+            F.col("c.code").alias("parent_code"),
+            F.explode("c.concept").alias("ch"),
+        )
+        .select("system", "parent_code", F.col("ch.code").alias("child_code"))
+    )
+    via_prop = (
+        base.filter(F.col("c.property").isNotNull())
+        .select(
+            "system",
+            F.col("c.code").alias("child_code"),
+            F.explode("c.property").alias("p"),
+        )
+        .filter(
+            (F.col("p.code") == "parent") & F.col("p.valueCode").isNotNull()
+        )
+        .select(
+            "system",
+            F.col("p.valueCode").alias("parent_code"),
+            "child_code",
+        )
+    )
+    return (
+        nested.unionByName(via_prop)
+        # malformed concepts (null codes) can't form edges
+        .filter(
+            F.col("parent_code").isNotNull() & F.col("child_code").isNotNull()
+        )
+        .distinct()
+    )
+
+
+def subsumed_by(
+    facts: DataFrame,
+    edges: DataFrame,
+    ancestor_code: str,
+    system: str | None = None,
+    code_col: str = "code",
+    system_col: str | None = None,
+    out_col: str = "subsumed_by",
+    direction: str = "down",
+    max_depth: int = 32,
+) -> DataFrame:
+    """Pathling's ``subsumedBy`` / ``subsumes`` terminology test as a
+    columnar join: append ``out_col`` (boolean) — is the fact's code
+    a descendant-or-self of ``ancestor_code`` in the CodeSystem
+    hierarchy (``direction='down'``, the subsumedBy test), or an
+    ancestor-or-self (``direction='up'``, the subsumes test)?
+
+    The descendant/ancestor set is computed by semi-naive BFS over
+    the hierarchy edges (:func:`~fhir_to_lakehouse_spark.functions.
+    graph.bfs_hops` — per-round broadcast-vs-shuffle strategy,
+    localCheckpoint lineage truncation), NOT by materializing the full
+    O(N x depth) transitive closure: a subsumption query only ever
+    needs ONE code's cone, which is O(subtree). The resulting code
+    set — bounded by the CodeSystem size, a classic small dimension —
+    is then broadcast left-joined onto the fact frame, so the 100 TB
+    fact side never shuffles. DAG-shaped hierarchies (multi-parent
+    codes, legal in FHIR) are fine: BFS visits each node once.
+
+    ``max_depth`` bounds the iteration (SNOMED's deepest path is
+    ~30); deeper unconverged hierarchies simply truncate the cone,
+    matching bfs_hops' max_hops contract. NULL fact codes are never
+    subsumed (false), matching the empty-collection semantics."""
+    from fhir_to_lakehouse_spark.functions.graph import bfs_hops
+
+    if direction not in ("down", "up"):
+        raise ValueError(f"direction must be 'down' or 'up', got {direction!r}")
+    e = edges
+    if system is not None:
+        e = e.filter(F.col("system") == system)
+    src, dst = (
+        ("parent_code", "child_code")
+        if direction == "down"
+        else ("child_code", "parent_code")
+    )
+    cone = bfs_hops(e, ancestor_code, src=src, dst=dst, max_hops=max_depth)
+    dim = cone.select(F.col("node").alias("__sub_code")).distinct().withColumn(
+        "__sub_hit", F.lit(True)
+    )
+    cond = facts[code_col] == F.col("__sub_code")
+    if system_col is not None and system is not None:
+        cond = cond & (facts[system_col] == F.lit(system))
+    joined = facts.join(F.broadcast(dim), on=cond, how="left")
+    return joined.withColumn(
+        out_col, F.coalesce(F.col("__sub_hit"), F.lit(False))
+    ).drop("__sub_code", "__sub_hit")

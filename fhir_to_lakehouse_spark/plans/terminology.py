@@ -24,9 +24,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fhir_to_lakehouse_spark.functions.terminology import (
+    codesystem_edges,
     conceptmap_rules,
     expand_valueset,
     member_of,
+    subsumed_by,
     translate,
 )
 from fhir_to_lakehouse_spark.operators.bundles import encode_resources
@@ -246,3 +248,67 @@ def terminology_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_code",
         "equivalence",
     )
+
+
+_CS_TREE = "http://example.org/cs/parttree"
+
+
+@query(
+    "terminology_subsumed_by",
+    oracle="""
+    WITH RECURSIVE sub(k) AS (
+        SELECT 3
+        UNION ALL
+        SELECT p.p_partkey
+        FROM part p, sub s
+        WHERE p.p_partkey // 2 = s.k AND p.p_partkey > 3
+    )
+    SELECT CAST(k AS VARCHAR) AS code FROM sub
+    """,
+)
+def terminology_subsumed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pathling's subsumedBy test end to end over a DEEP hierarchy:
+    the part keys form a binary tree (parent = k div 2, depth ~log2 N
+    — 15 levels at sf0.01, 18 at sf0.1), shipped as flat CodeSystem
+    FRAGMENT shards (512 concepts per resource, hierarchy as
+    concept.property 'parent' entries — the SNOMED distribution
+    shape), decoded through the full-R4 catalog schema, flattened to
+    edges, and BFS'd from code '3' (functions/terminology.subsumed_by
+    -> graph.bfs_hops: semi-naive, per-round broadcast-vs-shuffle
+    pick, localCheckpoint lineage truncation). Facts keep only codes
+    in the subsumption cone. The oracle is the recursive CTE stating
+    the same subtree — an ITERATIVE Spark algorithm value-checked
+    against declarative recursion, like graph_reachability_bfs."""
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    parent = F.expr("CAST(p_partkey / 2 AS INT)").cast("string")
+    concept = F.struct(
+        k.cast("string").alias("code"),
+        F.when(
+            k >= 2,
+            F.array(
+                F.struct(
+                    F.lit("parent").alias("code"),
+                    parent.alias("valueCode"),
+                )
+            ),
+        ).alias("property"),
+    )
+    cs = part.groupBy(F.floor(k / 512).alias("frag")).agg(
+        F.collect_list(concept).alias("concepts")
+    )
+    cs_json = F.to_json(
+        F.struct(
+            F.lit("CodeSystem").alias("resourceType"),
+            F.concat(F.lit("frag-"), F.col("frag").cast("string")).alias("id"),
+            F.lit(_CS_TREE).alias("url"),
+            F.lit("fragment").alias("content"),
+            F.lit("is-a").alias("hierarchyMeaning"),
+            F.col("concepts").alias("concept"),
+        )
+    )
+    enc = encode_resources(cs.select(cs_json.alias("resource")), "CodeSystem")
+    edges = codesystem_edges(enc)
+    facts = part.select(k.cast("string").alias("code"))
+    out = subsumed_by(facts, edges, "3", system=_CS_TREE)
+    return out.filter(F.col("subsumed_by")).select("code")

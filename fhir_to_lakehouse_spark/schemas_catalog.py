@@ -127,11 +127,28 @@ CATALOG_SCHEMAS: dict[str, T.StructType] = {
     "CodeSystem": _canonical(
         _f("content", _S),
         _f("caseSensitive", _B),
+        _f("hierarchyMeaning", _S),
         _f("count", _I),
-        # recursive concept.concept typed one level deep
+        # recursive concept.concept typed one level deep; concept
+        # properties carry the other R4 hierarchy encoding (code
+        # 'parent'/'child' with valueCode — how SNOMED-style flat
+        # fragment distributions express is-a, terminology.
+        # codesystem_edges reads both)
         _f(
             "concept",
-            _arr(_f("code", _S), _f("display", _S), _f("definition", _S)),
+            _arr(
+                _f("code", _S),
+                _f("display", _S),
+                _f("definition", _S),
+                _f(
+                    "property",
+                    _arr(_f("code", _S), _f("valueCode", _S)),
+                ),
+                _f(
+                    "concept",
+                    _arr(_f("code", _S), _f("display", _S)),
+                ),
+            ),
         ),
     ),
     "CompartmentDefinition": _canonical(

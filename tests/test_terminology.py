@@ -216,3 +216,131 @@ def test_broadcast_opt_out_plans_shuffle_join(spark):
         assert got == {1: True}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+# --- subsumption (codesystem_edges + subsumed_by) ------------------------
+
+_CS_DDL = (
+    "url string, "
+    "concept array<struct<code: string, display: string,"
+    " property: array<struct<code: string, valueCode: string>>,"
+    " concept: array<struct<code: string, display: string>>>>"
+)
+
+
+def _hierarchy(spark):
+    """Mixed-encoding DAG:       a
+                                / \\
+                               b   c      (b,c nested under a)
+                              / \\ /
+                             d    e       (property parents; e has TWO
+                                           parents: b and c)
+    plus an unrelated system with its own a->x edge."""
+    from fhir_to_lakehouse_spark.functions.terminology import codesystem_edges
+
+    rows = [
+        Row(
+            url="http://x/cs",
+            concept=[
+                Row(
+                    code="a",
+                    display=None,
+                    property=None,
+                    concept=[
+                        Row(code="b", display=None),
+                        Row(code="c", display=None),
+                    ],
+                ),
+                Row(
+                    code="d",
+                    display=None,
+                    property=[Row(code="parent", valueCode="b")],
+                    concept=None,
+                ),
+                Row(
+                    code="e",
+                    display=None,
+                    property=[
+                        Row(code="parent", valueCode="b"),
+                        Row(code="parent", valueCode="c"),
+                        Row(code="status", valueCode="active"),
+                    ],
+                    concept=None,
+                ),
+            ],
+        ),
+        Row(
+            url="http://other/cs",
+            concept=[
+                Row(
+                    code="a",
+                    display=None,
+                    property=[Row(code="parent", valueCode=None)],
+                    concept=[Row(code="x", display=None)],
+                )
+            ],
+        ),
+    ]
+    return codesystem_edges(spark.createDataFrame(rows, _CS_DDL))
+
+
+def test_codesystem_edges_both_encodings(spark):
+    edges = {
+        (r.system, r.parent_code, r.child_code)
+        for r in _hierarchy(spark).collect()
+    }
+    assert edges == {
+        ("http://x/cs", "a", "b"),
+        ("http://x/cs", "a", "c"),
+        ("http://x/cs", "b", "d"),
+        ("http://x/cs", "b", "e"),
+        ("http://x/cs", "c", "e"),
+        ("http://other/cs", "a", "x"),
+    }
+
+
+def test_subsumed_by_down_up_and_system_scope(spark):
+    from fhir_to_lakehouse_spark.functions.terminology import subsumed_by
+
+    edges = _hierarchy(spark)
+    facts = spark.createDataFrame(
+        [Row(code=c) for c in ["a", "b", "c", "d", "e", "x", None]],
+        "code string",
+    )
+    # subsumedBy(b): descendant-or-self of b = {b, d, e}; NULL false
+    down = {
+        r.code: r.subsumed_by
+        for r in subsumed_by(facts, edges, "b", system="http://x/cs").collect()
+    }
+    assert down == {
+        "a": False, "b": True, "c": False, "d": True, "e": True,
+        "x": False, None: False,
+    }
+    # subsumes test (direction up) from e: ancestor-or-self through
+    # BOTH parents = {e, b, c, a}
+    up = {
+        r.code: r.anc
+        for r in subsumed_by(
+            facts, edges, "e", system="http://x/cs",
+            direction="up", out_col="anc",
+        ).collect()
+    }
+    assert up == {
+        "a": True, "b": True, "c": True, "d": False, "e": True,
+        "x": False, None: False,
+    }
+    # system scoping: the other system's a->x edge never leaks in
+    assert down["x"] is False
+    # max_depth truncation: depth 0 keeps only the seed itself
+    shallow = {
+        r.code: r.subsumed_by
+        for r in subsumed_by(
+            facts, edges, "a", system="http://x/cs", max_depth=1
+        ).collect()
+    }
+    assert shallow == {
+        "a": True, "b": True, "c": True, "d": False, "e": False,
+        "x": False, None: False,
+    }
+    with pytest.raises(ValueError, match="direction"):
+        subsumed_by(facts, edges, "a", direction="sideways")
