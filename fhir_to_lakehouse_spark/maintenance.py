@@ -340,6 +340,47 @@ def export_bulk(
     return out
 
 
+def export_everything(
+    spark: SparkSession,
+    warehouse_dir: str,
+    out_dir: str,
+    patients: list[str] | None = None,
+    types: list[str] | None = None,
+    files_per_type: int | None = 1,
+) -> list[str]:
+    """Patient/$everything (Bulk Data patient-level export) from the
+    warehouse: each stored resource table's patient-compartment slice
+    — optionally restricted to a ``patients`` cohort — written as
+    per-type NDJSON under ``out_dir/<Type>``. Each table is scanned
+    ONCE regardless of cohort size; the cohort rides a broadcast
+    semi-join (operators/compartment.py). A resource sitting in two
+    compartments exports once per patient only in the row-level frame;
+    the NDJSON line set is deduplicated back to one line per
+    resource."""
+    from fhir_to_lakehouse_spark.operators.compartment import (
+        compartment_members,
+    )
+    from fhir_to_lakehouse_spark.sources.bulk_export import write_bulk_export
+
+    out = []
+    for path in discover_tables(warehouse_dir, spark):
+        name = os.path.basename(path).removesuffix(".parquet")
+        if types and name not in types:
+            continue
+        df = KeyedTable(spark, path).to_df()
+        if "resource_json" not in df.columns:
+            out.append(f"{name}: SKIPPED (no resource_json column)")
+            continue
+        members = compartment_members(df, name, patient_ids=patients)
+        lines = members.select("rid", "resource_json").distinct().select(
+            "resource_json"
+        )
+        dest = os.path.join(out_dir, name)
+        write_bulk_export(lines, dest, coalesce_files=files_per_type)
+        out.append(f"{name} -> {dest}")
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="lakehousekeeper")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -351,6 +392,7 @@ def main(argv: list[str] | None = None) -> int:
         "migrate-references",
         "create-view",
         "export",
+        "everything",
         "refresh-view",
     ):
         p = sub.add_parser(cmd)
@@ -360,7 +402,7 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--dest", required=True)
             p.add_argument("--key", default="id")
             continue
-        if cmd == "export":
+        if cmd in ("export", "everything"):
             p.add_argument("--warehouse", required=True)
             p.add_argument("--out", required=True)
             p.add_argument(
@@ -376,6 +418,14 @@ def main(argv: list[str] | None = None) -> int:
                 help="coalesce each type to N files (0 = keep full "
                 "write parallelism)",
             )
+            if cmd == "everything":
+                p.add_argument(
+                    "--patient",
+                    action="append",
+                    default=None,
+                    help="restrict to these patient ids (repeatable; "
+                    "omit for every compartment)",
+                )
             continue
         if cmd == "create-view":
             p.add_argument("--warehouse", required=True)
@@ -475,6 +525,15 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             args.warehouse,
             args.out,
+            types=args.type,
+            files_per_type=args.files_per_type or None,
+        )
+    elif args.cmd == "everything":
+        out = export_everything(
+            spark,
+            args.warehouse,
+            args.out,
+            patients=args.patient,
             types=args.type,
             files_per_type=args.files_per_type or None,
         )

@@ -1,0 +1,107 @@
+"""Oracle-checked patient-compartment queries ($everything).
+
+The operator (operators/compartment.py) run end to end: three
+resource types synthesized as real FHIR JSON from different tables
+(Patient <- customer, Observation <- events, Condition <- orders),
+decoded through encode_resources, compartment-extracted for a cohort,
+and unioned — checked against DuckDB restating the compartment as
+three plain per-table selects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+from fhir_to_lakehouse_spark.operators.compartment import patient_everything
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import load_table
+
+
+@query(
+    "compartment_patient_everything",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR)  AS patient_id,
+           'Patient'                   AS resource_type,
+           CAST(c_custkey AS VARCHAR)  AS rid
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT CAST(user_id AS VARCHAR), 'Observation', CAST(event_id AS VARCHAR)
+    FROM events
+    WHERE user_id % 10 = 0
+      AND user_id IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT CAST(o_custkey AS VARCHAR), 'Condition', CAST(o_orderkey AS VARCHAR)
+    FROM orders
+    WHERE o_custkey % 10 = 0
+      AND o_custkey IN (SELECT c_custkey FROM customer)
+    """,
+)
+def compartment_patient_everything(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Patient/$everything for a cohort (every tenth customer): the
+    compartment operator unions per-type slices — Patients link to
+    themselves, Observations via subject 'Patient/<uid>', Conditions
+    via a urn:uuid subject with an explicit Reference.type — with the
+    cohort BROADCAST semi-joined into each slice, so no fact table
+    shuffles and each is read exactly once. The oracle restates the
+    compartment as three flat selects."""
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    pat_json = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            F.col("c_custkey").cast("string").alias("id"),
+        )
+    )
+    patients = encode_resources(
+        customer.select(pat_json.alias("resource")), "Patient"
+    )
+    obs_json = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("user_id").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+        )
+    )
+    observations = encode_resources(
+        events.select(obs_json.alias("resource")), "Observation"
+    )
+    # Synthea transaction shape: urn:uuid reference, type made
+    # explicit — exercises the untyped-reference acceptance path
+    cond_json = F.to_json(
+        F.struct(
+            F.lit("Condition").alias("resourceType"),
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.struct(
+                F.concat(
+                    F.lit("urn:uuid:"), F.col("o_custkey").cast("string")
+                ).alias("reference"),
+                F.lit("Patient").alias("type"),
+            ).alias("subject"),
+        )
+    )
+    conditions = encode_resources(
+        orders.select(cond_json.alias("resource")), "Condition"
+    )
+    cohort = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").cast("string")
+    )
+    out = patient_everything(
+        {
+            "Patient": patients,
+            "Observation": observations,
+            "Condition": conditions,
+        },
+        patient_ids=cohort,
+    )
+    return out.select("patient_id", "resource_type", "rid")

@@ -424,3 +424,74 @@ def test_refresh_view_cli_function(spark, tmp_path):
     assert "incremental" in msg and "resources 1" in msg
     got = {r.pid: r.gender for r in spark.read.parquet(dest).collect()}
     assert got == {"p1": "female", "p2": "male"}
+
+
+def test_export_everything_cohort(spark, tmp_path):
+    """maintenance everything: per-type NDJSON restricted to a patient
+    cohort's compartment — Patient links to self, Observation via
+    subject; a two-patient Account resource exports its line ONCE."""
+    import json
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+    from fhir_to_lakehouse_spark.sources.bulk_export import read_bulk_export
+
+    wh = tmp_path / "wh"
+
+    def table(rtype, resources, cols):
+        enc = encode_resources(
+            spark.createDataFrame(
+                [(json.dumps(r),) for r in resources], "resource string"
+            ),
+            rtype,
+        )
+        KeyedTable(spark, str(wh / f"{rtype}.parquet")).merge_upsert(
+            enc.select(*cols, "resource_json")
+        )
+
+    table(
+        "Patient",
+        [
+            {"resourceType": "Patient", "id": "p1"},
+            {"resourceType": "Patient", "id": "p2"},
+        ],
+        ["id"],
+    )
+    table(
+        "Observation",
+        [
+            {"resourceType": "Observation", "id": "o1",
+             "subject": {"reference": "Patient/p1"}},
+            {"resourceType": "Observation", "id": "o2",
+             "subject": {"reference": "Patient/p2"}},
+        ],
+        ["id", "status", "subject"],
+    )
+    table(
+        "Account",
+        [
+            {"resourceType": "Account", "id": "a1",
+             "subject": [
+                 {"reference": "Patient/p1"},
+                 {"reference": "Patient/p3"},
+             ]},
+        ],
+        ["id", "subject"],
+    )
+
+    out = M.export_everything(
+        spark, str(wh), str(tmp_path / "ev"), patients=["p1", "p3"]
+    )
+    assert any(line.startswith("Patient -> ") for line in out)
+
+    pats = read_bulk_export(spark, str(tmp_path / "ev" / "Patient"), "Patient")
+    assert [r.id for r in pats.collect()] == ["p1"]
+    obs = read_bulk_export(
+        spark, str(tmp_path / "ev" / "Observation"), "Observation"
+    )
+    assert [r.id for r in obs.collect()] == ["o1"]
+    # the Account matched through BOTH cohort patients — exactly one line
+    acct_lines = (
+        spark.read.text(str(tmp_path / "ev" / "Account")).collect()
+    )
+    assert len(acct_lines) == 1
+    assert json.loads(acct_lines[0].value)["id"] == "a1"
