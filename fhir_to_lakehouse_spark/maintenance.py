@@ -345,6 +345,7 @@ def export_everything(
     warehouse_dir: str,
     out_dir: str,
     patients: list[str] | None = None,
+    group: str | None = None,
     types: list[str] | None = None,
     files_per_type: int | None = 1,
 ) -> list[str]:
@@ -356,12 +357,22 @@ def export_everything(
     semi-join (operators/compartment.py). A resource sitting in two
     compartments exports once per patient only in the row-level frame;
     the NDJSON line set is deduplicated back to one line per
-    resource."""
+    resource. ``group`` names a stored Group resource whose active
+    patient members define the cohort instead (Bulk Data group-level
+    export, ``Group/<id>/$export``) — mutually exclusive with
+    ``patients``."""
     from fhir_to_lakehouse_spark.operators.compartment import (
         compartment_members,
+        group_patient_ids,
     )
     from fhir_to_lakehouse_spark.sources.bulk_export import write_bulk_export
 
+    cohort: list[str] | None | object = patients
+    if group is not None:
+        if patients is not None:
+            raise ValueError("pass either patients or group, not both")
+        gpath = os.path.join(warehouse_dir, "Group.parquet")
+        cohort = group_patient_ids(KeyedTable(spark, gpath).to_df(), group)
     out = []
     for path in discover_tables(warehouse_dir, spark):
         name = os.path.basename(path).removesuffix(".parquet")
@@ -371,7 +382,7 @@ def export_everything(
         if "resource_json" not in df.columns:
             out.append(f"{name}: SKIPPED (no resource_json column)")
             continue
-        members = compartment_members(df, name, patient_ids=patients)
+        members = compartment_members(df, name, patient_ids=cohort)
         lines = members.select("rid", "resource_json").distinct().select(
             "resource_json"
         )
@@ -425,6 +436,12 @@ def main(argv: list[str] | None = None) -> int:
                     default=None,
                     help="restrict to these patient ids (repeatable; "
                     "omit for every compartment)",
+                )
+                p.add_argument(
+                    "--group",
+                    default=None,
+                    help="take the cohort from this stored Group "
+                    "resource's active members instead",
                 )
             continue
         if cmd == "create-view":
@@ -534,6 +551,7 @@ def main(argv: list[str] | None = None) -> int:
             args.warehouse,
             args.out,
             patients=args.patient,
+            group=args.group,
             types=args.type,
             files_per_type=args.files_per_type or None,
         )

@@ -32,7 +32,7 @@ of a cohort of K patients reads each table once, not K times.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -177,3 +177,34 @@ def patient_everything(
     for s in slices[1:]:
         out = out.unionByName(s)
     return out
+
+
+def group_patient_ids(
+    groups: DataFrame, group_id: str, include_inactive: bool = False
+) -> DataFrame:
+    """Cohort extraction for Bulk Data GROUP-LEVEL export
+    (``Group/<id>/$export``): the patient ids a Group resource's
+    ``member.entity`` references enumerate — one-column frame ready
+    for :func:`patient_everything` / :func:`compartment_members`.
+    Inactive members are excluded unless ``include_inactive`` (the
+    Bulk Data spec exports active membership). Non-patient members
+    (Group of devices, say) drop out via the same type guard every
+    compartment link uses. A Group is a tiny dimension — the result
+    rides the cohort broadcast."""
+    gschema = schema_for("Group")
+    member_t = next(
+        f for f in gschema.fields if f.name == "member"
+    ).dataType.elementType
+    entity_t = next(
+        f for f in member_t.fields if f.name == "entity"
+    ).dataType
+    m = groups.filter(F.col("id") == group_id).select(
+        F.explode("member").alias("m")
+    )
+    if not include_inactive:
+        m = m.filter(~F.coalesce(F.col("m.inactive"), F.lit(False)))
+    return (
+        m.select(_patient_key(F.col("m.entity"), entity_t).alias("patient_id"))
+        .filter(F.col("patient_id").isNotNull())
+        .distinct()
+    )

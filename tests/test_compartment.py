@@ -121,3 +121,38 @@ def test_patient_everything_union(spark):
     assert got == {("p1", "Patient", "p1"), ("p1", "Claim", "c1")}
     with pytest.raises(ValueError, match="at least one"):
         patient_everything({})
+
+
+def test_group_patient_ids(spark):
+    from fhir_to_lakehouse_spark.operators.compartment import (
+        group_patient_ids,
+    )
+
+    groups = _enc(
+        spark,
+        "Group",
+        [
+            {"resourceType": "Group", "id": "g1", "type": "person",
+             "member": [
+                 {"entity": {"reference": "Patient/p1"}},
+                 {"entity": {"reference": "Patient/p2"}, "inactive": True},
+                 {"entity": {"reference": "Device/d1"}},
+                 {"entity": {"reference": "urn:uuid:p3"}},
+                 {"entity": {"reference": "Patient/p1"}},
+             ]},
+            {"resourceType": "Group", "id": "g2", "type": "person",
+             "member": [{"entity": {"reference": "Patient/p9"}}]},
+        ],
+    )
+    active = {
+        r.patient_id for r in group_patient_ids(groups, "g1").collect()
+    }
+    assert active == {"p1", "p3"}
+    with_inactive = {
+        r.patient_id
+        for r in group_patient_ids(
+            groups, "g1", include_inactive=True
+        ).collect()
+    }
+    assert with_inactive == {"p1", "p2", "p3"}
+    assert group_patient_ids(groups, "nope").count() == 0

@@ -495,3 +495,58 @@ def test_export_everything_cohort(spark, tmp_path):
     )
     assert len(acct_lines) == 1
     assert json.loads(acct_lines[0].value)["id"] == "a1"
+
+
+def test_export_everything_group_cohort(spark, tmp_path):
+    """maintenance everything --group: the cohort comes from a stored
+    Group resource's active members (Bulk Data group-level export)."""
+    import json
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+    from fhir_to_lakehouse_spark.sources.bulk_export import read_bulk_export
+
+    wh = tmp_path / "wh"
+
+    def table(rtype, resources, cols):
+        enc = encode_resources(
+            spark.createDataFrame(
+                [(json.dumps(r),) for r in resources], "resource string"
+            ),
+            rtype,
+        )
+        KeyedTable(spark, str(wh / f"{rtype}.parquet")).merge_upsert(
+            enc.select(*cols, "resource_json")
+        )
+
+    table(
+        "Patient",
+        [
+            {"resourceType": "Patient", "id": "p1"},
+            {"resourceType": "Patient", "id": "p2"},
+        ],
+        ["id"],
+    )
+    table(
+        "Group",
+        [
+            {"resourceType": "Group", "id": "cohort-a", "type": "person",
+             "member": [
+                 {"entity": {"reference": "Patient/p2"}},
+                 {"entity": {"reference": "Patient/p1"}, "inactive": True},
+             ]},
+        ],
+        ["id", "member"],
+    )
+
+    M.export_everything(
+        spark, str(wh), str(tmp_path / "gx"), group="cohort-a"
+    )
+    pats = read_bulk_export(spark, str(tmp_path / "gx" / "Patient"), "Patient")
+    assert [r.id for r in pats.collect()] == ["p2"]
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        M.export_everything(
+            spark, str(wh), str(tmp_path / "gx2"),
+            patients=["p1"], group="cohort-a",
+        )
