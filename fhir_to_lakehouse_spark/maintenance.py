@@ -316,6 +316,7 @@ def export_bulk(
     out_dir: str,
     types: list[str] | None = None,
     files_per_type: int | None = 1,
+    since_version: int | None = None,
 ) -> list[str]:
     """Bulk Data $export of the warehouse: every stored resource table
     (or just ``types``) written as flat per-type NDJSON under
@@ -330,7 +331,9 @@ def export_bulk(
         name = os.path.basename(path).removesuffix(".parquet")
         if types and name not in types:
             continue
-        df = KeyedTable(spark, path).to_df()
+        df = _export_frame(spark, path, since_version, out, name)
+        if df is None:
+            continue
         if "resource_json" not in df.columns:
             out.append(f"{name}: SKIPPED (no resource_json column)")
             continue
@@ -338,6 +341,22 @@ def export_bulk(
         write_bulk_export(df, dest, coalesce_files=files_per_type)
         out.append(f"{name} -> {dest}")
     return out
+
+
+def _export_frame(spark, path, since_version, out, name):
+    """Full table scan, or — for `--since-version N` — the changed
+    rows only (Bulk Data `_since` semantics: latest post-image of
+    every key whose most recent change is in [N, head] and is not a
+    delete), read off the pruned change-feed partitions. Tables
+    written without a changelog can't answer incrementally and are
+    reported, not silently exported in full."""
+    if since_version is None:
+        return KeyedTable(spark, path).to_df()
+    tbl = KeyedTable(spark, path, changelog=True)
+    if tbl.changelog_version() < 0:
+        out.append(f"{name}: SKIPPED (no changelog for --since-version)")
+        return None
+    return tbl.upserted_since(since_version)
 
 
 def export_everything(
@@ -348,6 +367,7 @@ def export_everything(
     group: str | None = None,
     types: list[str] | None = None,
     files_per_type: int | None = 1,
+    since_version: int | None = None,
 ) -> list[str]:
     """Patient/$everything (Bulk Data patient-level export) from the
     warehouse: each stored resource table's patient-compartment slice
@@ -378,7 +398,9 @@ def export_everything(
         name = os.path.basename(path).removesuffix(".parquet")
         if types and name not in types:
             continue
-        df = KeyedTable(spark, path).to_df()
+        df = _export_frame(spark, path, since_version, out, name)
+        if df is None:
+            continue
         if "resource_json" not in df.columns:
             out.append(f"{name}: SKIPPED (no resource_json column)")
             continue
@@ -428,6 +450,14 @@ def main(argv: list[str] | None = None) -> int:
                 default=1,
                 help="coalesce each type to N files (0 = keep full "
                 "write parallelism)",
+            )
+            p.add_argument(
+                "--since-version",
+                type=int,
+                default=None,
+                help="incremental export: only resources changed at "
+                "or after this change-feed version (needs changelog-"
+                "enabled tables)",
             )
             if cmd == "everything":
                 p.add_argument(
@@ -544,6 +574,7 @@ def main(argv: list[str] | None = None) -> int:
             args.out,
             types=args.type,
             files_per_type=args.files_per_type or None,
+            since_version=args.since_version,
         )
     elif args.cmd == "everything":
         out = export_everything(
@@ -554,6 +585,7 @@ def main(argv: list[str] | None = None) -> int:
             group=args.group,
             types=args.type,
             files_per_type=args.files_per_type or None,
+            since_version=args.since_version,
         )
     else:
         out = register_all(spark, args.warehouse, args.schema)

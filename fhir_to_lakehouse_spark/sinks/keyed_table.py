@@ -533,6 +533,36 @@ class KeyedTable:
         )
         return df.filter(F.col("commit_version") >= starting_version)
 
+    def upserted_since(self, starting_version: int) -> DataFrame:
+        """Incremental read off the change feed: the latest post-image
+        of every key whose most recent change AT OR AFTER
+        ``starting_version`` is not a delete — the Bulk Data `_since`
+        export primitive (and any downstream incremental consumer's
+        pull). One hot-key-safe grouped max_by over the pruned
+        changelog partitions (commit_version >= N), O(changed rows)
+        regardless of table size — the same aggregate shape as the W1
+        dedup rewrite. Keys created-then-deleted inside the window
+        surface as nothing, matching what a full re-export would show.
+        """
+        ch = self.table_changes(starting_version).filter(
+            F.col("_change_type") != "update_preimage"
+        )
+        data_cols = [
+            c
+            for c in ch.columns
+            if c not in ("_change_type", "commit_version")
+        ]
+        latest = ch.groupBy(self.key).agg(
+            F.max(
+                F.struct(
+                    F.col("commit_version"),
+                    F.col("_change_type").alias("__ct"),
+                    F.struct(*data_cols).alias("__row"),
+                )
+            ).alias("m")
+        )
+        return latest.filter(F.col("m.__ct") != "delete").select("m.__row.*")
+
     def as_of(self, version: int) -> DataFrame:
         """Time-travel read: the table state as of changelog commit
         ``version`` (inclusive) — the ``VERSION AS OF`` analog,

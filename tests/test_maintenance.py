@@ -550,3 +550,69 @@ def test_export_everything_group_cohort(spark, tmp_path):
             spark, str(wh), str(tmp_path / "gx2"),
             patients=["p1"], group="cohort-a",
         )
+
+
+def test_export_bulk_since_version_incremental(spark, tmp_path):
+    """export --since-version: only keys whose latest change is in the
+    window and alive — updated rows export their NEWEST body,
+    unchanged rows stay home, delete-in-window keys export nothing,
+    and changelog-less tables are reported."""
+    import json
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    wh = tmp_path / "wh"
+    tbl = KeyedTable(spark, str(wh / "Patient.parquet"), changelog=True)
+
+    def enc(resources):
+        return encode_resources(
+            spark.createDataFrame(
+                [(json.dumps(r),) for r in resources], "resource string"
+            ),
+            "Patient",
+        ).select("id", "active", "resource_json")
+
+    # v0: p1..p3
+    tbl.merge_upsert(
+        enc(
+            [
+                {"resourceType": "Patient", "id": "p1", "active": True},
+                {"resourceType": "Patient", "id": "p2", "active": True},
+                {"resourceType": "Patient", "id": "p3", "active": True},
+            ]
+        )
+    )
+    # v1: update p2, insert p4
+    tbl.merge_upsert(
+        enc(
+            [
+                {"resourceType": "Patient", "id": "p2", "active": False},
+                {"resourceType": "Patient", "id": "p4", "active": True},
+            ]
+        )
+    )
+    # v2: delete p4
+    tbl.merge_delete(spark.createDataFrame([("p4",)], "id string"))
+    assert tbl.changelog_version() == 2
+
+    out = M.export_bulk(
+        spark, str(wh), str(tmp_path / "inc"), since_version=1
+    )
+    assert any(line.startswith("Patient -> ") for line in out)
+    lines = [
+        json.loads(r.value)
+        for r in spark.read.text(str(tmp_path / "inc" / "Patient")).collect()
+    ]
+    got = {d["id"]: d for d in lines}
+    # p2's post-image only; p1/p3 unchanged; p4 deleted in-window
+    assert set(got) == {"p2"}
+    assert got["p2"]["active"] is False
+
+    # a changelog-less table reports instead of full-exporting
+    KeyedTable(spark, str(wh / "Observation.parquet")).merge_upsert(
+        enc([{"resourceType": "Patient", "id": "x"}])
+    )
+    out2 = M.export_bulk(
+        spark, str(wh), str(tmp_path / "inc2"), since_version=0
+    )
+    assert any("no changelog" in line for line in out2)
