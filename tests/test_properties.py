@@ -328,3 +328,50 @@ def test_prefix_filter_pairs_duplicate_heavy(spark, copies, t):
         ).collect()
     }
     assert got == _model_prefix_pairs(doc_sets, t)
+
+
+# --- view-path splitter (quote-aware) ------------------------------------
+
+_seg_chars = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+).map(lambda s: "f" + s)  # segments start with a letter
+_literal_chars = st.text(
+    alphabet=st.characters(
+        blacklist_characters="'", min_codepoint=32, max_codepoint=126
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    segs=st.lists(_seg_chars, min_size=1, max_size=5),
+    lit=_literal_chars,
+    where_field=_seg_chars,
+)
+def test_split_path_quote_aware_roundtrip(segs, lit, where_field):
+    """Property: dots INSIDE single-quoted literals never split a
+    segment — any printable quote-free literal (dots, parens, spaces,
+    '%', '=') survives verbatim inside where(f='...') / join('...') /
+    extension('...') — while dots between segments always split."""
+    from fhir_to_lakehouse_spark.operators.view_definition import (
+        _split_path,
+    )
+
+    # plain dotted path splits into exactly its segments
+    assert _split_path(".".join(segs)) == segs
+
+    for fn_seg in (
+        f"where({where_field}='{lit}')",
+        f"join('{lit}')",
+        f"extension('{lit or 'u'}')",
+    ):
+        path = ".".join(segs + [fn_seg])
+        got = _split_path(path)
+        assert got[: len(segs)] == segs
+        # the function call survives as ONE trailing segment with the
+        # literal intact (leading/trailing blanks strip like segments)
+        assert len(got) == len(segs) + 1
+        assert got[-1] == fn_seg.strip()

@@ -576,6 +576,43 @@ def test_plan_has_no_python_and_prunes(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_extension_frame_still_prunes_from_parquet(spark, tmp_path):
+    """An extension-encoded STORED table read by a view that never
+    touches extensions keeps `extension` out of the parquet ReadSchema
+    (column pruning), and a where on a scalar pushes into the scan —
+    the widened schema costs nothing to queries that ignore it."""
+    rows = [
+        {"resourceType": "Patient", "id": "p1", "gender": "female",
+         "extension": [{"url": "http://x", "valueCode": "A"}]},
+        {"resourceType": "Patient", "id": "p2", "gender": "male"},
+    ]
+    enc = encode_resources(
+        spark.createDataFrame(
+            [(json.dumps(r),) for r in rows], "resource string"
+        ),
+        "Patient",
+        include_extensions=True,
+    )
+    path = str(tmp_path / "pat")
+    enc.write.parquet(path)
+    stored = spark.read.parquet(path)
+    view = {
+        "resource": "Patient",
+        "where": [{"path": "gender = 'female'"}],
+        "select": [{"column": [{"name": "pid", "path": "id"}]}],
+    }
+    df = compile_view(view, stored)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "extension" not in read_schema
+    assert "name" not in read_schema
+    assert "gender" in read_schema
+    assert "PushedFilters: [" in scan
+    assert "EqualTo(gender,female)" in scan
+    assert [r.pid for r in df.collect()] == ["p1"]
+
+
 def test_compile_aggregate_grouped_and_global(spark):
     from fhir_to_lakehouse_spark.operators.view_definition import (
         compile_aggregate,
