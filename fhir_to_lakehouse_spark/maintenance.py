@@ -317,6 +317,7 @@ def export_bulk(
     types: list[str] | None = None,
     files_per_type: int | None = 1,
     since_version: int | None = None,
+    at_version: int | None = None,
 ) -> list[str]:
     """Bulk Data $export of the warehouse: every stored resource table
     (or just ``types``) written as flat per-type NDJSON under
@@ -331,7 +332,7 @@ def export_bulk(
         name = os.path.basename(path).removesuffix(".parquet")
         if types and name not in types:
             continue
-        df = _export_frame(spark, path, since_version, out, name)
+        df = _export_frame(spark, path, since_version, out, name, at_version)
         if df is None:
             continue
         if "resource_json" not in df.columns:
@@ -343,20 +344,26 @@ def export_bulk(
     return out
 
 
-def _export_frame(spark, path, since_version, out, name):
-    """Full table scan, or — for `--since-version N` — the changed
-    rows only (Bulk Data `_since` semantics: latest post-image of
-    every key whose most recent change is in [N, head] and is not a
-    delete), read off the pruned change-feed partitions. Tables
-    written without a changelog can't answer incrementally and are
-    reported, not silently exported in full."""
-    if since_version is None:
+def _export_frame(spark, path, since_version, out, name, at_version=None):
+    """Full table scan; `--since-version N` = the changed rows only
+    (Bulk Data `_since` semantics: latest post-image of every key
+    whose most recent change is in [N, head] and is not a delete),
+    read off the pruned change-feed partitions; `--at-version V` = the
+    table state AS OF change version V (snapshot export for a
+    reproducible handoff). Both need the change feed — tables written
+    without one are reported, not silently exported in full."""
+    if since_version is not None and at_version is not None:
+        raise ValueError("pass either since_version or at_version, not both")
+    if since_version is None and at_version is None:
         return KeyedTable(spark, path).to_df()
+    flag = "--since-version" if since_version is not None else "--at-version"
     tbl = KeyedTable(spark, path, changelog=True)
     if tbl.changelog_version() < 0:
-        out.append(f"{name}: SKIPPED (no changelog for --since-version)")
+        out.append(f"{name}: SKIPPED (no changelog for {flag})")
         return None
-    return tbl.upserted_since(since_version)
+    if since_version is not None:
+        return tbl.upserted_since(since_version)
+    return tbl.as_of(at_version)
 
 
 def export_everything(
@@ -459,6 +466,15 @@ def main(argv: list[str] | None = None) -> int:
                 "or after this change-feed version (needs changelog-"
                 "enabled tables)",
             )
+            if cmd == "export":
+                p.add_argument(
+                    "--at-version",
+                    type=int,
+                    default=None,
+                    help="snapshot export: the table state AS OF this "
+                    "change-feed version (needs changelog-enabled "
+                    "tables; mutually exclusive with --since-version)",
+                )
             if cmd == "everything":
                 p.add_argument(
                     "--patient",
@@ -575,6 +591,7 @@ def main(argv: list[str] | None = None) -> int:
             types=args.type,
             files_per_type=args.files_per_type or None,
             since_version=args.since_version,
+            at_version=args.at_version,
         )
     elif args.cmd == "everything":
         out = export_everything(

@@ -616,3 +616,44 @@ def test_export_bulk_since_version_incremental(spark, tmp_path):
         spark, str(wh), str(tmp_path / "inc2"), since_version=0
     )
     assert any("no changelog" in line for line in out2)
+
+
+def test_export_bulk_at_version_snapshot(spark, tmp_path):
+    """export --at-version: the NDJSON matches the table state AS OF
+    that change version — an update after the pin never leaks in."""
+    import json
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    wh = tmp_path / "wh"
+    tbl = KeyedTable(spark, str(wh / "Patient.parquet"), changelog=True)
+
+    def enc(resources):
+        return encode_resources(
+            spark.createDataFrame(
+                [(json.dumps(r),) for r in resources], "resource string"
+            ),
+            "Patient",
+        ).select("id", "active", "resource_json")
+
+    tbl.merge_upsert(
+        enc([{"resourceType": "Patient", "id": "p1", "active": True}])
+    )
+    tbl.merge_upsert(
+        enc([{"resourceType": "Patient", "id": "p1", "active": False}])
+    )
+
+    M.export_bulk(spark, str(wh), str(tmp_path / "v0"), at_version=0)
+    lines = [
+        json.loads(r.value)
+        for r in spark.read.text(str(tmp_path / "v0" / "Patient")).collect()
+    ]
+    assert len(lines) == 1 and lines[0]["active"] is True
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        M.export_bulk(
+            spark, str(wh), str(tmp_path / "x"),
+            since_version=0, at_version=0,
+        )
