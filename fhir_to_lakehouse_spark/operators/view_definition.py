@@ -15,7 +15,12 @@ the scan exactly as for a hand-written query.
 
 Supported subset (compile-time errors otherwise, never silent):
 
-- ``resource``, ``select[].column[{name, path, type}]``,
+- ``resource``, ``select[].column[{name, path, type, collection}]``
+  (``collection: true`` lifts the singular-path rule for that column:
+  member access over a collection maps element-wise and nested
+  collections flatten — ``name.given`` is every given across every
+  name — with the result always an array, singular values wrapped,
+  empties as an empty array),
   ``select[].forEach`` / ``forEachOrNull`` (with nested ``select``,
   recursively), ``select[].unionAll`` (as the final select element),
   ``where[{path}]`` (entries AND together, per spec), and
@@ -155,10 +160,16 @@ def _resolve(
     ctx: Column | None,
     dtype: T.DataType,
     path: str,
+    allow_collection: bool = False,
 ) -> tuple[Column, T.DataType]:
     """Compile a FHIRPath-subset path to (Column, result DataType)
     relative to ``ctx`` (None = the resource root: fields are
-    DataFrame columns). Enforces the singular-path rule."""
+    DataFrame columns). Enforces the singular-path rule unless
+    ``allow_collection`` (a ``collection: true`` column): then member
+    access OVER a collection maps element-wise (codegen'd
+    ``transform``), nested collections FLATTEN, and null elements
+    drop — FHIRPath collection semantics, so ``name.given`` yields
+    every given name across every name."""
     segs = _split_path(path)
     col = ctx
     for i, seg in enumerate(segs):
@@ -342,11 +353,44 @@ def _resolve(
         name, _, idx = m.groups()
 
         if isinstance(dtype, T.ArrayType):
-            raise ViewCompileError(
-                f"path {path!r} traverses a collection at {name!r} — "
-                "use first(), [i], or an enclosing forEach "
-                "(singular-path rule)"
+            if not allow_collection:
+                raise ViewCompileError(
+                    f"path {path!r} traverses a collection at {name!r} — "
+                    "use first(), [i], an enclosing forEach, or declare "
+                    "the column `collection: true` (singular-path rule)"
+                )
+            elem_t = dtype.elementType
+            if not isinstance(elem_t, T.StructType):
+                raise ViewCompileError(
+                    f"path {path!r}: {name!r} accessed on a collection "
+                    "of primitives"
+                )
+            field = next(
+                (f for f in elem_t.fields if f.name == name), None
             )
+            if field is None:
+                raise ViewCompileError(
+                    f"path {path!r}: no field {name!r} on this element "
+                    f"(schema fields: {[f.name for f in elem_t.fields]})"
+                )
+            if idx is not None:
+                raise ViewCompileError(
+                    f"path {path!r}: [{idx}] inside a collection "
+                    "traversal is not supported — index before or "
+                    "after the flattening step"
+                )
+            mapped = F.transform(col, lambda x: x.getField(name))
+            if isinstance(field.dataType, T.ArrayType):
+                # nested collection: drop null inner arrays, flatten
+                col = F.flatten(
+                    F.filter(mapped, lambda a: a.isNotNull())
+                )
+                dtype = T.ArrayType(field.dataType.elementType)
+            else:
+                # scalar member: element-wise access, empties drop
+                col = F.filter(mapped, lambda v: v.isNotNull())
+                dtype = T.ArrayType(field.dataType)
+            continue
         if not isinstance(dtype, T.StructType):
             raise ViewCompileError(
                 f"path {path!r}: {name!r} accessed on a primitive"
@@ -702,7 +746,16 @@ def compile_view(
         df: DataFrame, sel: dict, ctx: Column | None, dtype: T.DataType
     ) -> DataFrame:
         for c in sel.get("column", []) or []:
-            col, cdt = _resolve(ctx, dtype, c["path"])
+            coll = bool(c.get("collection"))
+            col, cdt = _resolve(ctx, dtype, c["path"], allow_collection=coll)
+            if coll and not isinstance(cdt, T.ArrayType):
+                # spec: collection columns always materialize arrays —
+                # a singular value becomes a 1-element array, empty
+                # stays empty (FHIRPath), never [null]
+                col = F.when(col.isNotNull(), F.array(col)).otherwise(
+                    F.array().cast(T.ArrayType(cdt))
+                )
+                cdt = T.ArrayType(cdt)
             want = c.get("type")
             if want is not None:
                 target = _TYPE_MAP.get(want)
@@ -710,7 +763,7 @@ def compile_view(
                     raise ViewCompileError(
                         f"column {c['name']!r}: unsupported type {want!r}"
                     )
-                col = col.cast(target)
+                col = col.cast(f"array<{target}>" if coll else target)
             tmp = fresh("col")
             df = df.withColumn(tmp, col)
             out.append((c["name"], tmp))

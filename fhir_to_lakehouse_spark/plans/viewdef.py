@@ -545,3 +545,96 @@ def viewdef_official_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return compile_view(view, enc)
+
+
+@query(
+    "viewdef_collection_columns",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR)                          AS pid,
+           CASE WHEN c_custkey % 2 = 0
+                THEN 'G1-' || c_custkey || ',G2-' || c_custkey
+                     || ',G3-' || c_custkey
+                ELSE 'G1-' || c_custkey || ',G2-' || c_custkey
+           END                                                 AS given_csv,
+           CASE WHEN c_custkey % 2 = 0
+                THEN 'Fam-' || c_custkey || ',Alt-' || c_custkey
+                ELSE 'Fam-' || c_custkey
+           END                                                 AS family_csv,
+           CASE WHEN c_custkey % 3 = 0 THEN ''
+                ELSE 'City-' || c_nationkey END                AS city_csv,
+           CASE WHEN c_custkey % 2 = 0 THEN 3 ELSE 2 END       AS n_given
+    FROM customer
+    """,
+)
+def viewdef_collection_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spec's `collection: true` columns end to end: name.given
+    flattens across BOTH name entries (transform + flatten + null
+    drop, all codegen — no explode, so the row count never changes),
+    name.family maps element-wise, and address.city over an empty
+    address array yields [] not null. Arrays serialize to CSV only
+    for the engine-portable oracle compare."""
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    name = lambda fam, givens: F.struct(  # noqa: E731
+        fam.alias("family"), givens.alias("given")
+    )
+    g = lambda n: F.concat(F.lit(f"G{n}-"), key)  # noqa: E731
+    one = F.array(name(F.concat(F.lit("Fam-"), key), F.array(g(1), g(2))))
+    two = F.concat(
+        one, F.array(name(F.concat(F.lit("Alt-"), key), F.array(g(3))))
+    )
+    names = F.when(F.col("c_custkey") % 2 == 0, two).otherwise(one)
+    empty_addr = F.expr("CAST(array() AS array<struct<city:string>>)")
+    addr = F.when(F.col("c_custkey") % 3 == 0, empty_addr).otherwise(
+        F.array(
+            F.struct(
+                F.concat(
+                    F.lit("City-"), F.col("c_nationkey").cast("string")
+                ).alias("city")
+            )
+        )
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            key.alias("id"),
+            names.alias("name"),
+            addr.alias("address"),
+        )
+    )
+    enc = encode_resources(
+        customer.select(resource.alias("resource")), "Patient"
+    )
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "getResourceKey()"},
+                    {
+                        "name": "all_given",
+                        "path": "name.given",
+                        "collection": True,
+                    },
+                    {
+                        "name": "families",
+                        "path": "name.family",
+                        "collection": True,
+                    },
+                    {
+                        "name": "cities",
+                        "path": "address.city",
+                        "collection": True,
+                    },
+                ]
+            }
+        ],
+    }
+    flat = compile_view(view, enc)
+    return flat.select(
+        "pid",
+        F.concat_ws(",", "all_given").alias("given_csv"),
+        F.concat_ws(",", "families").alias("family_csv"),
+        F.concat_ws(",", "cities").alias("city_csv"),
+        F.size("all_given").alias("n_given"),
+    )

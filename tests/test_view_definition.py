@@ -437,6 +437,67 @@ def test_quote_aware_literals_with_dots(spark):
         )
 
 
+def test_collection_columns(spark):
+    """collection: true — the spec's collection columns: nested
+    flattening (name.given = all givens across all names), direct
+    array passthrough, scalar wrap, count() composition, and empty
+    collections as [] / missing elements dropped."""
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "pid", "path": "id"},
+                    {
+                        "name": "all_given",
+                        "path": "name.given",
+                        "collection": True,
+                        "type": "string",
+                    },
+                    {
+                        "name": "families",
+                        "path": "name.family",
+                        "collection": True,
+                    },
+                    {
+                        "name": "cities",
+                        "path": "address.city",
+                        "collection": True,
+                    },
+                    {
+                        "name": "gender_arr",
+                        "path": "gender",
+                        "collection": True,
+                    },
+                    {"name": "n_names", "path": "name.count()"},
+                ]
+            }
+        ],
+    }
+    got = {
+        r.pid: r for r in compile_view(view, _patients(spark)).collect()
+    }
+    assert got["p1"].all_given == ["A", "B", "C"]
+    assert got["p1"].families == ["Ada", "Alt"]
+    assert got["p1"].cities == ["Koeln", "Bonn"]
+    assert got["p1"].gender_arr == ["female"]
+    assert got["p1"].n_names == 2
+    assert got["p2"].all_given == ["X"]
+    assert got["p2"].cities == []  # empty address array
+    assert got["p2"].n_names == 1
+    # without the flag the same path still violates the singular rule
+    with pytest.raises(ViewCompileError, match="singular"):
+        compile_view(
+            {
+                "resource": "Patient",
+                "select": [
+                    {"column": [{"name": "g", "path": "name.given"}]}
+                ],
+            },
+            _patients(spark),
+        )
+
+
 def test_union_all(spark):
     view = {
         "resource": "Patient",
