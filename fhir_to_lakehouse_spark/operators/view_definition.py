@@ -45,7 +45,15 @@ Supported subset (compile-time errors otherwise, never silent):
   first().extension('ombCategory').first().value.ofType(Coding).code``
   compile to nested codegen'd array filters; needs a frame encoded
   with ``include_extensions=True``). Path splitting is quote-aware,
-  so string literals — urls especially — may contain dots. Paths must be SINGULAR: traversing an
+  so string literals — urls especially — may contain dots.
+  Mid-path collection traversal is legal anywhere a terminal step
+  collapses the collection to a singular value
+  (``name.given.count()``, ``address.city.exists()``,
+  ``name.given.join('-')``) or the enclosing construct accepts one
+  (``collection: true`` columns, ``forEach`` over a nested path like
+  ``item.adjudication``) — only a column that would MATERIALIZE a
+  collection without declaring ``collection: true`` violates the
+  singular-path rule. Paths must be SINGULAR: traversing an
   array mid-path without ``first()`` / ``[i]`` / an enclosing
   ``forEach`` raises (the spec's singular-path rule), so a view can't
   silently take Spark's struct-over-array broadcast semantics.
@@ -446,7 +454,12 @@ def _predicate(path: str, dtype: T.DataType) -> Column:
     m = _CMP_RE.match(path)
     if m:
         left, op, right = m.groups()
-        col, cdt = _resolve(None, dtype, left)
+        col, cdt = _resolve(None, dtype, left, allow_collection=True)
+        if isinstance(cdt, T.ArrayType):
+            raise ViewCompileError(
+                f"where path {path!r} compares a collection — "
+                "reduce it (first(), count(), exists()) first"
+            )
         if op in (">", ">=", "<", "<=") and isinstance(
             cdt, (T.StructType, T.ArrayType, T.BooleanType)
         ):
@@ -456,7 +469,7 @@ def _predicate(path: str, dtype: T.DataType) -> Column:
             )
         lit = _literal(right)
         return _CMP_OPS[op](col, lit)
-    col, cdt = _resolve(None, dtype, path)
+    col, cdt = _resolve(None, dtype, path, allow_collection=True)
     if not isinstance(cdt, T.BooleanType):
         raise ViewCompileError(
             f"where path {path!r} is not boolean (got {cdt.simpleString()})"
@@ -722,7 +735,9 @@ def compile_view(
                     "select"
                 )
             if fe is not None:
-                col, cdt = _resolve(ctx, dtype, fe)
+                # collection mode: a forEach over a nested collection
+                # path (item.adjudication) flattens before exploding
+                col, cdt = _resolve(ctx, dtype, fe, allow_collection=True)
                 if not isinstance(cdt, T.ArrayType):
                     raise ViewCompileError(
                         f"forEach path {fe!r} is not a collection"
@@ -747,7 +762,18 @@ def compile_view(
     ) -> DataFrame:
         for c in sel.get("column", []) or []:
             coll = bool(c.get("collection"))
-            col, cdt = _resolve(ctx, dtype, c["path"], allow_collection=coll)
+            # resolve in collection mode unconditionally: mid-path
+            # collections are legal when a terminal step collapses
+            # them (name.given.count(), name.family.exists()) — the
+            # singular-path rule constrains the RESULT, checked next
+            col, cdt = _resolve(ctx, dtype, c["path"], allow_collection=True)
+            if not coll and isinstance(cdt, T.ArrayType):
+                raise ViewCompileError(
+                    f"column {c['name']!r}: path {c['path']!r} is "
+                    "collection-valued — declare `collection: true`, "
+                    "or use first()/[i]/an enclosing forEach "
+                    "(singular-path rule)"
+                )
             if coll and not isinstance(cdt, T.ArrayType):
                 # spec: collection columns always materialize arrays —
                 # a singular value becomes a 1-element array, empty

@@ -199,7 +199,7 @@ def test_where_ordering_comparisons(spark):
     # ordering on booleans / complex elements is rejected
     with pytest.raises(ViewCompileError, match="ordering"):
         ids("active > true")
-    with pytest.raises(ViewCompileError, match="ordering"):
+    with pytest.raises(ViewCompileError, match="compares a collection"):
         ids("name >= 'x'")
 
 
@@ -470,6 +470,17 @@ def test_collection_columns(spark):
                         "collection": True,
                     },
                     {"name": "n_names", "path": "name.count()"},
+                    # terminal collapse makes a mid-path collection
+                    # legal WITHOUT the flag (FHIRPath singular result)
+                    {"name": "n_given", "path": "name.given.count()"},
+                    {
+                        "name": "any_city",
+                        "path": "address.city.exists()",
+                    },
+                    {
+                        "name": "given_joined",
+                        "path": "name.given.join('-')",
+                    },
                 ]
             }
         ],
@@ -478,6 +489,11 @@ def test_collection_columns(spark):
         r.pid: r for r in compile_view(view, _patients(spark)).collect()
     }
     assert got["p1"].all_given == ["A", "B", "C"]
+    assert got["p1"].n_given == 3
+    assert got["p1"].any_city is True
+    assert got["p1"].given_joined == "A-B-C"
+    assert got["p2"].n_given == 1
+    assert got["p2"].any_city is False
     assert got["p1"].families == ["Ada", "Alt"]
     assert got["p1"].cities == ["Koeln", "Bonn"]
     assert got["p1"].gender_arr == ["female"]
