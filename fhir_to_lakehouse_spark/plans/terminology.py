@@ -312,3 +312,97 @@ def terminology_subsumed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = part.select(k.cast("string").alias("code"))
     out = subsumed_by(facts, edges, "3", system=_CS_TREE)
     return out.filter(F.col("subsumed_by")).select("code")
+
+
+@query(
+    "fhir_validation_summary",
+    oracle=f"""
+    SELECT rule, violations, checked FROM (
+      SELECT 'status_required' AS rule,
+             SUM(CASE WHEN p_partkey % 7 = 0 THEN 1 ELSE 0 END) AS violations,
+             COUNT(*) AS checked FROM part
+      UNION ALL
+      SELECT 'status_final',
+             SUM(CASE WHEN p_partkey % 7 = 0 OR p_partkey % 5 = 0
+                      THEN 1 ELSE 0 END),
+             COUNT(*) FROM part
+      UNION ALL
+      SELECT 'has_subject',
+             SUM(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END),
+             COUNT(*) FROM part
+      UNION ALL
+      SELECT 'id_shape',
+             SUM(CASE WHEN p_partkey % 11 = 0 THEN 1 ELSE 0 END),
+             COUNT(*) FROM part
+      UNION ALL
+      SELECT 'code_bound',
+             SUM(CASE WHEN CAST(SUBSTRING(p_brand, 7) AS INT)
+                      > {_BRAND_CUTOFF} THEN 1 ELSE 0 END),
+             COUNT(*) FROM part
+    )
+    """,
+)
+def fhir_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile validation end to end (operators/validation.py): five
+    rule types — required, fixed value, cardinality, id-shape regex,
+    ValueSet binding (answered from the SAME encoded terminology
+    artifacts the memberof queries expand) — over Observations with
+    deterministically injected faults, folded to per-rule violation
+    counts in ONE scan + one global aggregate. The oracle recomputes
+    each fault population straight from the source table."""
+    from fhir_to_lakehouse_spark.functions.terminology import expand_valueset
+    from fhir_to_lakehouse_spark.operators.validation import (
+        validation_summary,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    rid = F.when(
+        k % 11 == 0, F.concat(F.lit("bad id "), k.cast("string"))
+    ).otherwise(F.concat(F.lit("o"), k.cast("string")))
+    status = F.when(k % 7 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(k % 5 == 0, "draft").otherwise("final")
+    )
+    subject = F.when(
+        k % 3 != 0,
+        F.struct(
+            F.concat(F.lit("Patient/"), k.cast("string")).alias("reference")
+        ),
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            rid.alias("id"),
+            status.alias("status"),
+            subject.alias("subject"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit(_CS_BRAND).alias("system"),
+                        F.col("p_brand").alias("code"),
+                    )
+                ).alias("coding")
+            ).alias("code"),
+        )
+    )
+    enc = encode_resources(
+        part.select(resource.alias("resource")), "Observation"
+    )
+    spec = {
+        "resource": "Observation",
+        "rules": [
+            {"key": "status_required", "type": "required", "path": "status"},
+            {"key": "status_final", "type": "fixed", "path": "status",
+             "value": "final"},
+            {"key": "has_subject", "type": "cardinality",
+             "path": "subject.reference", "min": 1},
+            {"key": "id_shape", "type": "regex", "path": "id",
+             "pattern": r"^[A-Za-z0-9\-\.]{1,64}$"},
+            {"key": "code_bound", "type": "binding", "path": "code",
+             "valueSet": _VS_URL},
+        ],
+    }
+    expansion = expand_valueset(
+        _valueset_df(spark, sf_dir), _codesystem_df(spark, sf_dir)
+    )
+    return validation_summary(spec, enc, valuesets=expansion)
