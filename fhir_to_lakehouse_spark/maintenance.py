@@ -421,6 +421,49 @@ def export_everything(
     return out
 
 
+def validate_tables(
+    spark: SparkSession,
+    warehouse_dir: str,
+    spec_paths: list[str],
+    valuesets_table: str | None = None,
+) -> list[str]:
+    """Run profile-validation specs (operators/validation.py JSON
+    files, one per resource type) against the stored tables: one
+    summary line per rule. ``valuesets_table`` names a stored table
+    of encoded ValueSet/CodeSystem rows when any spec uses a
+    `binding` rule — expanded once and shared across specs."""
+    import json as _json
+
+    from fhir_to_lakehouse_spark.operators.validation import (
+        validation_summary,
+    )
+
+    expansion = None
+    if valuesets_table is not None:
+        from fhir_to_lakehouse_spark.functions.terminology import (
+            expand_valueset,
+        )
+
+        vs = KeyedTable(spark, valuesets_table).to_df()
+        expansion = expand_valueset(vs)
+    out = []
+    for sp in spec_paths:
+        with open(sp) as f:
+            spec = _json.load(f)
+        rtype = spec["resource"]
+        tpath = os.path.join(warehouse_dir, f"{rtype}.parquet")
+        if not os.path.isdir(tpath):
+            out.append(f"{rtype}: SKIPPED (no stored table)")
+            continue
+        df = KeyedTable(spark, tpath).to_df()
+        for r in validation_summary(spec, df, valuesets=expansion).collect():
+            out.append(
+                f"{rtype}.{r['rule']}: {r['violations']} violations / "
+                f"{r['checked']} checked"
+            )
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="lakehousekeeper")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -433,6 +476,7 @@ def main(argv: list[str] | None = None) -> int:
         "create-view",
         "export",
         "everything",
+        "validate",
         "refresh-view",
     ):
         p = sub.add_parser(cmd)
@@ -441,6 +485,21 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--viewdef", required=True)
             p.add_argument("--dest", required=True)
             p.add_argument("--key", default="id")
+            continue
+        if cmd == "validate":
+            p.add_argument("--warehouse", required=True)
+            p.add_argument(
+                "--spec",
+                action="append",
+                required=True,
+                help="validation spec JSON file (repeatable)",
+            )
+            p.add_argument(
+                "--valuesets-table",
+                default=None,
+                help="stored table of encoded ValueSet rows for "
+                "binding rules",
+            )
             continue
         if cmd in ("export", "everything"):
             p.add_argument("--warehouse", required=True)
@@ -592,6 +651,13 @@ def main(argv: list[str] | None = None) -> int:
             files_per_type=args.files_per_type or None,
             since_version=args.since_version,
             at_version=args.at_version,
+        )
+    elif args.cmd == "validate":
+        out = validate_tables(
+            spark,
+            args.warehouse,
+            args.spec,
+            valuesets_table=args.valuesets_table,
         )
     elif args.cmd == "everything":
         out = export_everything(

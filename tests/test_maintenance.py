@@ -657,3 +657,40 @@ def test_export_bulk_at_version_snapshot(spark, tmp_path):
             spark, str(wh), str(tmp_path / "x"),
             since_version=0, at_version=0,
         )
+
+
+def test_validate_tables_cli_function(spark, tmp_path):
+    """maintenance validate: spec JSON against stored tables, one
+    summary line per rule; missing tables reported."""
+    import json
+
+    from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+
+    wh = tmp_path / "wh"
+    resources = [
+        {"resourceType": "Patient", "id": "p1", "gender": "female"},
+        {"resourceType": "Patient", "id": "p2"},
+    ]
+    enc = encode_resources(
+        spark.createDataFrame(
+            [(json.dumps(r),) for r in resources], "resource string"
+        ),
+        "Patient",
+    )
+    KeyedTable(spark, str(wh / "Patient.parquet")).merge_upsert(
+        enc.select("id", "gender", "resource_json")
+    )
+    spec = {
+        "resource": "Patient",
+        "rules": [
+            {"key": "gender_required", "type": "required", "path": "gender"}
+        ],
+    }
+    sp = tmp_path / "patient_spec.json"
+    sp.write_text(json.dumps(spec))
+    other = tmp_path / "obs_spec.json"
+    other.write_text(json.dumps({"resource": "Observation", "rules": spec["rules"]}))
+
+    out = M.validate_tables(spark, str(wh), [str(sp), str(other)])
+    assert "Patient.gender_required: 1 violations / 2 checked" in out
+    assert any(line.startswith("Observation: SKIPPED") for line in out)
