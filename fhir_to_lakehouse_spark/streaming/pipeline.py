@@ -79,6 +79,15 @@ class PipelineConfig:
     # existing deployment can flip it and old rows read NULL
     # extensions.
     encode_extensions: bool = False
+    # profile-validation specs (operators/validation.py), applied to
+    # each batch's encoded PUT rows for their resource type: per-rule
+    # violation/checked counts accumulate on
+    # BundlePipeline.validation_stats (data-quality monitoring inside
+    # the ETL — one extra map-side-combinable aggregate per matching
+    # batch, O(batch) not O(table)). Binding rules additionally need
+    # `validation_valuesets` (an expand_valueset frame).
+    validation_specs: list[dict] = field(default_factory=list)
+    validation_valuesets: object | None = None
     # (ViewDefinition dict, destination path) pairs: each view is
     # materialized flat and refreshed INCREMENTALLY at the upkeep
     # cadence (operators/materialized_view.py — per-resource
@@ -100,6 +109,9 @@ class BundlePipeline:
         # resource_type) — reference delta_operations_timer
         # (/root/reference/src/bundle_processor.py:213-233)
         self.op_timer = HistogramSnapshot()
+        # cumulative {(resource_type, rule): [violations, checked]}
+        # fed by cfg.validation_specs
+        self.validation_stats: dict[tuple[str, str], list[int]] = {}
 
     # -- table access ----------------------------------------------------
 
@@ -126,6 +138,39 @@ class BundlePipeline:
         return self._tables[resource_type]
 
     # -- the foreachBatch callback --------------------------------------
+
+    def _validate_batch(self, resource_type: str, encoded) -> None:
+        """Apply the configured validation specs to this batch's
+        encoded PUT rows and fold the per-rule counts into
+        ``validation_stats``. One small global aggregate per matching
+        spec; skipped entirely when no spec targets the type."""
+        specs = [
+            sp
+            for sp in self.cfg.validation_specs
+            if sp.get("resource") == resource_type
+        ]
+        if not specs:
+            return
+        from fhir_to_lakehouse_spark.operators.validation import (
+            validation_summary,
+        )
+
+        for sp in specs:
+            rows = validation_summary(
+                sp, encoded, valuesets=self.cfg.validation_valuesets
+            ).collect()
+            for r in rows:
+                slot = self.validation_stats.setdefault(
+                    (resource_type, r["rule"]), [0, 0]
+                )
+                slot[0] += r["violations"] or 0
+                slot[1] += r["checked"]
+            if self.cfg.log_batch_stats:
+                for r in rows:
+                    print(
+                        f"validation {resource_type}.{r['rule']}: "
+                        f"{r['violations']}/{r['checked']}"
+                    )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Reference process_batch parity
@@ -240,6 +285,7 @@ class BundlePipeline:
                 normalize_refs=self.cfg.normalize_references_at_write,
                 include_extensions=self.cfg.encode_extensions,
             )
+            self._validate_batch(resource_type, encoded)
             # table creation is unconditional once a type appears — the
             # reference creates the (possibly empty) table before merging,
             # so a DELETE-only first batch still materializes the table

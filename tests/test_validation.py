@@ -154,3 +154,51 @@ def test_validate_plan_is_single_scan_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # pure projection, zero shuffles
+
+
+def test_pipeline_accumulates_validation_stats(spark, tmp_path):
+    """cfg.validation_specs: per-batch validation folds into
+    BundlePipeline.validation_stats across batches."""
+    from fhir_to_lakehouse_spark.streaming.pipeline import (
+        BundlePipeline,
+        PipelineConfig,
+    )
+    from tests.fixtures import KAFKA_SCHEMA, kafka_row, put_bundle
+
+    cfg = PipelineConfig(
+        warehouse_dir=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        upkeep_interval=50,
+        validation_specs=[
+            {
+                "resource": "Patient",
+                "rules": [
+                    {"key": "gender_required", "type": "required",
+                     "path": "gender"}
+                ],
+            }
+        ],
+    )
+    p = BundlePipeline(spark, cfg)
+
+    def batch(rows, bid):
+        p.process_batch(
+            spark.createDataFrame(
+                [kafka_row(**r) for r in rows], KAFKA_SCHEMA
+            ),
+            bid,
+        )
+
+    batch(
+        [
+            {"value": put_bundle("Patient", "p1", gender="female"),
+             "offset": 0},
+            {"value": put_bundle("Patient", "p2"), "offset": 1},
+        ],
+        0,
+    )
+    batch(
+        [{"value": put_bundle("Patient", "p3"), "offset": 2}],
+        1,
+    )
+    assert p.validation_stats[("Patient", "gender_required")] == [2, 3]
