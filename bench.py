@@ -91,6 +91,10 @@ HEADLINE = [
     # unshuffled)
     "viewdef_observation_components",
     "terminology_memberof",
+    # round 7 third pass: compartment extraction (projection +
+    # broadcast semi-join per type) and the one-scan validation suite
+    "compartment_patient_everything",
+    "fhir_validation_summary",
 ]
 
 

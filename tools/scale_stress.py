@@ -56,6 +56,12 @@ QUERIES_TO_RUN = [
     # session spanning H hours explodes into H+1 bucket rows);
     # main() also prints the measured bucket-multiplicity bound
     "events_interval_join_bucketized",
+    # round 7 (cont.): the subsumption BFS — 10x parts deepen the
+    # binary-tree hierarchy by ~3 levels (log2), so the guard under
+    # validation is rounds x per-round cost, not data volume; the
+    # cohort compartment union scales with the fact scans only
+    "terminology_subsumed_by",
+    "compartment_patient_everything",
 ]
 
 
