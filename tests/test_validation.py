@@ -202,3 +202,19 @@ def test_pipeline_accumulates_validation_stats(spark, tmp_path):
         1,
     )
     assert p.validation_stats[("Patient", "gender_required")] == [2, 3]
+
+
+def test_shipped_validation_spec_compiles(spark):
+    """The example spec under validation_specs/ compiles and runs —
+    shipped artifacts can't rot."""
+    import glob
+
+    paths = sorted(glob.glob("/root/repo/validation_specs/*.json"))
+    assert paths
+    for p in paths:
+        spec = json.loads(open(p).read())
+        assert spec["resource"] == "Observation"
+        rows = validation_summary(spec, _obs(spark)).collect()
+        assert {r.rule for r in rows} == {
+            r["key"] for r in spec["rules"]
+        }
