@@ -638,3 +638,82 @@ def viewdef_collection_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", "cities").alias("city_csv"),
         F.size("all_given").alias("n_given"),
     )
+
+
+@query(
+    "fhir_observation_lastn",
+    oracle="""
+    SELECT patient_key, code_text, oid,
+           CAST(effective AS VARCHAR) AS effective,
+           CAST(value AS DECIMAL(18,2)) AS qty
+    FROM (
+      SELECT CAST(user_id AS VARCHAR)                       AS patient_key,
+             CASE WHEN event_id % 2 = 0
+                  THEN 'heart-rate' ELSE 'glucose' END      AS code_text,
+             CAST(event_id AS VARCHAR)                      AS oid,
+             STRFTIME(ts, '%Y-%m-%dT%H:%M:%S')              AS effective,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_id % 2
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def fhir_observation_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FHIR Observation $lastn operation: the N most recent
+    observations per (patient, code), straight off the encoded frame
+    — a row_number window over (subject key, code text) ordered by
+    effectiveDateTime DESC with a deterministic id tie-break. Spark
+    plans this as WindowGroupLimit (partial top-N map-side before the
+    one shuffle on the partition key), so $lastn over a 100 TB
+    observation table moves only each group's head. The oracle is the
+    identical window restated over the source events."""
+    events = load_table(spark, sf_dir, "events")
+    code = F.when(F.col("event_id") % 2 == 0, "heart-rate").otherwise(
+        "glucose"
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(code.alias("text")).alias("code"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("user_id").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "effectiveDateTime"
+            ),
+            F.struct(
+                F.col("value").cast("decimal(18,2)").alias("value"),
+                F.lit("1").alias("unit"),
+            ).alias("valueQuantity"),
+        )
+    )
+    enc = encode_resources(
+        events.select(resource.alias("resource")), "Observation"
+    )
+    from pyspark.sql import Window
+
+    key = F.regexp_extract(F.col("subject.reference"), r"^Patient/(.+)$", 1)
+    w = (
+        Window.partitionBy(key, F.col("code.text"))
+        .orderBy(
+            F.col("effectiveDateTime").desc(), F.col("id").cast("long").desc()
+        )
+    )
+    return (
+        enc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            key.alias("patient_key"),
+            F.col("code.text").alias("code_text"),
+            F.col("id").alias("oid"),
+            F.col("effectiveDateTime").alias("effective"),
+            F.col("valueQuantity.value").cast("decimal(18,2)").alias("qty"),
+        )
+    )
