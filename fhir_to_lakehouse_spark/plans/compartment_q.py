@@ -105,3 +105,53 @@ def compartment_patient_everything(
         patient_ids=cohort,
     )
     return out.select("patient_id", "resource_type", "rid")
+
+
+@query(
+    "patient_link_canonical",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR)                       AS id,
+           CAST(c_custkey // 4 * 4 AS VARCHAR)              AS canonical_id
+    FROM customer
+    """,
+)
+def patient_link_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patient merge-chain resolution (operators/links.py) end to
+    end: customers form replaced-by chains of length 3 inside every
+    block of four ids (4m+3 -> 4m+2 -> 4m+1 -> 4m), so pointer
+    doubling must take two rounds — a single round would leave 4m+3
+    pointing at 4m+1. Every id maps to its block's head; the
+    oracle states that closed form. The resolution itself is
+    patient-dimension-sized; the fact-side application is the
+    broadcast join resolve_patient_references (plan-asserted in
+    tests/test_links.py)."""
+    from fhir_to_lakehouse_spark.operators.links import (
+        resolve_patient_links,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    key = k.cast("string")
+    prev = (k - 1).cast("string")
+    link = F.when(
+        k % 4 != 0,
+        F.array(
+            F.struct(
+                F.struct(
+                    F.concat(F.lit("Patient/"), prev).alias("reference")
+                ).alias("other"),
+                F.lit("replaced-by").alias("type"),
+            )
+        ),
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            key.alias("id"),
+            link.alias("link"),
+        )
+    )
+    enc = encode_resources(
+        customer.select(resource.alias("resource")), "Patient"
+    )
+    return resolve_patient_links(enc).select("id", "canonical_id")

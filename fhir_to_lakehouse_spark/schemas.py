@@ -197,6 +197,19 @@ PATIENT_SCHEMA = T.StructType(
         ),
         T.StructField("maritalStatus", _CODEABLE_CONCEPT),
         T.StructField("multipleBirthBoolean", T.BooleanType()),
+        # record-linkage links (replaced-by / replaces / seealso) —
+        # operators/links.py resolves merge chains through these
+        T.StructField(
+            "link",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("other", _REFERENCE),
+                        T.StructField("type", T.StringType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
