@@ -155,3 +155,74 @@ def patient_link_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select(resource.alias("resource")), "Patient"
     )
     return resolve_patient_links(enc).select("id", "canonical_id")
+
+
+@query(
+    "cohort_inclusion_criteria",
+    oracle="""
+    SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS patient_id
+    FROM customer
+    WHERE c_custkey % 2 = 0
+      AND c_custkey IN (
+        SELECT user_id FROM events
+        WHERE CAST(value AS DECIMAL(18,2)) >= 50
+      )
+    """,
+)
+def cohort_inclusion_criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative cohort extraction (operators/cohort.py): female
+    patients (customer-derived) AND at least one final Observation
+    with value >= 50 (events-derived, linked through the verbatim
+    'Patient/<uid>' subject) — each criterion one pushed-filter scan
+    reduced to a distinct patient-id set, intersected by LEFT SEMI
+    join. The oracle restates the cohort as a flat EXISTS query."""
+    from fhir_to_lakehouse_spark.operators.cohort import build_cohort
+
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    pat_json = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            F.col("c_custkey").cast("string").alias("id"),
+            F.when(F.col("c_custkey") % 2 == 0, "female")
+            .otherwise("male")
+            .alias("gender"),
+        )
+    )
+    patients = encode_resources(
+        customer.select(pat_json.alias("resource")), "Patient"
+    )
+    obs_json = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("user_id").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.struct(
+                F.col("value").cast("decimal(18,2)").alias("value")
+            ).alias("valueQuantity"),
+        )
+    )
+    observations = encode_resources(
+        events.select(obs_json.alias("resource")), "Observation"
+    )
+    criteria = [
+        {"resource": "Patient", "where": [{"path": "gender = 'female'"}]},
+        {
+            "resource": "Observation",
+            "where": [
+                {"path": "status = 'final'"},
+                {"path": "valueQuantity.value >= 50"},
+            ],
+        },
+    ]
+    cohort = build_cohort(
+        criteria, {"Patient": patients, "Observation": observations}
+    )
+    # criterion 2 can only produce ids that exist among events'
+    # user_ids; intersecting with criterion 1 bounds it to customers
+    return cohort
