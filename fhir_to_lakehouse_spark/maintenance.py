@@ -372,6 +372,7 @@ def export_everything(
     out_dir: str,
     patients: list[str] | None = None,
     group: str | None = None,
+    criteria_path: str | None = None,
     types: list[str] | None = None,
     files_per_type: int | None = 1,
     since_version: int | None = None,
@@ -394,12 +395,31 @@ def export_everything(
     )
     from fhir_to_lakehouse_spark.sources.bulk_export import write_bulk_export
 
+    if sum(x is not None for x in (patients, group, criteria_path)) > 1:
+        raise ValueError(
+            "pass at most one of patients, group, criteria (not both)"
+        )
     cohort: list[str] | None | object = patients
     if group is not None:
-        if patients is not None:
-            raise ValueError("pass either patients or group, not both")
         gpath = os.path.join(warehouse_dir, "Group.parquet")
         cohort = group_patient_ids(KeyedTable(spark, gpath).to_df(), group)
+    if criteria_path is not None:
+        import json as _json
+
+        from fhir_to_lakehouse_spark.operators.cohort import build_cohort
+
+        with open(criteria_path) as f:
+            cspec = _json.load(f)
+        needed = {c["resource"] for c in cspec["criteria"]}
+        ctables = {
+            rt: KeyedTable(
+                spark, os.path.join(warehouse_dir, f"{rt}.parquet")
+            ).to_df()
+            for rt in needed
+        }
+        cohort = build_cohort(
+            cspec["criteria"], ctables, combine=cspec.get("combine", "and")
+        )
     out = []
     for path in discover_tables(warehouse_dir, spark):
         name = os.path.basename(path).removesuffix(".parquet")
@@ -548,6 +568,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="take the cohort from this stored Group "
                     "resource's active members instead",
                 )
+                p.add_argument(
+                    "--criteria",
+                    default=None,
+                    help="cohort-criteria JSON evaluated against the "
+                    "stored tables (operators/cohort.py spec)",
+                )
             continue
         if cmd == "create-view":
             p.add_argument("--warehouse", required=True)
@@ -666,6 +692,7 @@ def main(argv: list[str] | None = None) -> int:
             args.out,
             patients=args.patient,
             group=args.group,
+            criteria_path=args.criteria,
             types=args.type,
             files_per_type=args.files_per_type or None,
             since_version=args.since_version,

@@ -84,3 +84,43 @@ def test_guardrails(spark):
         build_cohort(
             [{"resource": "Condition", "where": []}], tables
         )
+
+
+def test_everything_export_with_criteria(spark, tmp_path):
+    """maintenance everything --criteria: the cohort comes from a
+    criteria spec evaluated against the stored tables, then drives
+    the compartment NDJSON export."""
+    from fhir_to_lakehouse_spark import maintenance as M
+    from fhir_to_lakehouse_spark.sinks.keyed_table import KeyedTable
+    from fhir_to_lakehouse_spark.sources.bulk_export import read_bulk_export
+
+    wh = tmp_path / "wh"
+    tables = _tables(spark)
+    KeyedTable(spark, str(wh / "Patient.parquet")).merge_upsert(
+        tables["Patient"].select("id", "gender", "resource_json")
+    )
+    KeyedTable(spark, str(wh / "Observation.parquet")).merge_upsert(
+        tables["Observation"].select(
+            "id", "status", "subject", "valueQuantity", "resource_json"
+        )
+    )
+    spec = {"combine": "and", "criteria": [_FEMALE, _HIGH]}
+    sp = tmp_path / "criteria.json"
+    sp.write_text(json.dumps(spec))
+
+    M.export_everything(
+        spark, str(wh), str(tmp_path / "cx"), criteria_path=str(sp)
+    )
+    pats = read_bulk_export(
+        spark, str(tmp_path / "cx" / "Patient"), "Patient"
+    )
+    assert [r.id for r in pats.collect()] == ["p1"]
+    obs = read_bulk_export(
+        spark, str(tmp_path / "cx" / "Observation"), "Observation"
+    )
+    assert [r.id for r in obs.collect()] == ["o1"]
+    with pytest.raises(ValueError, match="at most one"):
+        M.export_everything(
+            spark, str(wh), str(tmp_path / "cx2"),
+            patients=["p1"], criteria_path=str(sp),
+        )
