@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 from fhir_to_lakehouse_spark.operators.bundles import encode_resources
 from fhir_to_lakehouse_spark.operators.compartment import patient_everything
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 
 @query(
@@ -48,9 +51,9 @@ def compartment_patient_everything(
     cohort BROADCAST semi-joined into each slice, so no fact table
     shuffles and each is read exactly once. The oracle restates the
     compartment as three flat selects."""
-    customer = load_table(spark, sf_dir, "customer")
-    events = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
+    events = fan_out_small_scan(load_table(spark, sf_dir, "events"))
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
 
     pat_json = F.to_json(
         F.struct(
@@ -129,7 +132,7 @@ def patient_link_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_patient_links,
     )
 
-    customer = load_table(spark, sf_dir, "customer")
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
     k = F.col("c_custkey")
     key = k.cast("string")
     prev = (k - 1).cast("string")
@@ -178,8 +181,8 @@ def cohort_inclusion_criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The oracle restates the cohort as a flat EXISTS query."""
     from fhir_to_lakehouse_spark.operators.cohort import build_cohort
 
-    customer = load_table(spark, sf_dir, "customer")
-    events = load_table(spark, sf_dir, "events")
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
+    events = fan_out_small_scan(load_table(spark, sf_dir, "events"))
     pat_json = F.to_json(
         F.struct(
             F.lit("Patient").alias("resourceType"),

@@ -19,7 +19,10 @@ from fhir_to_lakehouse_spark.operators.bundles import (
     prepare_stream,
 )
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 
 def _bundle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,7 +30,7 @@ def _bundle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events: each event becomes one PUT (or DELETE for 'error' events)
     of Patient/<user_id>; partition = event_id % 4, offset = event_id.
     Built with to_json(struct(...)) so the JSON payload is real."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events"))
     resource = F.to_json(
         F.struct(
             F.lit("Patient").alias("resourceType"),
@@ -126,7 +129,7 @@ def _observation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pressure panel: systolic + diastolic + a valueString note), and a
     referenceRange. Values are DECIMAL-cast before serialization so the
     DuckDB oracle reproduces them exactly (same rule as money math)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events"))
     vq = F.col("value").cast("decimal(18,2)")
 
     def quantity(val, unit="mm[Hg]"):
@@ -276,7 +279,7 @@ def pipeline_medication_request_decode(spark: SparkSession, sf_dir: str) -> Data
     .doseQuantity decoded back out."""
     from fhir_to_lakehouse_spark.operators.bundles import encode_resources
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events"))
     dose = F.col("value").cast("decimal(18,2)")
     resource = F.to_json(
         F.struct(
@@ -385,7 +388,7 @@ def pipeline_claim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_references,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
     total = F.col("o_totalprice").cast("decimal(18,2)")
     money = lambda v: F.struct(  # noqa: E731
         v.alias("value"), F.lit("USD").alias("currency")
@@ -483,7 +486,7 @@ def pipeline_dispense_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_references,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    li = fan_out_small_scan(load_table(spark, sf_dir, "lineitem")).filter(F.col("l_linenumber") == 1)
     rid = F.concat_ws(
         "-",
         F.col("l_orderkey").cast("string"),
@@ -578,7 +581,7 @@ def pipeline_invoice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_references,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
     net = F.col("o_totalprice").cast("decimal(18,2)")
     gross = (net + F.lit(19.99).cast("decimal(18,2)")).cast("decimal(18,2)")
     money = lambda v: F.struct(  # noqa: E731
@@ -668,7 +671,7 @@ def pipeline_risk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_references,
     )
 
-    cust = load_table(spark, sf_dir, "customer")
+    cust = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
     prob = F.col("c_acctbal").cast("decimal(18,2)")
     risk = F.when(F.col("c_acctbal") < 0, "low").otherwise("high")
     resource = F.to_json(
@@ -745,7 +748,7 @@ def _linked_bundle_events(
     normalization e2e). The Patient payload is a pure function of
     user_id so repeated PUTs are byte-identical and W1 dedup is
     value-deterministic."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events"))
     uid = F.col("user_id").cast("string")
     patient_id = F.concat(F.lit("uuid-"), uid)
     patient = F.to_json(
@@ -911,7 +914,7 @@ def pipeline_dangling_references(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_references,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events"))
     uid = F.col("user_id").cast("string")
     patient_id = F.concat(F.lit("uuid-"), uid)
     patient = F.to_json(
@@ -1093,7 +1096,7 @@ def pipeline_claimresponse_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         resolve_references,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
     total = F.col("o_totalprice").cast("decimal(18,2)")
     money = lambda v: F.struct(  # noqa: E731
         v.alias("value"), F.lit("USD").alias("currency")
@@ -1211,7 +1214,7 @@ def pipeline_measurereport_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         resolve_references,
     )
 
-    customer = load_table(spark, sf_dir, "customer")
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
     per_nation = customer.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("int").alias("cnt")
     )
@@ -1321,7 +1324,7 @@ def pipeline_auditevent_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         resolve_references,
     )
 
-    events_t = load_table(spark, sf_dir, "events").filter(
+    events_t = fan_out_small_scan(load_table(spark, sf_dir, "events")).filter(
         F.col("event_type") == "purchase"
     )
     resource = F.to_json(

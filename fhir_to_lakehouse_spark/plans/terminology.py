@@ -33,7 +33,10 @@ from fhir_to_lakehouse_spark.functions.terminology import (
 )
 from fhir_to_lakehouse_spark.operators.bundles import encode_resources
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 _CS_BRAND = "http://example.org/cs/brand"
 _CS_TYPE = "http://example.org/cs/type"
@@ -57,7 +60,7 @@ def _valueset_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit concepts (brand subset), a whole-system include (type
     code system, no concept list), and a pre-expanded
     expansion.contains snapshot (one extra code)."""
-    part = load_table(spark, sf_dir, "part")
+    part = fan_out_small_scan(load_table(spark, sf_dir, "part"))
     codes = part.filter(_brand_suffix(F.col("p_brand")) <= _BRAND_CUTOFF).agg(
         F.sort_array(F.collect_set("p_brand")).alias("codes")
     )
@@ -105,7 +108,7 @@ def _valueset_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _codesystem_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE encoded CodeSystem row holding the full p_type domain —
     the target of the ValueSet's whole-system include."""
-    part = load_table(spark, sf_dir, "part")
+    part = fan_out_small_scan(load_table(spark, sf_dir, "part"))
     codes = part.agg(F.sort_array(F.collect_set("p_type")).alias("codes"))
     cs_json = F.to_json(
         F.struct(
@@ -127,7 +130,7 @@ def _conceptmap_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE encoded ConceptMap row mapping every p_type except
     'STANDARD' to a tier code — the gap exercises unmapped-source
     passthrough."""
-    part = load_table(spark, sf_dir, "part")
+    part = fan_out_small_scan(load_table(spark, sf_dir, "part"))
     codes = part.filter(F.col("p_type") != "STANDARD").agg(
         F.sort_array(F.collect_set("p_type")).alias("codes")
     )
@@ -201,7 +204,7 @@ def terminology_memberof(spark: SparkSession, sf_dir: str) -> DataFrame:
     The expansion (a few dozen codes) broadcasts; the part fact side
     streams through unshuffled with its row count provably unchanged
     (left join on a deduped key)."""
-    part = load_table(spark, sf_dir, "part")
+    part = fan_out_small_scan(load_table(spark, sf_dir, "part"))
     expansion = expand_valueset(
         _valueset_df(spark, sf_dir), _codesystem_df(spark, sf_dir)
     ).filter(F.col("system") == _CS_BRAND)
@@ -233,7 +236,7 @@ def terminology_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     code to a tier code; the deliberately-unmapped 'STANDARD' source
     passes through with NULL targets. Rules broadcast; the fact side
     never shuffles."""
-    part = load_table(spark, sf_dir, "part")
+    part = fan_out_small_scan(load_table(spark, sf_dir, "part"))
     rules = conceptmap_rules(_conceptmap_df(spark, sf_dir)).filter(
         F.col("map_url") == _CM_URL
     )
@@ -279,7 +282,7 @@ def terminology_subsumed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the subsumption cone. The oracle is the recursive CTE stating
     the same subtree — an ITERATIVE Spark algorithm value-checked
     against declarative recursion, like graph_reachability_bfs."""
-    part = load_table(spark, sf_dir, "part")
+    part = fan_out_small_scan(load_table(spark, sf_dir, "part"))
     k = F.col("p_partkey")
     parent = F.expr("CAST(p_partkey / 2 AS INT)").cast("string")
     concept = F.struct(
@@ -355,7 +358,7 @@ def fhir_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         validation_summary,
     )
 
-    part = load_table(spark, sf_dir, "part")
+    part = fan_out_small_scan(load_table(spark, sf_dir, "part"))
     k = F.col("p_partkey")
     rid = F.when(
         k % 11 == 0, F.concat(F.lit("bad id "), k.cast("string"))

@@ -20,7 +20,10 @@ from fhir_to_lakehouse_spark.operators.bundles import (
 from fhir_to_lakehouse_spark.operators.view_definition import compile_view
 from fhir_to_lakehouse_spark.plans.pipeline_q import _observation_events
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 # the blood-pressure flattening view from the SQL-on-FHIR examples,
 # adapted to the synthesized Observation shape of _observation_events:
@@ -130,7 +133,7 @@ def viewdef_patient_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one row for them with a NULL city (explode_outer), while
     addressed patients unnest normally. The oracle reproduces the
     shape with a CASE, row counts identical by construction."""
-    customer = load_table(spark, sf_dir, "customer")
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
     key = F.col("c_custkey").cast("string")
     empty_addr = F.expr(
         "CAST(array() AS array<struct<city:string>>)"
@@ -284,7 +287,7 @@ def viewdef_memberof_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _valueset_df,
     )
 
-    part = load_table(spark, sf_dir, "part")
+    part = fan_out_small_scan(load_table(spark, sf_dir, "part"))
     resource = F.to_json(
         F.struct(
             F.lit("Observation").alias("resourceType"),
@@ -341,7 +344,7 @@ def viewdef_constants_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries compile to plain pushable filters below the projection —
     the constants vanish at compile time, so the plan is identical to
     a hand-written literal filter."""
-    customer = load_table(spark, sf_dir, "customer")
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
     key = F.col("c_custkey").cast("string")
     birth = F.format_string(
         "%04d-01-01", (F.lit(1950) + F.col("c_custkey") % 50).cast("int")
@@ -415,7 +418,7 @@ def viewdef_extension_uscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension('url') chains compile to nested codegen'd array
     filters — no explode, no shuffle, no Python — and absent
     extensions surface as NULL, exactly the oracle's CASE."""
-    customer = load_table(spark, sf_dir, "customer")
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
     key = F.col("c_custkey").cast("string")
     sex = F.when(F.col("c_custkey") % 2 == 0, "F").otherwise("M")
     race = F.when(F.col("c_nationkey") % 2 == 0, "2106-3").otherwise(
@@ -498,7 +501,7 @@ def viewdef_official_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     the official one with name.where(use='official') and joins its
     given parts — the collection filter compiles to a codegen'd
     higher-order `filter`, no explode, no shuffle."""
-    customer = load_table(spark, sf_dir, "customer")
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
     key = F.col("c_custkey").cast("string")
     name = lambda use, family, given: F.struct(  # noqa: E731
         F.lit(use).alias("use"),
@@ -573,7 +576,7 @@ def viewdef_collection_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     name.family maps element-wise, and address.city over an empty
     address array yields [] not null. Arrays serialize to CSV only
     for the engine-portable oracle compare."""
-    customer = load_table(spark, sf_dir, "customer")
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
     key = F.col("c_custkey").cast("string")
     name = lambda fam, givens: F.struct(  # noqa: E731
         fam.alias("family"), givens.alias("given")
@@ -670,7 +673,7 @@ def fhir_observation_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on the partition key), so $lastn over a 100 TB
     observation table moves only each group's head. The oracle is the
     identical window restated over the source events."""
-    events = load_table(spark, sf_dir, "events")
+    events = fan_out_small_scan(load_table(spark, sf_dir, "events"))
     code = F.when(F.col("event_id") % 2 == 0, "heart-rate").otherwise(
         "glucose"
     )

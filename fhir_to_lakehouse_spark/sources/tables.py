@@ -57,6 +57,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out_small_scan(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Round-robin repartition a byte-small scan before CPU-amplifying work.
+
+    The bundle-synthesis chains serialize narrow rows to JSON, parse them
+    back against a full FHIR resource schema, and explode — orders of
+    magnitude more CPU per row than the bytes scanned. Spark sizes scan
+    splits by INPUT bytes (``spark.sql.files.maxPartitionBytes``), so a
+    few-MB parquet file arrives as ONE split and the amplified work runs
+    on one core while the rest of the cluster idles. Repartitioning the
+    narrow source rows BEFORE the amplification moves only the small
+    input through the shuffle and lets every core share the expensive
+    parse/encode part.
+
+    At 100 TB this is a no-op by construction: a real Kafka topic or a
+    lake-sized scan already arrives with >= defaultParallelism splits and
+    the guard leaves it untouched (no added shuffle). AQE never coalesces
+    a user-specified ``repartition(n)``, so the fan-out survives runtime
+    re-planning. Streaming frames pass through unchanged — their
+    parallelism is the source's partitioning.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
