@@ -772,3 +772,65 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", F.element_at(labels, F.ntile(3).over(w)))
         .select("doc_id", "lang", "avg_neg_logprob", "bucket")
     )
+
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+@query(
+    "corpus_chunk_sliding",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_STRIDE})) AS start
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS INT)                    AS chunk_idx,
+           CAST(start AS INT)                                       AS start_token,
+           CAST(len(toks[start + 1 : start + {_CHUNK_SIZE}]) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : start + {_CHUNK_SIZE}], ' ') AS chunk_text
+    FROM starts
+    WHERE start = 0 OR start - {_CHUNK_STRIDE} + {_CHUNK_SIZE} < len(toks)
+    """,
+)
+def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/training-window chunking: split every document into
+    overlapping token windows (size 64, stride 48 — 16 tokens of
+    overlap so no boundary context is lost), one output row per chunk
+    with its position and text. The trailing-chunk rule is
+    deterministic: a start position is kept only if it is the first OR
+    the previous window did not already reach the document's end, so
+    no emitted chunk is a strict suffix of its predecessor.
+
+    100 TB shape: pure Catalyst row amplification — sequence/explode/
+    slice/concat_ws inside one whole-stage-codegen projection, no
+    shuffle at all (chunking is embarrassingly parallel per document;
+    amplification factor n/stride ~ 1.3x the token stream). Downstream
+    embed/index stages partition on (doc_id, chunk_idx) which this
+    layout already provides. Chunk boundaries depend only on the
+    document itself, so the operator is replay-idempotent for
+    incremental ingest."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    ).filter(
+        (F.col("start") == 0)
+        | (F.col("start") - _CHUNK_STRIDE + _CHUNK_SIZE < F.size("toks"))
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_token"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
