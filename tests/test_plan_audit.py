@@ -282,3 +282,41 @@ def test_resolve_references_preserves_pushdown_and_pruning(spark, tmp_path):
     read_schema2 = plan2.split("ReadSchema:")[1].splitlines()[0]
     assert "resource_json" not in read_schema2, plan2
     assert "subject" in read_schema2, plan2
+
+
+def test_fan_out_small_scan_spreads_and_preserves_pushdown(spark, sf_dir, tmp_path):
+    """fan_out_small_scan contract (sources/tables.py): a byte-small
+    single-split scan is spread to defaultParallelism partitions so
+    the CPU-amplifying bundle chains parallelize, WITHOUT losing
+    filter pushdown (Catalyst moves deterministic predicates below
+    the round-robin repartition into the scan) and WITHOUT touching
+    an input that already has enough splits (no added shuffle at
+    scale, where real sources arrive parallel)."""
+    from pyspark.sql import functions as F
+
+    from fhir_to_lakehouse_spark.sources.tables import (
+        fan_out_small_scan,
+        load_table,
+    )
+
+    small = load_table(spark, sf_dir, "events")
+    assert small.rdd.getNumPartitions() == 1  # precondition of the test
+    spread = fan_out_small_scan(small)
+    target = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == target
+
+    # filter above the fan-out still reaches the parquet scan
+    q = spread.filter(F.col("event_type") == "click")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(event_type,click)" in plan, plan
+
+    # an already-parallel input passes through with no repartition
+    many = small.repartition(target + 4)
+    assert fan_out_small_scan(many) is many
+
+    # streaming frames pass through untouched (their parallelism is
+    # the source's partitioning; .rdd would throw on them anyway)
+    src = str(tmp_path / "stream-src")
+    small.write.parquet(src)
+    stream = spark.readStream.schema(small.schema).parquet(src)
+    assert fan_out_small_scan(stream) is stream
