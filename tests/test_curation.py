@@ -304,3 +304,53 @@ def test_survivor_pick_policy(spark, sf_dir):
         for fp, members in groups.items()
     }
     assert got == want
+
+
+def test_sliding_chunks_truth_table(spark, tmp_path):
+    """corpus_chunk_sliding edge cases, hand-computed at size 64 /
+    stride 48: an empty document emits no chunks; a doc shorter than
+    one window emits exactly one chunk covering it; a doc longer than
+    one window but whose second start position would only re-emit a
+    suffix of chunk 0 keeps that second chunk ONLY if chunk 0 did not
+    already reach the end (the deterministic trailing-chunk rule)."""
+    from fhir_to_lakehouse_spark.plans.curation import corpus_chunk_sliding
+
+    short = " ".join(f"w{i}" for i in range(10))        # 10 toks -> 1 chunk
+    exact = " ".join(f"x{i}" for i in range(64))        # 64 toks -> 1 chunk
+    # 70 tokens: start 48 would give toks[49:70] (22 toks) — but chunk 0
+    # already covers 1..64 < 70, so the trailing chunk IS kept
+    long = " ".join(f"y{i}" for i in range(70))
+    # 112 tokens: starts 0, 48, 96; chunk at 48 covers 49..112 = end,
+    # so start 96 (a strict suffix of it) must be dropped
+    longer = " ".join(f"z{i}" for i in range(112))
+    df = spark.createDataFrame(
+        [
+            (1, "", "en", "t", 0),
+            (2, short, "en", "t", len(short)),
+            (3, exact, "en", "t", len(exact)),
+            (4, long, "en", "t", len(long)),
+            (5, longer, "en", "t", len(longer)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = corpus_chunk_sliding(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc
+    assert [ (r.chunk_idx, r.n_chunk_tokens) for r in by_doc[2] ] == [(0, 10)]
+    assert [ (r.chunk_idx, r.n_chunk_tokens) for r in by_doc[3] ] == [(0, 64)]
+    assert sorted((r.chunk_idx, r.start_token, r.n_chunk_tokens) for r in by_doc[4]) == [
+        (0, 0, 64),
+        (1, 48, 22),
+    ]
+    assert sorted((r.chunk_idx, r.start_token, r.n_chunk_tokens) for r in by_doc[5]) == [
+        (0, 0, 64),
+        (1, 48, 64),
+    ]
+    # overlap property: consecutive chunks share exactly size-stride
+    # tokens when both are full windows
+    c0 = by_doc[5][0].chunk_text.split(" ") if by_doc[5][0].chunk_idx == 0 else by_doc[5][1].chunk_text.split(" ")
+    c1 = by_doc[5][1].chunk_text.split(" ") if by_doc[5][1].chunk_idx == 1 else by_doc[5][0].chunk_text.split(" ")
+    assert c0[48:] == c1[:16]
