@@ -95,6 +95,9 @@ HEADLINE = [
     # broadcast semi-join per type) and the one-scan validation suite
     "compartment_patient_everything",
     "fhir_validation_summary",
+    # round 7 fourth pass: RAG sliding-window chunking (zero-shuffle
+    # codegen row amplification)
+    "corpus_chunk_sliding",
 ]
 
 
