@@ -9,7 +9,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 _DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
 
@@ -54,7 +57,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     scored = (
         docs.select(
             "doc_id", "lang", "n_chars", "text", tokens("text").alias("_toks")
@@ -90,7 +93,7 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified 30% sample: the hash-mod predicate is applied within
     every stratum identically, so strata keep their proportions and the
     sample is reproducible across engines and runs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.filter((F.col("doc_id") * 2654435761) % 10 < 3)
         .groupBy("lang")
@@ -118,8 +121,8 @@ def join_documents_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the sample key)."""
     from fhir_to_lakehouse_spark.functions.similarity import as_double, l2_norm
 
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     joined = docs.join(emb, docs.doc_id == emb.vec_id)
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
@@ -142,7 +145,7 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram via floor-div bucketing (a single
     map-side-combinable aggregate; the building block for distribution
     profiling of any numeric column)."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
     return (
         orders.withColumn(
             "bucket", F.floor(F.col("o_totalprice") / 50000.0).cast("long")

@@ -17,7 +17,10 @@ from fhir_to_lakehouse_spark.functions.cache import scoped_persist
 
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 _DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
 
@@ -61,7 +64,7 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id partitioning (no extra Exchange). Per-row quadratic HOF
     scans are deliberately avoided. Docs with < 2 tokens have no
     bigrams and drop out (both engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # staged: the bigram expression references the token array three
     # times (size guard, sequence bound, transform); tokens in their
     # own projection are computed once (multi-use non-cheap aliases
@@ -119,7 +122,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes the in-memory hash set and aggregates locally by doc_id.
     Shingles per doc are pre-deduped, so the left join cannot fan out
     rows. Docs with < 3 tokens have no shingles and drop out."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # staged materialization (see shingles_from_tokens docstring): the
     # convenience single-select form embeds the regex tokenizer 4x per
     # row; tokens in their own projection are computed once
@@ -177,7 +180,7 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti join is further pre-pruned by a runtime Bloom filter
     (verified in tests/test_scale.py); batch work stays O(batch ×
     log(index)), never O(corpus)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     fp = docs.select(
         "doc_id",
         F.md5(
@@ -218,7 +221,7 @@ def sample_bottomk_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeability the HLL sketches (plans/approx.py) exploit. The
     window here computes the same result as a per-partition top-k +
     merge; partial TakeOrdered pushes the k-filter map-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
@@ -254,7 +257,7 @@ def sample_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     and filters map-side with zero shuffle. u and weight are exact
     doubles (a 32-bit integer and small-int ratios are both
     representable), so the oracle hash-matches without rounding."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))), 1, 8),
@@ -298,7 +301,7 @@ def corpus_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) are prefix-summed on a single tiny partition, and the
     per-bucket offsets are broadcast back. cum = bucket_offset +
     local_cum reproduces the exact global running sum."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id",
         F.size(TX.tokens("text")).alias("n_tokens"),
@@ -382,7 +385,7 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     10M times); the aggregate's map-side combine collapses those
     occurrences per task, and the join streams them. At 100 TB you
     would persist the chunk-frequency table between the passes."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", TX.tokens("text").alias("t"))
     n_chunks = F.ceil(F.size("t") / F.lit(5.0)).cast("int")
     # empty-doc guard lives INSIDE the projection (when/otherwise), not
@@ -449,7 +452,7 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     across task retries). Keys of distinct docs are separated by far
     more than cross-engine pow() ulp error (u spreads 50k docs over
     ~1e-3 of key space), and ties break by doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     u = (
         F.conv(
             F.substring(
@@ -502,7 +505,7 @@ def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain runs over that tiny relation and broadcasts back onto the
     corpus, which filters map-side in a single scan — no shuffle of
     document rows, no RNG state across task retries."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
     tot = counts.agg(F.sum("n").alias("nn"))
     w = counts.crossJoin(F.broadcast(tot)).select(
@@ -582,7 +585,7 @@ def quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized token array — adding a rule adds an expression, not a
     pass. Repetition-based Gopher signals (dup-bigram mass) live in
     text_repetition_quality; this query is the lexical rule family."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = TX.tokens("text")
     d = docs.select("doc_id", toks.alias("toks"))
     wc = F.size("toks")
@@ -658,7 +661,7 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     exact-string verify join. Both per-doc aggregates key on doc_id
     and are map-side combinable. Reference analog: none (the reference
     stops at exact dedup, src/bundle_processor.py:114-128)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # staged materialization (see shingles_from_tokens docstring): the
     # convenience single-select form embeds the regex tokenizer 4x per
     # row; tokens in their own projection are computed once
@@ -748,7 +751,7 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     window form here is the exact-rank reference semantics."""
     from fhir_to_lakehouse_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     # vocab-sized (bounded) cache: `counts` feeds both the corpus
     # total and the probability table — without it the corpus is
@@ -811,7 +814,7 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout already provides. Chunk boundaries depend only on the
     document itself, so the operator is replay-idempotent for
     incremental ingest."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", TX.tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )

@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 from fhir_to_lakehouse_spark.functions import dedup as DD
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 _DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
 _DUCK_SHINGLES = (
@@ -39,7 +42,7 @@ _MINHASH_ROWS = _MINHASH_K // _MINHASH_BANDS
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group identical normalized docs by md5 fingerprint;
     one shuffle on the 32-char key, never on document bodies."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return DD.exact_dedup_groups(docs)
 
 
@@ -65,7 +68,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup: candidate pairs only within
     (lang, length-bucket) blocks — the all-pairs join never happens; the
     self-join shuffles on the small block key."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents")).withColumn(
         "len_bucket", (F.col("n_chars") / 100).cast("long")
     )
     pairs = DD.candidate_pairs_blocked(
@@ -130,7 +133,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only band-collision candidates are compared; the shuffle key is the
     band hash. Scale: band buckets bound skew; signatures are ~12×32B
     per doc regardless of doc size."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return DD.minhash_lsh_pairs(
         docs,
         num_hashes=_MINHASH_K,
@@ -145,7 +148,7 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production MinHash: xxhash64 signatures (JVM-fast, no md5 string
     churn). Same LSH shape as dedup_minhash_lsh; rows-only check (no
     xxhash64 in DuckDB), equivalence covered in pytest."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # staged: the convenience shingles() form embedded the tokenizer
     # in all 16 signature components — 96 regex evaluations per row
     # (plan-audit sweep); tokens and shingles in their own projections
@@ -230,7 +233,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     id) over the identical md5-minhash pair list."""
     from fhir_to_lakehouse_spark.functions.graph import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     pairs = DD.minhash_lsh_pairs(
         docs,
         num_hashes=_MINHASH_K,
@@ -277,7 +280,7 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one 64-bit value per doc; the pair join is blocked, and at
     warehouse scale the verify join keys on simhash band prefixes
     instead of lang."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     sh = DD.with_simhash_md5(
         docs.select(F.col("doc_id").alias("id"), "lang", "text"),
         TX.tokens("text"),
@@ -303,7 +306,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 per document + near-dup pairs at Hamming distance <= 8
     within (lang) blocks. xxhash64-based -> rows-only check; the
     truth-table behavior (identical text -> distance 0) is pytest-covered."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     sh = DD.with_simhash(
         docs.select(F.col("doc_id").alias("id"), "lang", "text"),
         TX.tokens("text"),
@@ -359,7 +362,7 @@ def dedup_survivor_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing one task's sort buffer, same rewrite as the W1
     min_by dedup in operators/bundles.py). Shuffles only (fp, 16-byte
     struct), never document bodies."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     fp = docs.select(
         "doc_id",
         "n_chars",
@@ -411,7 +414,7 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs join — tractable at sf0.01, which is exactly why the
     Spark side must not use it. See
     functions/dedup.py::prefix_filter_pairs for the scale analysis."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # staged materialization (see shingles_from_tokens docstring): the
     # convenience single-select form embeds the regex tokenizer 4x per
     # row; tokens in their own projection are computed once
@@ -461,7 +464,7 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
         connected_components_star,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     pairs = DD.minhash_lsh_pairs(
         docs,
         num_hashes=_MINHASH_K,

@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 from fhir_to_lakehouse_spark.functions.cache import scoped_persist
 
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 
 @query(
@@ -41,7 +44,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     row so the pair comparison is one dot product + one division."""
     from fhir_to_lakehouse_spark.functions.similarity import as_double, dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     base = (
         emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
@@ -96,7 +99,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOFs over the ordered (non-distinct) shingle-hash stream."""
     from fhir_to_lakehouse_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     staged = docs.select("doc_id", tokens("text").alias("toks"))
     n = F.size(F.col("toks"))
     hash_stream = F.when(
@@ -142,7 +145,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     'how many LLM tokens is this corpus'."""
     from fhir_to_lakehouse_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(tokens("text")).alias("n_ws_tokens"),
@@ -172,7 +175,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure Catalyst ``sequence``/``explode``/``substring``, no Python in
     the path, so chunking 100 TB is scan-bound. Start offsets come from
     a generated per-row sequence (no join, no shuffle)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents")).filter(F.col("n_chars") > 0)
     return (
         docs.select(
             "doc_id",
@@ -243,7 +246,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, scan-bound at 100 TB."""
     from fhir_to_lakehouse_spark.functions.similarity import as_double, dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     x = emb.select("vec_id", "label", as_double(F.col("embedding")).alias("x"))
     s = x.select(
         "*",
@@ -304,7 +307,7 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the exact global position (bucket prefix order ==
     rank order).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     rank = F.md5(F.concat(F.lit("epoch-7:"), F.col("doc_id").cast("string")))
     t = docs.select(
         "doc_id", rank.alias("rk"), F.substring(rank, 1, 2).alias("bucket")
@@ -363,7 +366,7 @@ def corpus_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (the distinct-fp count shuffles 16-byte fingerprints
     keyed by split). Assignment itself is embarrassingly parallel —
     the aggregate here is the reporting layer."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
     b = F.substring(F.md5(F.concat(F.lit("split-1:"), F.col("fp"))), 1, 2)
     assigned = docs.select("doc_id", fp.alias("fp")).select(

@@ -14,13 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 
 def _token_vectors(spark: SparkSession, sf_dir: str, n_features: int = 1 << 14):
     from pyspark.ml.feature import HashingTF, Tokenizer
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.lower(F.col("text")).alias("text")
     )
     tok = Tokenizer(inputCol="text", outputCol="tokens")
@@ -80,7 +83,7 @@ def _embedding_vectors(spark: SparkSession, sf_dir: str):
     """embeddings.embedding (array<float>) -> MLlib dense vectors."""
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id",
         "label",

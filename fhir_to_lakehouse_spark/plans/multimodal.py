@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.functions import multimodal as MM
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 
 @query(
@@ -32,7 +35,7 @@ from fhir_to_lakehouse_spark.sources.tables import load_table
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over opaque binary columns (struct access on the
     media schema; byte length is computed on the binary payload)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     media = MM.documents_as_media(docs)
     return media.select(
         "media_id",
@@ -56,7 +59,7 @@ def media_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode plumbing, oracle-checked: payload bytes flow
     through Arrow into Python (mapInPandas), sha256 computed per row in
     the batch loop — proving the batch shape and binary fidelity."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     media = MM.documents_as_media(docs)
     return MM.extract_features(media).select("media_id", "n_bytes", "sha256")
 
@@ -81,7 +84,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     'frames', every 4th emitted as a row — a 1:N mapInPandas explode.
     The oracle derives the expected (media_id, frame_idx) set from byte
     lengths; frame content is covered by the determinism test."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     media = MM.documents_as_media(docs)
     frames = MM.sample_frames(media, frame_bytes=64, every_k=4)
     return frames.select(
@@ -107,7 +110,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the full row shape (id, dims, source byte count threaded
     through the UDF, pixel-buffer length); pixel VALUES are covered by
     the determinism test in tests/test_extensions.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     media = MM.documents_as_media(docs)
     resized = MM.resize_images(media, 4, 4)
     return resized.select(
@@ -148,7 +151,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the UTF-8 payload bytes equal the text's UTF-8 encoding. A real
     model-feature deployment swaps the stub and drops the oracle back
     to rows-only (documented trade)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     media = MM.documents_as_media(docs)
     feats = MM.extract_features(media)
     return feats.select(

@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 
 @query(
@@ -72,7 +75,7 @@ def quality_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct for a sketched variant when exactness is
     not required.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
     m = orders.agg(
         F.count("*").alias("n"),
         F.count("o_custkey").alias("custkey_nonnull"),
@@ -142,7 +145,7 @@ def quality_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     function, so no per-group sort and a hot status value costs
     nothing extra.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
     p = F.col("o_totalprice").cast("decimal(18,2)")
     t = orders.select("o_orderstatus", p.alias("p"))
     g = t.groupBy("o_orderstatus").agg(
@@ -195,7 +198,7 @@ def feature_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the rounding guard. For stddev at scale use the same exact-
     sum trick as quality_outlier_zscore or accept sketched moments.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     exploded = emb.select(F.posexplode("embedding").alias("dim0", "v"))
     return (
         exploded.select((F.col("dim0") + 1).alias("dim"), F.col("v").cast("double"))

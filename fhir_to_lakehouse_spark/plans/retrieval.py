@@ -26,7 +26,10 @@ from fhir_to_lakehouse_spark.functions.cache import scoped_persist
 
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 _DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
 
@@ -77,7 +80,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus just to count lengths. Ties at the top-k boundary break by
     doc_id so the result set is deterministic.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = TX.tokens("text")
 
     stats = docs.select(F.size(toks).alias("dl")).agg(
@@ -158,7 +161,7 @@ def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     tf = (
         docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
         .groupBy("term", "doc_id")

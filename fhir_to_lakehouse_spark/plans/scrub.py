@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 _DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
 
@@ -54,7 +57,7 @@ def scrub_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure per-row narrow expressions, whole-stage codegen,
     no shuffle at all — the ideal cleaning-pass form."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     withpii = docs.select(
         "doc_id",
         F.concat(
@@ -112,7 +115,7 @@ def scrub_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is pure ASCII.
 
     Scale shape: per-row expressions only, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     noisy = docs.select(
         "doc_id",
         F.when(
@@ -170,7 +173,7 @@ def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow projection to a 16-byte signature, then
     two map-side-combinable hash aggregates. The doc body never
     shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     sig = docs.select(
         "doc_id", TX.bag_of_words_signature("text").alias("bow_sig")
     )
@@ -209,7 +212,7 @@ def corpus_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row frame via crossJoin — the corpus scans once, no sort. At
     100 TB swap `percentile` for `approx_percentile` (same plan
     shape, sketch-mergeable across partitions)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     n = docs.select(
         "doc_id", "lang", F.size(TX.tokens("text")).alias("n_tokens")
     )
@@ -258,7 +261,7 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     over terms is the honest cost of an exact global ranking; at
     100 TB the same query runs on the term-count table, which is
     bounded by vocabulary (~millions), not corpus size."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     cnt = (
         docs.select(F.explode(TX.tokens("text")).alias("term"))
         .groupBy("term")
@@ -337,7 +340,7 @@ def quality_linear_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-row expressions + one map-side-combinable
     aggregate on lang. The text column never shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # staged token array: the inline form evaluated the tokenizer 5x
     # per row across the feature expressions (plan-audit sweep)
     staged = docs.select("lang", "text", TX.tokens("text").alias("_toks"))
@@ -415,7 +418,7 @@ def dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), "embedding"
     )
@@ -510,7 +513,7 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
     aggregate per eval id — the same broadcast-probe shape the n-gram
     decontamination uses, with substring match instead of shingle
     intersection."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = TX.tokens("text")
     t = docs.select(
         "doc_id", F.concat_ws(" ", toks).alias("norm")
@@ -605,7 +608,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id", "text", TX.tokens("text").alias("_toks")
     ).select(
@@ -711,7 +714,7 @@ def similarity_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram — the monitoring signal to re-train centroids."""
     from fhir_to_lakehouse_spark.functions.similarity import ivf_assign
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     centroids = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), "embedding"
     )

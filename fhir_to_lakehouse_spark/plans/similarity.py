@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.functions import similarity as SIM
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _K = 5
@@ -49,7 +52,7 @@ _BRUTE_ORACLE = _brute_oracle(_N_QUERIES, _K)
 def _query_vectors(
     spark: SparkSession, sf_dir: str, n_queries: int = _N_QUERIES
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     return emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -60,7 +63,7 @@ def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k, Catalyst higher-order-function path: the
     query set is broadcast, the corpus is scanned once, dot products run
     as zip_with+aggregate in double precision (no Python in the loop)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     return SIM.brute_force_topk(emb, _query_vectors(spark, sf_dir), k=_K)
 
 
@@ -70,7 +73,7 @@ def similarity_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow path: mapInPandas streams corpus batches into numpy, one
     (B×d)·(d×Q) matmul per batch, per-batch partial top-k, global exact
     top-k on the tiny candidate set. The scale path when Q is large."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     qrows = [
         (int(r["query_id"]), list(r["embedding"]))
         for r in _query_vectors(spark, sf_dir).collect()  # Q rows only
@@ -87,7 +90,7 @@ def similarity_brute_topk_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the Q=5 entry (same oracle family); the point of the
     pair of q500 entries is the measured wall-clock against the Arrow
     matmul twin at the same Q."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     return SIM.brute_force_topk(
         emb, _query_vectors(spark, sf_dir, _N_QUERIES_LARGE), k=_K
     )
@@ -102,7 +105,7 @@ def similarity_matmul_topk_q500(spark: SparkSession, sf_dir: str) -> DataFrame:
     claimed large-Q advantage ("beats per-row HOFs when Q is large",
     functions/similarity.py) made measurable: both q500 entries run in
     the headline bench and SCALING.md records the crossover."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     qrows = [
         (int(r["query_id"]), list(r["embedding"]))
         for r in _query_vectors(spark, sf_dir, _N_QUERIES_LARGE).collect()
@@ -163,7 +166,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice, scoring) is deterministic, so despite being approximate
     w.r.t. brute force it carries a full DuckDB oracle;
     recall-vs-brute-force is additionally asserted in pytest."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     centroids = (
         emb.filter(F.col("vec_id") < 8)
         .select(F.col("vec_id").alias("cell"), "embedding")
@@ -262,7 +265,7 @@ def similarity_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFram
     constants); recall vs brute force asserted in pytest."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     base = (
         emb.select(
             "vec_id",
@@ -317,7 +320,7 @@ def similarity_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFram
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column aggregate: L2 norm per vector (HOF dot product),
     stats per label."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     v = SIM.as_double(F.col("embedding"))
     return (
         emb.select("vec_id", "label", SIM.l2_norm(v).alias("nrm"))
@@ -377,7 +380,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     # norms staged per ROW, not per pair — one dot product per
     # (query, candidate) instead of three (see brute_force_topk)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(

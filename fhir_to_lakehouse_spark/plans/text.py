@@ -15,7 +15,10 @@ from fhir_to_lakehouse_spark.functions.cache import scoped_persist
 
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
-from fhir_to_lakehouse_spark.sources.tables import load_table
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
 
 # DuckDB equivalent of TX.tokens()
 _DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
@@ -33,7 +36,7 @@ _DUCK_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x 
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer): total + distinct tokens."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     toks = TX.tokens("text")
     return docs.select(
         "doc_id",
@@ -64,7 +67,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality: length, punctuation/digit noise,
     stopword plausibility."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.round(TX.quality_score("text"), 6).alias("quality")
     )
@@ -92,7 +95,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: per-language hit counts + argmax with a
     fixed alphabetical tie-break (the synthetic corpus is English-ish
     word salad; determinism is what's under test, not accuracy)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # two staged projections: tokens once, then each language's score
     # once — the convenience form evaluated the tokenizer 35x per row
     # across the score/greatest/argmax expressions (plan-audit sweep)
@@ -128,7 +131,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequency: explode tokens -> count -> top 50.
     The explode→groupBy is map-side combinable; top-k is TakeOrdered."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(TX.tokens("text")).alias("token"))
         .groupBy("token")
@@ -148,7 +151,7 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized md5 document fingerprint (exact-dedup key)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
@@ -166,7 +169,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-shingle count per document (the MinHash input)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", TX.tokens("text").alias("_toks")).select(
         "doc_id",
         F.size(TX.shingles_from_tokens(F.col("_toks"), 3)).alias("n_shingles"),
@@ -197,7 +200,7 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     count step; the alternative (explode pairs straight off every
     token occurrence) shuffles the whole corpus per iteration.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     words = (
         docs.select(F.explode(TX.tokens("text")).alias("word"))
         .groupBy("word")
@@ -244,7 +247,7 @@ def text_trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct n-grams, partitioned by ctx (vocabulary-scale groups, no
     single-partition window).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     t = docs.select(TX.tokens("text").alias("t")).filter(F.size("t") >= 3)
     grams = t.select(
         F.explode(
@@ -295,7 +298,7 @@ def text_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from fhir_to_lakehouse_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     # vocab-sized (bounded) cache: `counts` feeds both the corpus
     # total and the probability table — without it the corpus is
@@ -339,7 +342,7 @@ def text_hapax_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     second keys on the tiny frequency domain (~hundreds of distinct
     counts), so the final shuffle is near-zero bytes. No windows, no
     joins — survives any corpus size the vocab aggregate survives."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return counts.groupBy(F.col("n").alias("token_freq")).agg(
@@ -383,7 +386,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, no windows; both aggregates survive any corpus the
     vocabulary aggregate survives. At scale the df table would be
     frequency-floored like the unigram table (SCALING.md)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", TX.tokens("text").alias("_toks")).select(
         "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("sh")
     )
@@ -429,7 +432,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's characters to its alphabet locally before any shuffle
     (a 1 MB document becomes <=|alphabet| rows). The second agg reuses
     the doc_id-compatible partitioning. No joins, no windows."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     ch = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
     counts = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
     n = F.sum("c")
@@ -472,7 +475,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one tokenizing scan -> (shingle -> df, min doc) hash
     aggregate -> TakeOrdered top-20 (per-partition partial top-k, no
     global sort). Scales exactly as far as the df aggregate does."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", TX.tokens("text").alias("_toks")).select(
         "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("sh")
     )
@@ -505,7 +508,7 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row collect + a narrow fold, lineage checkpointed per round."""
     from fhir_to_lakehouse_spark.functions.text import learn_bpe_merges
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     words = (
         docs.select(F.explode(TX.tokens("text")).alias("word"))
         .groupBy("word")
@@ -550,7 +553,7 @@ def text_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir_to_lakehouse_spark.functions.cache import scoped_persist
     from fhir_to_lakehouse_spark.functions.text import misra_gries_candidates
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
     # ONE scan yields both the candidates and the per-partition row
     # counts (N = their sum); persisted because both derivations read
@@ -613,7 +616,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded corpus) followed by ten conditional counts in ONE 1-row
     aggregate reproduces all ten distinct counts. The explode of the
     prefix array runs over that single row."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     e = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
     firsts = e.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
     prefixes = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512]
@@ -667,7 +670,7 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         learn_bpe_merges,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(TX.tokens("text")).alias("word")
     )
