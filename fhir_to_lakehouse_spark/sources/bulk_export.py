@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+from fhir_to_lakehouse_spark.sources.tables import fan_out_small_scan
 
 
 def read_bulk_export(
@@ -51,7 +52,14 @@ def read_bulk_export(
     per-type, so a stray line is corruption, and silently decoding it
     with the wrong schema would null most columns. Blank lines are
     always skipped (trailing newline files are the norm)."""
-    lines = spark.read.text(path).select(
+    # fan out BEFORE the full-schema from_json in encode_resources:
+    # text splits are sized by input bytes, and a small export file
+    # would otherwise pay the parse on one core (same amplification
+    # rationale as the bundle chains — sources/tables.py
+    # fan_out_small_scan; no-op when the export is already parallel)
+    lines = fan_out_small_scan(
+        spark.read.text(path)
+    ).select(
         F.col("value").alias("resource")
     ).filter(F.length(F.trim("resource")) > 0)
     if strict_type:
