@@ -440,6 +440,14 @@ def main() -> None:
     from fhir_to_lakehouse_spark.plans import QUERIES
     from fhir_to_lakehouse_spark.session import get_spark
 
+    # sample BEFORE the session spins up: the run-end sample below
+    # always includes this bench's own 32-core load, so only the
+    # start sample answers "was the machine quiet when this began?"
+    try:
+        start_load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        start_load1 = None
+
     spark = get_spark("bench")
 
     reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
@@ -526,6 +534,7 @@ def main() -> None:
     try:
         load1, load5, load15 = os.getloadavg()
         env_load = {
+            "loadavg_1m_at_start": start_load1,
             "loadavg_1m": round(load1, 2),
             "loadavg_5m": round(load5, 2),
             "loadavg_15m": round(load15, 2),
