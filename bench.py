@@ -98,6 +98,12 @@ HEADLINE = [
     # round 7 fourth pass: RAG sliding-window chunking (zero-shuffle
     # codegen row amplification)
     "corpus_chunk_sliding",
+    # round 8 (VERDICT r7 item 6): the two newest expensive FHIR
+    # operators, now regression-gated — subsumption (driver-side cone
+    # for dimension-sized hierarchies + broadcast fact join) and
+    # $lastn (WindowGroupLimit partial top-N)
+    "terminology_subsumed_by",
+    "fhir_observation_lastn",
 ]
 
 
@@ -440,10 +446,21 @@ def main() -> None:
     from fhir_to_lakehouse_spark.plans import QUERIES
     from fhir_to_lakehouse_spark.session import get_spark
 
-    # sample BEFORE the session spins up: the run-end sample below
-    # always includes this bench's own 32-core load, so only the
-    # start sample answers "was the machine quiet when this began?"
+    # load-AWARE start (VERDICT r7 item 7): r7's official bench number
+    # doubled purely from ambient machine load. Before spinning up the
+    # session, wait (up to BENCH_QUIET_WAIT_S, default 300 s) for the
+    # 1-minute load average to drop below BENCH_QUIET_LOAD (default
+    # 1.5) — and record both the wait and the load actually observed,
+    # so a noisy number is adjudicable from the JSON alone.
+    quiet_thresh = float(os.environ.get("BENCH_QUIET_LOAD", "1.5"))
+    quiet_wait_budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "300"))
+    waited_s = 0.0
     try:
+        while (
+            os.getloadavg()[0] > quiet_thresh and waited_s < quiet_wait_budget
+        ):
+            time.sleep(10)
+            waited_s += 10
         start_load1 = round(os.getloadavg()[0], 2)
     except OSError:  # pragma: no cover
         start_load1 = None
@@ -535,6 +552,7 @@ def main() -> None:
         load1, load5, load15 = os.getloadavg()
         env_load = {
             "loadavg_1m_at_start": start_load1,
+            "quiet_wait_s": round(waited_s, 1),
             "loadavg_1m": round(load1, 2),
             "loadavg_5m": round(load5, 2),
             "loadavg_15m": round(load15, 2),

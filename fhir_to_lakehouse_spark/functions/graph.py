@@ -326,6 +326,7 @@ def bfs_hops(
     dst: str = "dst",
     max_hops: int = 3,
     broadcast_threshold: bool | int = DEFAULT_BROADCAST_VERTICES,
+    sync_every: int = 1,
     _plan_probe=None,
 ) -> DataFrame:
     """Level-synchronous BFS: (node, hops) with the MINIMUM hop count
@@ -347,7 +348,19 @@ def bfs_hops(
     :func:`pagerank` for the measured persist-vs-localCheckpoint
     planning-cost cliff). Equivalent to a recursive-CTE min-hop query
     (the DuckDB oracle for graph_reachability_bfs states it that way).
-    """
+
+    ``sync_every=k`` (default 1 = classic level-synchronous) expands k
+    hops per materialization: the k level expansions are built LAZILY
+    (no per-level anti-join; revisits within the chunk get a too-high
+    hop label that a min() aggregate plus ONE anti-join at chunk end
+    correct), then a single localCheckpoint + count runs per chunk —
+    driver round-trips drop k-fold, the dominant latency for deep
+    narrow hierarchies (terminology subsumption: ~17 rounds). The
+    broadcast-vs-shuffle pick is then per-chunk (from the entering
+    frontier), so choose k small enough that a frontier can't outgrow
+    the broadcast threshold mid-chunk; revisit-prone dense graphs
+    should keep k=1 (the per-level anti-join is what bounds their
+    chunk work)."""
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     spark = edges.sparkSession
@@ -361,41 +374,74 @@ def bfs_hops(
     edges.count()
     seed_df = spark.createDataFrame([(seed, 0)], ["node", "hops"])
     visited = seed_df.localCheckpoint(eager=True)
-    frontier = visited
+    frontier = visited.select("node")
+    frontier_ckpt = None  # checkpoint the live frontier derives from
     frontier_rows = 1
-    for h in range(1, max_hops + 1):
-        if _small_enough_to_broadcast(frontier_rows, broadcast_threshold):
-            frontier_side = F.broadcast(frontier)
-        else:
-            frontier_side = frontier
+    done_hops = 0
+    k = max(1, int(sync_every))
+    while done_hops < max_hops:
+        chunk = min(k, max_hops - done_hops)
+        bcast = _small_enough_to_broadcast(frontier_rows, broadcast_threshold)
+        # expand `chunk` hops LAZILY — one driver sync per chunk, not
+        # per hop (r7 verdict item 4: subsumed_by spent its latency on
+        # ~17 per-round count() syncs). Within the chunk no anti-join
+        # runs per level; revisited nodes get a too-high hop label that
+        # the min() + the single anti-join at chunk end correct. When
+        # the frontier is broadcast, the per-level broadcast exchanges
+        # are identical subplans, so ReuseExchange dedupes the
+        # recompute inside the one chunk job.
+        cur = frontier
+        levels = []
+        for j in range(1, chunk + 1):
+            prev = cur
+            prev_side = F.broadcast(prev) if bcast else prev
+            cur = (
+                edges.join(prev_side, edges["_src"] == prev["node"])
+                .select(F.col("_dst").alias("node"))
+                .distinct()
+            )
+            levels.append(
+                cur.select("node", F.lit(done_hops + j).alias("hops"))
+            )
+        cand = levels[0]
+        for lv in levels[1:]:
+            cand = cand.union(lv)
         nxt = (
-            edges.join(frontier_side, edges["_src"] == frontier["node"])
-            .select(F.col("_dst").alias("node"))
-            .distinct()
+            cand.groupBy("node")
+            .agg(F.min("hops").alias("hops"))
             .join(visited, "node", "left_anti")
-            .select("node", F.lit(h).alias("hops"))
         )
         if _plan_probe is not None:
             _plan_probe(nxt)
         nxt = nxt.localCheckpoint(eager=True)
-        frontier_rows = nxt.count()  # termination test + next strategy pick
-        if frontier_rows == 0:
+        new_rows = nxt.count()  # termination test + next strategy pick
+        if new_rows == 0:
             # the empty frontier's checkpoint is dead on arrival —
             # without this, every early-terminating BFS call leaked
             # one un-releasable RDD (round-5 code-review finding)
             release_checkpoint(nxt)
             break
         new_visited = visited.union(nxt).localCheckpoint(eager=True)
-        # free superseded checkpoint blocks (round 1: frontier IS
-        # visited — release once; see functions/cache.py)
-        if frontier is not visited:
-            release_checkpoint(frontier)
+        # free superseded checkpoint blocks (see functions/cache.py)
+        if frontier_ckpt is not None:
+            release_checkpoint(frontier_ckpt)
         release_checkpoint(visited)
         visited = new_visited
-        frontier = nxt
+        done_hops += chunk
+        # next frontier = the chunk's BOUNDARY level only (every node
+        # at distance done_hops+1 has a predecessor at exactly
+        # done_hops — BFS invariant), a cheap filter over the
+        # materialized checkpoint blocks
+        frontier = nxt.filter(F.col("hops") == done_hops).select("node")
+        frontier_rows = (
+            new_rows if chunk == 1 else frontier.count()
+        )
+        frontier_ckpt = nxt
+        if frontier_rows == 0:
+            break  # interior levels only — nothing left to expand
     edges.unpersist()
-    if frontier is not visited:
-        release_checkpoint(frontier)  # merged into visited already
+    if frontier_ckpt is not None:
+        release_checkpoint(frontier_ckpt)  # merged into visited already
     return visited
 
 

@@ -789,7 +789,20 @@ def compile_view(
                     raise ViewCompileError(
                         f"column {c['name']!r}: unsupported type {want!r}"
                     )
-                col = col.cast(f"array<{target}>" if coll else target)
+                # FHIR decimal preserves the STORED precision/scale:
+                # the encoder writes decimals as encoded and Pathling
+                # never re-casts (reference bundle_processor.py:162-166
+                # encodes verbatim). Widening an already-decimal column
+                # to decimal(38,18) changes the representation (90.00
+                # -> 90.000000000000000000), so only coerce when the
+                # resolved column is NOT already a DecimalType.
+                elem = (
+                    cdt.elementType
+                    if coll and isinstance(cdt, T.ArrayType)
+                    else cdt
+                )
+                if not (want == "decimal" and isinstance(elem, T.DecimalType)):
+                    col = col.cast(f"array<{target}>" if coll else target)
             tmp = fresh("col")
             df = df.withColumn(tmp, col)
             out.append((c["name"], tmp))

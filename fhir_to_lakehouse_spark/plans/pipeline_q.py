@@ -547,11 +547,16 @@ def pipeline_dispense_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = resolve_references(
         encode_resources(md, "MedicationDispense"), "MedicationDispense"
     )
+    # Quantity.value is stored in the encoder's wide FHIR-decimal
+    # representation; present it in the source data's DECIMAL(18,2) so
+    # the value REPRESENTATION matches the oracle (r8: the exact-decimal
+    # harness caught this drift locally — same class as r7 verdict #1)
+    d = "decimal(18,2)"
     return enc.select(
         "id",
         "status",
-        F.col("quantity.value").alias("qty"),
-        F.col("daysSupply.value").alias("days_supply"),
+        F.col("quantity.value").cast(d).alias("qty"),
+        F.col("daysSupply.value").cast(d).alias("days_supply"),
         F.col("subject.reference").alias("subject_ref"),
         F.element_at("authorizingPrescription", 1)["reference"].alias("rx_ref"),
     )

@@ -89,11 +89,29 @@ def viewdef_observation_components(spark: SparkSession, sf_dir: str) -> DataFram
     same rows DuckDB gets by cross-joining the 3-component domain.
 
     Parity anchor: the hand-written equivalent is
-    pipeline_observation_components; this one is DECLARED, not coded."""
+    pipeline_observation_components; this one is DECLARED, not coded.
+
+    The compiled view's decimal columns carry the ENCODER's stored
+    decimal representation (schemas.py maps FHIR decimal to one wide
+    DecimalType, and the compiler now preserves stored decimals rather
+    than re-casting — r7 verdict item 1); the trailing cast to the
+    source data's DECIMAL(18,2) puts the result in the same
+    representation the oracle states, exactly as the sibling viewdef
+    queries do."""
     events = _observation_events(spark, sf_dir)
     obs = prepare_stream(events).filter(F.col("resource_type") == "Observation")
     enc = encode_resources(obs, "Observation")
-    return compile_view(_OBS_VIEW, enc)
+    d = "decimal(18,2)"
+    return compile_view(_OBS_VIEW, enc).select(
+        "id",
+        F.col("obs_value").cast(d).alias("obs_value"),
+        "unit",
+        F.col("range_low").cast(d).alias("range_low"),
+        "n_components",
+        "comp_code",
+        F.col("comp_value").cast(d).alias("comp_value"),
+        "comp_note",
+    )
 
 
 _PATIENT_VIEW = {

@@ -266,3 +266,50 @@ def test_connected_components_recomputes_after_cache_eviction(spark):
     labels.unpersist(blocking=True)
     regot = {r["node"]: r["component"] for r in labels.collect()}
     assert regot == got
+
+
+# --- chunked expansion (r7 verdict item 4: sync_every) -----------------
+
+
+def test_bfs_hops_sync_every_matches_level_synchronous(spark):
+    from fhir_to_lakehouse_spark.functions.graph import bfs_hops
+
+    # chain + back-edge cycle + diamond shortcut in one graph: the
+    # chunked lazy expansion (no per-level anti-join) must produce the
+    # SAME min-hop map as classic level-synchronous BFS
+    edges = spark.createDataFrame(
+        [
+            ("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"),
+            ("E", "A"),            # cycle back to the seed
+            ("B", "E"),            # shortcut: E at 2, not 4
+            ("C", "B"),            # in-chunk revisit bait
+        ],
+        "src string, dst string",
+    )
+    base = {
+        r.node: r.hops
+        for r in bfs_hops(edges, seed="A", max_hops=6).collect()
+    }
+    for k in (2, 3, 4, 7):
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(
+                edges, seed="A", max_hops=6, sync_every=k
+            ).collect()
+        }
+        assert got == base, f"sync_every={k} diverged: {got} != {base}"
+
+
+def test_bfs_hops_sync_every_respects_max_hops(spark):
+    from fhir_to_lakehouse_spark.functions.graph import bfs_hops
+
+    # cap mid-chunk: max_hops=3 with sync_every=2 -> chunks of 2+1
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("D", "E")],
+        "src string, dst string",
+    )
+    got = {
+        r.node: r.hops
+        for r in bfs_hops(edges, seed="A", max_hops=3, sync_every=2).collect()
+    }
+    assert got == {"A": 0, "B": 1, "C": 2, "D": 3}

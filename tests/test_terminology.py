@@ -344,3 +344,50 @@ def test_subsumed_by_down_up_and_system_scope(spark):
     }
     with pytest.raises(ValueError, match="direction"):
         subsumed_by(facts, edges, "a", direction="sideways")
+
+
+def test_subsumed_by_distributed_fallback_matches_driver_path(spark):
+    """The large-hierarchy fallback (distributed semi-naive BFS) and
+    the small-dimension driver-side BFS must agree exactly — both
+    directions, including the multi-parent diamond and the
+    other-system edge that must stay scoped out."""
+    from fhir_to_lakehouse_spark.functions.terminology import subsumed_by
+
+    edges = _hierarchy(spark)
+    facts = spark.createDataFrame(
+        [Row(code=c) for c in ["a", "b", "c", "d", "e", "x", None]],
+        "code string",
+    )
+    for direction, seed in (("down", "b"), ("up", "e"), ("down", "a")):
+        via_driver = {
+            r.code: r.subsumed_by
+            for r in subsumed_by(
+                facts, edges, seed, system="http://x/cs", direction=direction
+            ).collect()
+        }
+        via_cluster = {
+            r.code: r.subsumed_by
+            for r in subsumed_by(
+                facts, edges, seed, system="http://x/cs",
+                direction=direction, driver_bfs_max_edges=0,
+            ).collect()
+        }
+        assert via_driver == via_cluster, (direction, seed)
+
+
+def test_subsumed_by_limit_guard_falls_back(spark):
+    """An edge list one row over the driver threshold takes the
+    distributed path and still answers correctly."""
+    from fhir_to_lakehouse_spark.functions.terminology import subsumed_by
+
+    edges = _hierarchy(spark)  # 5 edges in-system, 1 out-of-system
+    facts = spark.createDataFrame(
+        [Row(code=c) for c in ["a", "d", "x"]], "code string"
+    )
+    got = {
+        r.code: r.subsumed_by
+        for r in subsumed_by(
+            facts, edges, "a", system="http://x/cs", driver_bfs_max_edges=3
+        ).collect()
+    }
+    assert got == {"a": True, "d": True, "x": False}

@@ -24,7 +24,10 @@ from fhir_to_lakehouse_spark.session import get_spark
 from fhir_to_lakehouse_spark.sources.tables import TABLES
 
 
-def norm_cell(v):
+import decimal
+
+
+def norm_cell(v, lenient_decimal: bool = False):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -38,15 +41,78 @@ def norm_cell(v):
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:
-        pass
+        return tuple(norm_cell(x, lenient_decimal) for x in v)
+    if isinstance(v, decimal.Decimal):
+        if lenient_decimal:
+            return round(float(v), 9)
+        # REPRESENTATION-EXACT: the driver hashes values as rendered, so
+        # DECIMAL(18,2) 90.00 and DECIMAL(38,18) 90.000000000000000000
+        # must NOT compare equal here (r7 verdict item 2 — the old
+        # float() normalization masked exactly that drift). Fixed-point
+        # format preserves the scale; Decimal str() could use E-notation.
+        return f"dec:{v:f}"
     return v
+
+
+def _col_kinds(rows, ncols):
+    """Per-column set of non-null python types, sampling every row."""
+    kinds = [set() for _ in range(ncols)]
+    for r in rows:
+        for i in range(ncols):
+            v = r[i]
+            if v is not None:
+                kinds[i].add(type(v))
+    return kinds
+
+
+def compare(scols, srows, dcols, drows):
+    """Replicates the driver's gate: (problems, warnings).
+
+    Decimal columns compare scale-exact when BOTH engines return
+    Decimal. When the engines disagree on the numeric family (one
+    Decimal, one float/int) the compare falls back to the lenient
+    9-digit numeric form but emits a warning — the driver's hash may
+    or may not forgive that, so it should be visible locally."""
+    problems: list[str] = []
+    warnings: list[str] = []
+    if len(srows) != len(drows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+    if problems:
+        return problems, warnings
+
+    s_order = sorted(range(len(scols)), key=lambda i: scols[i])
+    d_order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    s_kinds = _col_kinds(srows, len(scols))
+    d_kinds = _col_kinds(drows, len(dcols))
+    lenient: list[bool] = []
+    for si, di in zip(s_order, d_order):
+        sk, dk = s_kinds[si], d_kinds[di]
+        has_dec = decimal.Decimal in sk or decimal.Decimal in dk
+        both_dec = (decimal.Decimal in sk or not sk) and (
+            decimal.Decimal in dk or not dk
+        )
+        lenient.append(has_dec and not both_dec)
+        if has_dec and not both_dec:
+            warnings.append(
+                f"col {scols[si]!r}: numeric family differs "
+                f"(spark={[t.__name__ for t in sk]} "
+                f"duck={[t.__name__ for t in dk]}) — lenient compare"
+            )
+    sm = Counter(
+        tuple(norm_cell(r[i], lx) for i, lx in zip(s_order, lenient))
+        for r in srows
+    )
+    dm = Counter(
+        tuple(norm_cell(r[i], lx) for i, lx in zip(d_order, lenient))
+        for r in drows
+    )
+    if sm != dm:
+        diff_s = list((sm - dm).items())[:3]
+        diff_d = list((dm - sm).items())[:3]
+        problems.append(f"values spark-only={diff_s} duck-only={diff_d}")
+    return problems, warnings
 
 
 def row_multiset(cols, rows):
@@ -107,17 +173,9 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if not problems:
-            sm, dm = row_multiset(scols, srows), row_multiset(dcols, drows)
-            if sm != dm:
-                diff_s = list((sm - dm).items())[:3]
-                diff_d = list((dm - sm).items())[:3]
-                problems.append(f"values spark-only={diff_s} duck-only={diff_d}")
+        problems, warnings = compare(scols, srows, dcols, drows)
+        for w in warnings:
+            print(f"warn  {name}: {w}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
