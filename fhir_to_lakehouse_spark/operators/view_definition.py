@@ -27,7 +27,10 @@ Supported subset (compile-time errors otherwise, never silent):
   ``constant[{name, value[x]}]`` — ``%name`` references substitute
   their literal text into every path before compilation (string /
   number / boolean value keys; strings must be quote-free).
-- Column-path FHIRPath subset: dotted member access, ``[i]`` indexing,
+- Column-path FHIRPath subset: dotted member access, ``$this`` (the
+  current forEach element — how the spec suite reads a primitive
+  collection: ``forEach: name.given`` + column path ``$this``),
+  ``[i]`` indexing,
   ``first()``, ``exists()``, ``empty()``, ``count()``, ``not()``
   (chainable after any boolean, e.g. ``deceasedBoolean.not()`` or
   ``address.exists().not()``),
@@ -181,6 +184,21 @@ def _resolve(
     segs = _split_path(path)
     col = ctx
     for i, seg in enumerate(segs):
+        if seg == "$this":
+            # FHIRPath identity: the current element itself — the spec
+            # suite uses it for forEach over PRIMITIVE collections
+            # (forEach: name.given, column path $this). Only meaningful
+            # with a ctx; at the resource root there is no singular
+            # "this" value to materialize.
+            if col is None:
+                raise ViewCompileError(
+                    f"path {path!r}: $this needs an enclosing forEach"
+                )
+            if i != 0:
+                raise ViewCompileError(
+                    f"path {path!r}: $this is only valid leading a path"
+                )
+            continue
         wm = _WHERE_SEG_RE.match(seg)
         if wm:
             if not isinstance(dtype, T.ArrayType) or not isinstance(
