@@ -837,3 +837,77 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+@query(
+    "corpus_domain_quality_filter",
+    oracle=f"""
+    WITH sc AS (
+      SELECT doc_id, source,
+             ROUND(
+               0.4 * least(length(text) / 500.0, 1.0)
+             + 0.3 * (1 - (length(text)
+                           - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                          / greatest(length(text), 1))
+             + 0.2 * (1 - (length(text)
+                           - length(regexp_replace(text, '[0-9]', '', 'g')))
+                          / greatest(length(text), 1))
+             + 0.1 * least(
+                 (len(list_filter({_DUCK_TOKS},
+                      x -> list_contains(['the','and','of','to','a','in',
+                                          'is','it','that','for'], x)))
+                  / greatest(len({_DUCK_TOKS}), 1)) * 5, 1.0)
+             , 6) AS quality
+      FROM documents
+    ),
+    dom AS (
+      SELECT source, AVG(quality) AS m, COUNT(*) AS n_docs
+      FROM sc GROUP BY source
+    )
+    SELECT sc.doc_id, sc.source,
+           ROUND(dom.m, 6)        AS source_mean,
+           CAST(dom.n_docs AS BIGINT) AS source_docs
+    FROM sc JOIN dom USING (source)
+    WHERE dom.m >= 0.77
+    """,
+)
+def corpus_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality filtering — the C4/RefinedWeb curation
+    step the per-document filters can't express: entire SOURCES
+    (domains/hosts/crawl segments) are dropped when their MEAN
+    document quality falls below a floor, because a low-quality
+    domain's individually-passable pages are still usually SEO spam /
+    template noise. Per-doc quality is the deterministic heuristic
+    score (text_quality_score), averaged per source over the ROUNDED
+    per-doc values so both engines aggregate identical inputs; the
+    0.77 floor sits >=1.3e-3 from every source mean at all three
+    test SFs, far beyond summation noise.
+
+    100 TB shape: per-source stats are one map-side-combinable
+    aggregate collapsing the corpus to |domains| rows (a dimension —
+    web corpora have ~10^7 hosts, kilobyte rows), which then
+    broadcast-joins back onto the corpus scan: the 100 TB side never
+    shuffles, the only wide op is the domain-stats aggregate."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    # the scored frame feeds both the domain stats and the final join —
+    # persist so the quality heuristic runs once per doc, not twice
+    sc = scoped_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.round(TX.quality_score("text"), 6).alias("quality"),
+        )
+    )
+    dom = sc.groupBy("source").agg(
+        F.avg("quality").alias("m"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        sc.join(F.broadcast(dom), "source")
+        .filter(F.col("m") >= 0.77)
+        .select(
+            "doc_id",
+            "source",
+            F.round("m", 6).alias("source_mean"),
+            F.col("n_docs").cast("long").alias("source_docs"),
+        )
+    )

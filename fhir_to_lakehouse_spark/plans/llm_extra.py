@@ -380,3 +380,117 @@ def corpus_leakproof_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fp").alias("n_fingerprints"),
     )
+
+
+@query(
+    "similarity_quantized_recall",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, x,
+             list_max(list_transform(x, e -> abs(e))) / 127.0 AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, x, scale,
+             list_transform(x, e -> CAST(round(e / scale) AS BIGINT)) AS qv
+      FROM s
+    ),
+    pairs AS (
+      SELECT qs.vec_id AS query_id, d.vec_id AS doc_id,
+             list_dot_product(qs.x, d.x) AS exact_score,
+             (qs.scale * d.scale)
+               * list_sum(list_transform(list_zip(qs.qv, d.qv),
+                                         p -> p[1] * p[2])) AS quant_score
+      FROM q qs JOIN q d ON d.vec_id <> qs.vec_id
+      WHERE qs.vec_id % 100 = 0
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY exact_score DESC, doc_id) AS rn_e,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY quant_score DESC, doc_id) AS rn_q
+      FROM pairs
+    )
+    SELECT query_id,
+           CAST(COUNT(CASE WHEN rn_e <= 10 AND rn_q <= 10 THEN 1 END)
+                AS BIGINT)                                   AS hits,
+           ROUND(COUNT(CASE WHEN rn_e <= 10 AND rn_q <= 10 THEN 1 END)
+                 / 10.0, 6)                                  AS recall_at_10
+    FROM ranked
+    GROUP BY query_id
+    """,
+)
+def similarity_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality measurement for the int8 path: recall@10 of
+    top-k retrieval under symmetric per-vector int8 quantization
+    (embedding_quantize_int8's exact arithmetic) against the fp32
+    exact ranking, per query — the acceptance gate a production ANN
+    rollout runs before swapping a compressed index in. Quantization
+    is DETERMINISTIC arithmetic (unlike IVF/LSH probe behavior), so
+    the oracle reproduces both rankings digit-for-digit: the integer
+    dot product is exact, and the fp32 side uses the same
+    left-to-right HOF accumulation as list_dot_product.
+
+    100 TB shape: queries are the bounded side (vec_id % 100 — at
+    scale, the labeled eval set) and broadcast against the corpus;
+    both rankings come off ONE scan of the pair frame, and the two
+    row_number windows run per-query (bounded partitions). The
+    integer dot product ships 1 byte/dim instead of 4 — the point of
+    the measurement."""
+    from fhir_to_lakehouse_spark.functions.similarity import as_double, dot
+
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select("vec_id", as_double(F.col("embedding")).alias("x"))
+    s = x.select(
+        "*",
+        (F.array_max(F.transform("x", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    q = s.select(
+        "*",
+        F.transform(
+            "x", lambda e: F.round(e / F.col("scale")).cast("long")
+        ).alias("qv"),
+    )
+    queries = q.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("x").alias("qx"),
+        F.col("scale").alias("qscale"),
+        F.col("qv").alias("qqv"),
+    )
+    pairs = q.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        dot(F.col("qx"), F.col("x")).alias("exact_score"),
+        (
+            (F.col("qscale") * F.col("scale"))
+            * F.aggregate(
+                F.zip_with("qqv", "qv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        ).alias("quant_score"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("exact_score").desc(), F.col("doc_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("quant_score").desc(), F.col("doc_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(we).alias("rn_e"),
+        F.row_number().over(wq).alias("rn_q"),
+    )
+    hits = F.count(
+        F.when((F.col("rn_e") <= 10) & (F.col("rn_q") <= 10), 1)
+    )
+    return ranked.groupBy("query_id").agg(
+        hits.alias("hits"),
+        F.round(hits / F.lit(10.0), 6).alias("recall_at_10"),
+    )

@@ -690,3 +690,86 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_word_chars"),
         )
     )
+
+
+@query(
+    "text_trigram_perplexity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    f AS (SELECT doc_id, t FROM toks WHERE len(t) >= 3),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM f),
+    g AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS ctx, t[i + 2] AS nxt
+          FROM idx),
+    cn AS (SELECT ctx, nxt, COUNT(*) AS n FROM g GROUP BY ctx, nxt),
+    cc AS (SELECT ctx, SUM(n) AS n_ctx FROM cn GROUP BY ctx),
+    vocab AS (SELECT COUNT(DISTINCT x.token) AS v FROM (
+        SELECT unnest({_DUCK_TOKS}) AS token FROM documents) x)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(AVG(-ln((cn.n + 0.5) / (cc.n_ctx + 0.5 * vocab.v))), 6)
+               AS avg_neg_logprob
+    FROM g
+    JOIN cn USING (ctx, nxt)
+    JOIN cc USING (ctx), vocab
+    GROUP BY doc_id
+    """,
+)
+def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM perplexity document scoring — the full CCNet-style
+    quality filter (the unigram twin is text_unigram_logprob_score):
+    each document's trigrams are scored under the corpus's own
+    add-k-smoothed trigram model, p(nxt|ctx) = (n(ctx,nxt) + k) /
+    (n(ctx) + k*V) with k=0.5 and V the corpus vocabulary size, and
+    the document gets the mean negative log-probability (monotone in
+    perplexity). High = improbable word sequences (shuffled text,
+    boilerplate soup, OCR damage) even when every individual token is
+    common — exactly what the unigram score cannot see.
+
+    100 TB shape: the trigram count table is a map-side-combinable
+    two-key aggregate over the 3x-amplified token stream; the context
+    totals re-aggregate THAT (already n-gram-sized) table, and V is
+    one scalar broadcast. Scoring is the same trigram stream joined
+    to the count tables on (ctx, nxt) — a shuffle join keyed on the
+    n-gram, no corpus-sized state on any single node, then one
+    per-doc aggregate. The real CCNet swaps in a pruned KenLM; plan
+    shape identical."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", TX.tokens("text").alias("t")
+    ).filter(F.size("t") >= 3)
+    grams = scoped_persist(
+        t.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), i -> struct("
+                    " concat_ws(' ', element_at(t, i), element_at(t, i + 1))"
+                    "   AS ctx,"
+                    " element_at(t, i + 2) AS nxt))"
+                )
+            ).alias("g"),
+        ).select("doc_id", "g.ctx", "g.nxt")
+    )
+    cn = grams.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    cc = cn.groupBy("ctx").agg(F.sum("n").alias("n_ctx"))
+    vocab = (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    scored = (
+        grams.join(cn, ["ctx", "nxt"])
+        .join(cc, "ctx")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(
+            F.avg(
+                -F.log(
+                    (F.col("n") + F.lit(0.5))
+                    / (F.col("n_ctx") + F.lit(0.5) * F.col("v"))
+                )
+            ),
+            6,
+        ).alias("avg_neg_logprob"),
+    )

@@ -17,6 +17,7 @@ from fhir_to_lakehouse_spark.plans import QUERIES
 # design — see SCALING.md):
 BNLJ_ALLOWED = {
     "similarity_brute_topk",    # broadcast query set x corpus scan
+    "similarity_quantized_recall",  # broadcast eval-query set x corpus scan
     "similarity_brute_topk_q500",  # same shape, Q=500 crossover twin
     "similarity_hard_negatives",  # same shape + label-mismatch predicate
     "similarity_ivf_topk",      # broadcast centroids (non-equi argmin)
@@ -34,6 +35,7 @@ BNLJ_ALLOWED = {
     "decontaminate_exact_substring",  # tiny eval needle set broadcast
     "similarity_incremental_index",   # broadcast centroids (non-equi argmin)
     "text_unigram_logprob_score",  # 1-row corpus-total broadcast
+    "text_trigram_perplexity",     # 1-row vocab-size broadcast
     "search_bm25_topk",           # 1-row (N, avgdl) corpus-stats broadcast
     "graph_pagerank_trade",       # 1-row |V| / dangling-mass broadcasts
     "sample_temperature_mixing",  # 1-row total/Z/max-rate broadcasts over |langs| rows
