@@ -49,6 +49,21 @@ Supported subset (compile-time errors otherwise, never silent):
   compile to nested codegen'd array filters; needs a frame encoded
   with ``include_extensions=True``). Path splitting is quote-aware,
   so string literals — urls especially — may contain dots.
+  String functions over singular strings: ``lower()``, ``upper()``,
+  ``trim()``, ``length()``, ``contains('s')``, ``startsWith('s')``,
+  ``endsWith('s')``, ``matches('re')`` (case-sensitive, unanchored),
+  ``indexOf('s')`` (0-based, -1 when absent), ``replace('a','b')``
+  (non-empty pattern), ``substring(start[, len])`` (0-based;
+  start past the end yields empty). Conversions: ``toInteger()``,
+  ``toDecimal()``, ``toString()`` — FHIRPath semantics, so a
+  non-convertible value yields empty (try_cast), never an error.
+  Temporal/decimal boundaries: ``lowBoundary()`` / ``highBoundary()``
+  — on a decimal, value -/+ half a unit of its stored scale (result
+  scale+1); on a date/dateTime string, the unstated components fill
+  with their least/greatest values (``'2019'.highBoundary()`` =
+  ``'2019-12-31'``; time-bearing values gain millisecond precision
+  and keep their timezone offset verbatim); on a DateType column the
+  identity. All compile to codegen'd expressions — zero Python.
   Mid-path collection traversal is legal anywhere a terminal step
   collapses the collection to a singular value
   (``name.given.count()``, ``address.city.exists()``,
@@ -65,7 +80,11 @@ Supported subset (compile-time errors otherwise, never silent):
   complex elements; date/dateTime strings order lexicographically,
   which matches FHIR ordering at equal precision), a bare boolean
   path, ``<path>.exists()`` / ``.empty()`` / ``.not()`` chains, and
-  ``<path>.memberOf('<url>')``.
+  ``<path>.memberOf('<url>')``. Where expressions combine with
+  FHIRPath ``and`` / ``or`` (``and`` binds tighter) and
+  parenthesized groups — quote- and paren-aware splitting, so
+  literals may contain the words. ``memberOf()`` compiles to a join
+  and must stay its own where entry (entries AND together).
 
 Out of subset (raise): arithmetic, string concatenation inside
 paths.
@@ -122,6 +141,50 @@ _FUNC_RE = re.compile(r"^([A-Za-z]+)\(([A-Za-z]*)\)$")
 _WHERE_SEG_RE = re.compile(r"^where\((\w+)\s*=\s*'([^']*)'\)$")
 _JOIN_SEG_RE = re.compile(r"^join\('([^']*)'\)$")
 _EXT_SEG_RE = re.compile(r"^extension\('([^']+)'\)$")
+# FHIRPath string functions with one string-literal argument; a
+# two-argument replace; and substring with integer position args
+# (FHIRPath positions are 0-based, unlike Spark's 1-based substring)
+_STRFN_SEG_RE = re.compile(
+    r"^(contains|startsWith|endsWith|matches|indexOf)\('([^']*)'\)$"
+)
+_REPLACE_SEG_RE = re.compile(r"^replace\('([^']*)'\s*,\s*'([^']*)'\)$")
+_SUBSTR_SEG_RE = re.compile(r"^substring\((\d+)(?:\s*,\s*(\d+))?\)$")
+# timezone suffix of a FHIR dateTime/instant (boundaries preserve it)
+_TZ_SUFFIX_RE = r"(Z|[+-]\d{2}:\d{2})$"
+
+
+def _temporal_boundary(col: Column, lo: bool) -> Column:
+    """lowBoundary()/highBoundary() over a FHIR date/dateTime STRING:
+    fill the unstated components with their least (lo) or greatest
+    (hi) value. Date-only values stay day-precision ("2019" ->
+    "2019-01-01" / "2019-12-31"); time-bearing values (FHIR requires
+    full hh:mm:ss when any time is present) gain millisecond
+    precision, with their own timezone offset preserved verbatim.
+    Strings that aren't a FHIR temporal shape yield empty (null) —
+    FHIRPath's empty-propagation, not an error."""
+    tz = F.regexp_extract(col, _TZ_SUFFIX_RE, 1)
+    body = F.regexp_replace(col, _TZ_SUFFIX_RE, "")
+    n = F.length(body)
+    month_first = F.concat(body, F.lit("-01"))
+    date_part = (
+        F.when(n == 4, F.concat(body, F.lit("-01-01" if lo else "-12-31")))
+        .when(
+            n == 7,
+            month_first
+            if lo
+            else F.date_format(
+                F.last_day(F.try_to_date(month_first)), "yyyy-MM-dd"
+            ),
+        )
+        .when(n >= 10, F.substring(body, 1, 10))
+    )
+    t = F.substring(body, 12, 12)
+    t_filled = F.when(
+        t.contains("."), F.rpad(t, 12, "0" if lo else "9")
+    ).otherwise(F.concat(t, F.lit(".000" if lo else ".999")))
+    return F.when(
+        n > 10, F.concat(date_part, F.lit("T"), t_filled, tz)
+    ).otherwise(date_part)
 
 
 def _split_path(path: str) -> list[str]:
@@ -269,6 +332,61 @@ def _resolve(
             )
             dtype = field.dataType
             continue
+        sm = _STRFN_SEG_RE.match(seg)
+        if sm:
+            fn, lit = sm.groups()
+            if col is None or not isinstance(dtype, T.StringType):
+                raise ViewCompileError(
+                    f"{fn}() in {path!r} needs a preceding singular "
+                    "string"
+                )
+            if fn == "contains":
+                col, dtype = col.contains(F.lit(lit)), T.BooleanType()
+            elif fn == "startsWith":
+                col, dtype = col.startswith(lit), T.BooleanType()
+            elif fn == "endsWith":
+                col, dtype = col.endswith(lit), T.BooleanType()
+            elif fn == "matches":
+                # FHIRPath matches(): case-sensitive, single-line,
+                # unanchored regex (anchor explicitly with ^...$)
+                col, dtype = col.rlike(lit), T.BooleanType()
+            else:  # indexOf — FHIRPath is 0-based; -1 when absent
+                col = F.instr(col, lit) - F.lit(1)
+                dtype = T.IntegerType()
+            continue
+        rm = _REPLACE_SEG_RE.match(seg)
+        if rm:
+            pat, sub = rm.groups()
+            if col is None or not isinstance(dtype, T.StringType):
+                raise ViewCompileError(
+                    f"replace() in {path!r} needs a preceding singular "
+                    "string"
+                )
+            if not pat:
+                raise ViewCompileError(
+                    f"replace() in {path!r}: FHIRPath's empty-pattern "
+                    "semantics (surround every character) is out of "
+                    "the supported subset"
+                )
+            col = F.replace(col, F.lit(pat), F.lit(sub))
+            continue
+        ssm = _SUBSTR_SEG_RE.match(seg)
+        if ssm:
+            if col is None or not isinstance(dtype, T.StringType):
+                raise ViewCompileError(
+                    f"substring() in {path!r} needs a preceding "
+                    "singular string"
+                )
+            start = int(ssm.group(1))  # FHIRPath start is 0-based
+            length = ssm.group(2)
+            sliced = (
+                F.substring(col, start + 1, int(length))
+                if length is not None
+                else F.substring(col, start + 1, 2_147_483_647)
+            )
+            # FHIRPath: a start at/past the end yields empty, not ""
+            col = F.when(F.length(col) > start, sliced)
+            continue
         fm = _FUNC_RE.match(seg)
         if fm:
             fn, arg = fm.groups()
@@ -371,6 +489,102 @@ def _resolve(
                     )
                 dtype = T.IntegerType()
                 continue
+            if fn in ("lower", "upper", "trim"):
+                if not isinstance(dtype, T.StringType):
+                    raise ViewCompileError(
+                        f"{fn}() in {path!r} needs a singular string"
+                    )
+                col = {"lower": F.lower, "upper": F.upper, "trim": F.trim}[
+                    fn
+                ](col)
+                continue
+            if fn == "length":
+                if not isinstance(dtype, T.StringType):
+                    raise ViewCompileError(
+                        f"length() in {path!r} needs a singular string"
+                    )
+                col, dtype = F.length(col), T.IntegerType()
+                continue
+            if fn == "toInteger":
+                # FHIRPath conversion: non-convertible -> empty, so
+                # try_cast, never ANSI cast
+                if isinstance(dtype, T.BooleanType):
+                    col = col.cast("int")
+                elif isinstance(
+                    dtype, (T.StringType, T.IntegerType, T.LongType)
+                ):
+                    col = col.try_cast("int")
+                else:
+                    raise ViewCompileError(
+                        f"toInteger() in {path!r}: unsupported input "
+                        f"type {dtype.simpleString()}"
+                    )
+                dtype = T.IntegerType()
+                continue
+            if fn == "toDecimal":
+                if not isinstance(
+                    dtype,
+                    (
+                        T.StringType,
+                        T.IntegerType,
+                        T.LongType,
+                        T.DecimalType,
+                        T.DoubleType,
+                        T.FloatType,
+                    ),
+                ):
+                    raise ViewCompileError(
+                        f"toDecimal() in {path!r}: unsupported input "
+                        f"type {dtype.simpleString()}"
+                    )
+                col = col.try_cast("decimal(38,18)")
+                dtype = T.DecimalType(38, 18)
+                continue
+            if fn == "toString":
+                if isinstance(dtype, (T.StructType, T.ArrayType)):
+                    raise ViewCompileError(
+                        f"toString() in {path!r} needs a primitive"
+                    )
+                col, dtype = col.cast("string"), T.StringType()
+                continue
+            if fn in ("lowBoundary", "highBoundary"):
+                lo = fn == "lowBoundary"
+                if isinstance(dtype, T.DecimalType):
+                    # boundary of a decimal at its STORED scale s:
+                    # value -/+ 0.5 * 10^-s, result scale s+1 (the
+                    # FHIRPath rule, applied to the scale the encoder
+                    # preserved rather than a text-length re-derive)
+                    import decimal as _dec
+
+                    half = _dec.Decimal(5).scaleb(-(dtype.scale + 1))
+                    s1 = min(dtype.scale + 1, 37)
+                    # the addition must stay under DecimalType's
+                    # 38-digit cap or Spark silently truncates the
+                    # result scale back down, rounding the half-unit
+                    # away — so the operand is capped at precision 37
+                    # (integer part up to 10^(37-s1); try_cast yields
+                    # empty beyond, FHIRPath's overflow-is-empty)
+                    opnd = T.DecimalType(min(dtype.precision + 1, 37), s1)
+                    tgt = T.DecimalType(min(dtype.precision + 2, 38), s1)
+                    # half-unit literal via a string cast: F.lit on a
+                    # python Decimal infers DecimalType(38,18), which
+                    # would truncate any half-unit finer than 1e-18
+                    half_col = F.lit(f"{-half if lo else half:f}").cast(
+                        opnd
+                    )
+                    col = (col.try_cast(opnd) + half_col).cast(tgt)
+                    dtype = tgt
+                    continue
+                if isinstance(dtype, T.DateType):
+                    # already day-precision: boundary is the identity
+                    continue
+                if isinstance(dtype, T.StringType):
+                    col = _temporal_boundary(col, lo)
+                    continue
+                raise ViewCompileError(
+                    f"{fn}() in {path!r}: unsupported input type "
+                    f"{dtype.simpleString()}"
+                )
             raise ViewCompileError(f"unsupported function {fn}() in {path!r}")
 
         m = _SEG_RE.match(seg)
@@ -468,7 +682,87 @@ def _literal(text: str) -> Column:
         raise ViewCompileError(f"unsupported literal {text!r}") from None
 
 
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split ``s`` on ``sep`` at the top level only — outside single
+    quotes and outside any parentheses (function calls, groups)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_q = False
+    i, n = 0, len(sep)
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and s[i : i + n] == sep:
+                parts.append("".join(buf))
+                buf = []
+                i += n
+                continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _wraps_whole(s: str) -> bool:
+    """True when s is '( ... )' with the opening paren matching the
+    final character — i.e. the parens group the entire expression."""
+    if not (s.startswith("(") and s.endswith(")")):
+        return False
+    depth = 0
+    in_q = False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i == len(s) - 1
+    return False
+
+
 def _predicate(path: str, dtype: T.DataType) -> Column:
+    """A where-clause expression: atoms (comparisons, boolean paths)
+    combined with FHIRPath ``or`` / ``and`` (FHIRPath precedence:
+    ``and`` binds tighter) and parenthesized groups. Atoms follow
+    FHIRPath's empty-does-not-match rule individually, so the
+    combined expression is never null."""
+    s = path.strip()
+    ors = _split_top(s, " or ")
+    if len(ors) > 1:
+        out = None
+        for part in ors:
+            c = _predicate(part, dtype)
+            out = c if out is None else out | c
+        return out
+    ands = _split_top(s, " and ")
+    if len(ands) > 1:
+        out = None
+        for part in ands:
+            c = _predicate(part, dtype)
+            out = c if out is None else out & c
+        return out
+    if _wraps_whole(s):
+        return _predicate(s[1:-1], dtype)
+    if _MEMBEROF_RE.match(s):
+        raise ViewCompileError(
+            f"where path {path!r}: memberOf() cannot appear inside "
+            "and/or — it compiles to a join, so give it its own "
+            "where entry (entries AND together)"
+        )
+    return _predicate_atom(s, dtype)
+
+
+def _predicate_atom(path: str, dtype: T.DataType) -> Column:
     m = _CMP_RE.match(path)
     if m:
         left, op, right = m.groups()

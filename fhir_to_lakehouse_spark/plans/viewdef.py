@@ -738,3 +738,123 @@ def fhir_observation_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valueQuantity.value").cast("decimal(18,2)").alias("qty"),
         )
     )
+
+
+# partial-precision effectiveDateTime Observations: precision cycles
+# year / month / full-instant by event_id so every boundary branch of
+# the compiler is exercised against real encoded resources
+_EFF_VIEW = {
+    "resource": "Observation",
+    "where": [{"path": "status.endsWith('al')"}],
+    "select": [
+        {
+            "column": [
+                {"name": "key", "path": "getResourceKey()"},
+                {"name": "key_int", "path": "id.toInteger()"},
+                {"name": "eff", "path": "effectiveDateTime"},
+                {"name": "eff_low", "path": "effectiveDateTime.lowBoundary()"},
+                {
+                    "name": "eff_high",
+                    "path": "effectiveDateTime.highBoundary()",
+                },
+                {"name": "status_up", "path": "status.upper()"},
+                {"name": "is_bp", "path": "code.text.contains('blood')"},
+                {"name": "code_tail", "path": "code.text.substring(6)"},
+            ]
+        }
+    ],
+}
+
+
+@query(
+    "viewdef_effective_boundaries",
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             CAST(2000 + event_id % 25 AS VARCHAR)               AS y,
+             lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0')    AS mo,
+             lpad(CAST(event_id % 28 + 1 AS VARCHAR), 2, '0')    AS dy,
+             lpad(CAST(event_id % 24 AS VARCHAR), 2, '0')        AS hh,
+             lpad(CAST(event_id % 60 AS VARCHAR), 2, '0')        AS mi,
+             lpad(CAST((event_id * 7) % 60 AS VARCHAR), 2, '0')  AS ss
+      FROM events
+    ),
+    eff AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN y
+                  WHEN event_id % 3 = 1 THEN y || '-' || mo
+                  ELSE y || '-' || mo || '-' || dy || 'T'
+                       || hh || ':' || mi || ':' || ss || 'Z'
+             END AS eff
+      FROM base
+    )
+    SELECT CAST(event_id AS VARCHAR)  AS key,
+           CAST(event_id AS INTEGER)  AS key_int,
+           eff                        AS eff,
+           CASE length(eff)
+                WHEN 4 THEN eff || '-01-01'
+                WHEN 7 THEN eff || '-01'
+                ELSE substr(eff, 1, 19) || '.000Z'
+           END                        AS eff_low,
+           CASE length(eff)
+                WHEN 4 THEN eff || '-12-31'
+                WHEN 7 THEN strftime(last_day(CAST(eff || '-01' AS DATE)),
+                                     '%Y-%m-%d')
+                ELSE substr(eff, 1, 19) || '.999Z'
+           END                        AS eff_high,
+           'FINAL'                    AS status_up,
+           TRUE                       AS is_bp,
+           'pressure'                 AS code_tail
+    FROM eff
+    """,
+)
+def viewdef_effective_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 FHIRPath additions — lowBoundary()/highBoundary(),
+    string functions (upper/contains/substring/endsWith), and
+    toInteger() — run as a DECLARED ViewDefinition over encoded
+    Observations whose effectiveDateTime cycles year / month /
+    full-instant precision, so every temporal-boundary branch compiles
+    and executes against data. DuckDB recomputes the boundary fills
+    (calendar month ends included) straight from the source rows.
+
+    100 TB shape: identical to every compiled view — one projection
+    over the encoded scan, all boundary CASE logic inside whole-stage
+    codegen, zero shuffle, zero Python."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events"))
+    eid = F.col("event_id")
+
+    def pad2(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    y = (F.lit(2000) + eid % 25).cast("string")
+    eff = (
+        F.when(eid % 3 == 0, y)
+        .when(eid % 3 == 1, F.concat_ws("-", y, pad2(eid % 12 + 1)))
+        .otherwise(
+            F.concat(
+                y,
+                F.lit("-"),
+                pad2(eid % 12 + 1),
+                F.lit("-"),
+                pad2(eid % 28 + 1),
+                F.lit("T"),
+                pad2(eid % 24),
+                F.lit(":"),
+                pad2(eid % 60),
+                F.lit(":"),
+                pad2((eid * 7) % 60),
+                F.lit("Z"),
+            )
+        )
+    )
+    resource = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            eid.cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(F.lit("blood-pressure").alias("text")).alias("code"),
+            eff.alias("effectiveDateTime"),
+        )
+    )
+    enc = encode_resources(ev.select(resource.alias("resource")), "Observation")
+    return compile_view(_EFF_VIEW, enc)
