@@ -229,3 +229,122 @@ def cohort_inclusion_criteria(spark: SparkSession, sf_dir: str) -> DataFrame:
     # criterion 2 can only produce ids that exist among events'
     # user_ids; intersecting with criterion 1 bounds it to customers
     return cohort
+
+
+@query(
+    "fhir_measure_proportion",
+    oracle="""
+    WITH pats AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS patient_id,
+             CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END
+               AS gender
+      FROM customer
+    ),
+    den AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS patient_id FROM events
+    ),
+    num AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS patient_id
+      FROM events
+      WHERE CAST(value AS DECIMAL(18,2)) >= 50
+    )
+    SELECT gender,
+           CAST(COUNT(*) AS BIGINT)            AS initial_population,
+           CAST(COUNT(d.patient_id) AS BIGINT) AS denominator,
+           CAST(COUNT(n.patient_id) AS BIGINT) AS numerator,
+           ROUND(COUNT(n.patient_id) * 1.0
+                 / NULLIF(COUNT(d.patient_id), 0), 6) AS measure_score
+    FROM pats p
+    LEFT JOIN den d USING (patient_id)
+    LEFT JOIN num n USING (patient_id)
+    GROUP BY gender
+    """,
+)
+def fhir_measure_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FHIR $evaluate-measure, proportion scoring: a clinical quality
+    measure evaluated over declarative cohort criteria — initial
+    population (every Patient), denominator (>=1 final Observation),
+    numerator (>=1 final Observation with value >= 50), stratified by
+    gender, scored numerator/denominator per stratum. This is the
+    MeasureReport the reference ecosystem produces through a CQL
+    engine; here both populations are build_cohort criteria (the same
+    ViewDefinition where-subset), so the measure is pure Catalyst.
+
+    Plan shape: each population is one pushed-filter scan reduced to a
+    distinct patient-id set; the sets LEFT-join back onto the patient
+    dimension (flags, not row multiplication — the sets are distinct)
+    and one grouped aggregate emits the MeasureReport rows.
+
+    100 TB shape: population sets shuffle only patient IDS (16-byte
+    rows), never resources; the final stratified aggregate is
+    |patients| rows into |strata| groups, map-side combinable. A
+    thousand-measure batch reuses the same encoded scans — criteria
+    differ only in pushed filters."""
+    from fhir_to_lakehouse_spark.operators.cohort import build_cohort
+
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
+    events = fan_out_small_scan(load_table(spark, sf_dir, "events"))
+    pat_json = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            F.col("c_custkey").cast("string").alias("id"),
+            F.when(F.col("c_custkey") % 2 == 0, "female")
+            .otherwise("male")
+            .alias("gender"),
+        )
+    )
+    patients = encode_resources(
+        customer.select(pat_json.alias("resource")), "Patient"
+    )
+    obs_json = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("user_id").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.struct(
+                F.col("value").cast("decimal(18,2)").alias("value")
+            ).alias("valueQuantity"),
+        )
+    )
+    observations = encode_resources(
+        events.select(obs_json.alias("resource")), "Observation"
+    )
+    tables = {"Observation": observations}
+    den = build_cohort(
+        [{"resource": "Observation", "where": [{"path": "status = 'final'"}]}],
+        tables,
+    ).withColumn("in_den", F.lit(1))
+    num = build_cohort(
+        [
+            {
+                "resource": "Observation",
+                "where": [
+                    {"path": "status = 'final'"},
+                    {"path": "valueQuantity.value >= 50"},
+                ],
+            }
+        ],
+        tables,
+    ).withColumn("in_num", F.lit(1))
+    pats = patients.select(
+        F.col("id").alias("patient_id"), F.col("gender")
+    )
+    joined = pats.join(den, "patient_id", "left").join(
+        num, "patient_id", "left"
+    )
+    n_den = F.count("in_den")
+    n_num = F.count("in_num")
+    return joined.groupBy("gender").agg(
+        F.count(F.lit(1)).alias("initial_population"),
+        n_den.alias("denominator"),
+        n_num.alias("numerator"),
+        F.round(
+            F.when(n_den > 0, n_num / n_den),
+            6,
+        ).alias("measure_score"),
+    )

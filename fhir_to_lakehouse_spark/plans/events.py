@@ -633,3 +633,90 @@ def events_interval_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_errors"))
     )
+
+
+@query(
+    "events_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS start_ts,
+             ts + to_minutes(CAST(1 + event_id % 120 AS BIGINT)) AS end_ts,
+             1 + event_id % 120 AS dur_min
+      FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN start_ts <= MAX(end_ts) OVER (
+                    PARTITION BY user_id ORDER BY start_ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ), islands AS (
+      SELECT *,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY start_ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(island_id AS BIGINT)  AS island_id,
+           CAST(COUNT(*) AS BIGINT)   AS n_events,
+           MIN(start_ts)              AS island_start,
+           MAX(end_ts)                AS island_end,
+           CAST(SUM(dur_min) AS BIGINT) AS total_event_minutes
+    FROM islands
+    GROUP BY user_id, island_id
+    """,
+)
+def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands): merge each user's
+    OVERLAPPING event intervals into maximal covered spans — the
+    hospitalization-stay / machine-uptime / contiguous-activity
+    operator that plain sessionization (fixed inactivity gap) cannot
+    express, because here every event carries its own deterministic
+    duration (1 + event_id % 120 minutes) and an island ends only when
+    the next start exceeds the RUNNING MAX of all previous ends (a
+    long early interval can swallow many later ones).
+
+    Plan shape: running-max-of-end over (user, start-ordered) rows
+    flags island starts, a cumulative sum numbers the islands, one
+    grouped aggregate emits the spans. All three steps key on user_id,
+    so Catalyst plans ONE exchange and the windows + aggregate run
+    inside the same partition.
+
+    100 TB shape: the single shuffle is on the natural entity key;
+    per-user state is one running max (no buffering of the user's
+    whole history beyond the sort Spark already does for the window).
+    Skewed users are bounded by their own event counts — AQE's skew
+    handling applies to the exchange, and the operator never
+    materializes a cross-event product."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        F.expr(
+            "ts + make_dt_interval(0, 0, CAST(1 + event_id % 120 AS INT), 0)"
+        ).alias("end_ts"),
+        (F.lit(1) + F.col("event_id") % 120).alias("dur_min"),
+    )
+    w = Window.partitionBy("user_id").orderBy("start_ts", "event_id")
+    prev_max_end = F.max("end_ts").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(F.col("start_ts") <= prev_max_end, 0).otherwise(1),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("start_ts").alias("island_start"),
+        F.max("end_ts").alias("island_end"),
+        F.sum("dur_min").cast("long").alias("total_event_minutes"),
+    )
