@@ -494,3 +494,93 @@ def similarity_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.alias("hits"),
         F.round(hits / F.lit(10.0), 6).alias("recall_at_10"),
     )
+
+
+@query(
+    "corpus_dsir_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    stats AS (
+      SELECT token,
+             COUNT(*)                                   AS n_raw,
+             COUNT(*) FILTER (WHERE lang = 'en')        AS n_tgt
+      FROM toks GROUP BY token
+    ),
+    totals AS (
+      SELECT SUM(n_raw)  AS big_n_raw,
+             SUM(n_tgt)  AS big_n_tgt,
+             COUNT(*)    AS v
+      FROM stats
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(((s.n_tgt + 0.5) / (tt.big_n_tgt + 0.5 * tt.v))
+                      / ((s.n_raw + 0.5) / (tt.big_n_raw + 0.5 * tt.v)))),
+                 6)                 AS dsir_score
+    FROM toks t
+    JOIN stats s USING (token), totals tt
+    GROUP BY t.doc_id
+    """,
+)
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by the mean
+    log importance ratio of its token occurrences between a TARGET
+    distribution (here: the corpus's English slice — at scale, a
+    trusted high-quality corpus like Wikipedia) and the RAW
+    distribution (the whole crawl), both add-k smoothed over the
+    shared vocabulary. High scores mark documents whose token mix
+    resembles the target — the published recipe for carving a
+    target-like pretraining subset out of a web crawl, and a
+    different operator from self-perplexity scoring
+    (text_unigram_logprob_score scores under ONE distribution; DSIR
+    is the RATIO of two).
+
+    Plan shape: one conditional grouped aggregate builds BOTH count
+    tables at once (count + count-if-target per token — no second
+    pass over the corpus for the target counts); the three corpus
+    scalars broadcast from one row; scoring re-joins the token stream
+    to the stats on the token key and one per-doc aggregate emits the
+    scores.
+
+    100 TB shape: the token-stats table is vocabulary-sized (tens of
+    millions of rows, kilobytes each — a dimension), built by a
+    map-side-combinable aggregate over the token stream; the scoring
+    join shuffles on the token key with both sides partitioned by it.
+    The real DSIR hashes n-grams into a fixed 10k-bucket table, which
+    would make the stats side broadcastable outright — the plan here
+    is the general (unhashed) case."""
+    from fhir_to_lakehouse_spark.functions.text import tokens
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = scoped_persist(
+        docs.select(
+            "doc_id", "lang", F.explode(tokens("text")).alias("token")
+        )
+    )
+    stats = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_tgt"),
+    )
+    totals = stats.agg(
+        F.sum("n_raw").alias("big_n_raw"),
+        F.sum("n_tgt").alias("big_n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_tgt = (F.col("n_tgt") + 0.5) / (
+        F.col("big_n_tgt") + 0.5 * F.col("v")
+    )
+    p_raw = (F.col("n_raw") + 0.5) / (
+        F.col("big_n_raw") + 0.5 * F.col("v")
+    )
+    return (
+        toks.join(stats, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(p_tgt / p_raw)), 6).alias("dsir_score"),
+        )
+    )

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "similarity_incremental_index",   # broadcast centroids (non-equi argmin)
     "text_unigram_logprob_score",  # 1-row corpus-total broadcast
     "text_trigram_perplexity",     # 1-row vocab-size broadcast
+    "corpus_dsir_selection",       # 1-row corpus-totals broadcast
     "search_bm25_topk",           # 1-row (N, avgdl) corpus-stats broadcast
     "graph_pagerank_trade",       # 1-row |V| / dangling-mass broadcasts
     "sample_temperature_mixing",  # 1-row total/Z/max-rate broadcasts over |langs| rows

@@ -62,6 +62,13 @@ QUERIES_TO_RUN = [
     # cohort compartment union scales with the fact scans only
     "terminology_subsumed_by",
     "compartment_patient_everything",
+    # round 8: trigram scoring joins the 3x-amplified gram stream back
+    # to its own count tables — the n-gram-keyed shuffle join is the
+    # cost under validation; interval coalescing should stay ~linear
+    # (one user_id exchange); domain quality is a broadcast-dim join
+    "text_trigram_perplexity",
+    "events_interval_coalesce",
+    "corpus_domain_quality_filter",
 ]
 
 
