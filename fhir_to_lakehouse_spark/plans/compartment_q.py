@@ -348,3 +348,107 @@ def fhir_measure_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("measure_score"),
     )
+
+
+@query(
+    "fhir_deidentify_patients",
+    oracle="""
+    WITH pats AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS id,
+             CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END
+               AS gender,
+             DATE '1930-01-01' + CAST(c_custkey % 25000 AS INTEGER)
+               AS birth_date,
+             lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0')
+               AS postal
+      FROM customer
+    )
+    SELECT substr(sha256('Patient/' || id), 1, 16)  AS pseudonym,
+           gender,
+           CASE WHEN year(birth_date) <= 1936 THEN NULL
+                ELSE year(birth_date) END           AS birth_year,
+           CASE WHEN year(birth_date) <= 1936 THEN '90+'
+                ELSE CAST(((2026 - year(birth_date)) // 10) * 10
+                          AS VARCHAR) || 's'
+           END                                      AS age_band,
+           substr(postal, 1, 3) || '00'             AS zip3
+    FROM pats
+    """,
+)
+def fhir_deidentify_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIPAA Safe-Harbor-style de-identification over encoded Patient
+    resources — the export gate every research lakehouse needs before
+    data leaves the covered environment: direct identifiers (names)
+    dropped, the resource id replaced by a deterministic pseudonym
+    (sha256 of the typed reference, truncated — stable across exports
+    so longitudinal joins still work), birthDate generalized to year
+    with the over-89 cohort collapsed to '90+' (the Safe Harbor age
+    rule, reference date 2026-01-01), and postal codes truncated to
+    their first three digits.
+
+    Plan shape: a pure projection over the encoded Patient scan —
+    sha2, year(), and substring are all codegen'd; no shuffle, no
+    Python, no lookup table to protect.
+
+    100 TB shape: embarrassingly parallel (zero exchanges); the
+    pseudonym needs no coordination because it's content-derived
+    rather than allocated, which is exactly why Safe Harbor pipelines
+    prefer keyed hashing (add a secret salt column at deploy time for
+    HMAC semantics)."""
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
+    pat_json = F.to_json(
+        F.struct(
+            F.lit("Patient").alias("resourceType"),
+            F.col("c_custkey").cast("string").alias("id"),
+            F.when(F.col("c_custkey") % 2 == 0, "female")
+            .otherwise("male")
+            .alias("gender"),
+            F.date_format(
+                F.date_add(
+                    F.to_date(F.lit("1930-01-01")),
+                    (F.col("c_custkey") % 25000).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("birthDate"),
+            F.array(
+                F.struct(F.col("c_name").alias("family"))
+            ).alias("name"),
+            F.array(
+                F.struct(
+                    F.lpad(
+                        (F.col("c_custkey") % 100000).cast("string"),
+                        5,
+                        "0",
+                    ).alias("postalCode")
+                )
+            ).alias("address"),
+        )
+    )
+    enc = encode_resources(
+        customer.select(pat_json.alias("resource")), "Patient"
+    )
+    birth_year = F.year("birthDate")
+    over89 = birth_year <= 1936
+    return enc.select(
+        F.substring(
+            F.sha2(F.concat(F.lit("Patient/"), F.col("id")), 256), 1, 16
+        ).alias("pseudonym"),
+        "gender",
+        F.when(over89, F.lit(None).cast("int"))
+        .otherwise(birth_year)
+        .alias("birth_year"),
+        F.when(over89, F.lit("90+"))
+        .otherwise(
+            F.concat(
+                (F.floor((F.lit(2026) - birth_year) / 10) * 10).cast(
+                    "string"
+                ),
+                F.lit("s"),
+            )
+        )
+        .alias("age_band"),
+        F.concat(
+            F.substring(F.element_at("address", 1).getField("postalCode"), 1, 3),
+            F.lit("00"),
+        ).alias("zip3"),
+    )
