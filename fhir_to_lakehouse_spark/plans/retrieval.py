@@ -183,3 +183,147 @@ def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(head, "term").select(
         "term", "df", "total_tf", "postings_head"
     )
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_DUCK_TOKS}) AS t FROM documents
+    ),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    q AS (SELECT doc_id AS query_id, t FROM toks WHERE doc_id % 100 = 0),
+    qv AS (SELECT vec_id AS query_id, x FROM v WHERE vec_id % 100 = 0),
+    lex AS (
+      SELECT q.query_id, d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY len(list_intersect(q.t, d.t)) DESC, d.doc_id
+             ) AS lex_rank
+      FROM q JOIN toks d ON d.doc_id <> q.query_id
+    ),
+    sem AS (
+      SELECT qv.query_id, d.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY qv.query_id
+               ORDER BY list_dot_product(qv.x, d.x) DESC, d.vec_id
+             ) AS sem_rank
+      FROM qv JOIN v d ON d.vec_id <> qv.query_id
+    ),
+    fused AS (
+      SELECT query_id, doc_id, lex_rank, sem_rank,
+             1.0 / (60 + lex_rank) + 1.0 / (60 + sem_rank) AS rrf
+      FROM lex JOIN sem USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           ROUND(rrf, 6)            AS rrf_score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id
+             ) AS rn
+      FROM fused
+    )
+    WHERE rn <= 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    RAG-stack ranker: a lexical ranking (distinct-token overlap with
+    the query document) and a semantic ranking (embedding dot product)
+    are computed independently per query, then fused as
+    sum(1/(60+rank)) and the top-10 returned. RRF is rank-based, so
+    the two modalities need no score calibration — exactly why
+    production hybrid search (Elasticsearch, Vespa, pgvector recipes)
+    defaults to it.
+
+    Plan shape: the bounded query set (doc_id % 100 — at scale, the
+    incoming query batch) broadcasts against the corpus twice — once
+    over the tokenized scan, once over the embedding scan; each side
+    gets a per-query row_number window (bounded partitions), the two
+    rank frames join on (query, doc), and a final per-query window
+    takes the fused top-10.
+
+    100 TB shape: both modality scans are embarrassingly parallel
+    with a broadcast probe side; the rank join shuffles (query, doc,
+    2 ints) rows only. At production scale each modality would be
+    served from its index (inverted postings / IVF buckets — both in
+    this library) and RRF would fuse their top-k lists (k*|queries|
+    rows), making the fusion itself a driver-trivial step; this entry
+    keeps the exhaustive form so the oracle can verify every rank."""
+    from fhir_to_lakehouse_spark.functions.similarity import as_double, dot
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    toks = docs.select(
+        "doc_id", F.array_distinct(TX.tokens("text")).alias("t")
+    )
+    vecs = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("x")
+    )
+    q = toks.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("t").alias("qt")
+    )
+    qv = vecs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("x").alias("qx")
+    )
+    from pyspark.sql import Window
+
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), F.col("doc_id")
+    )
+    lex = (
+        toks.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.array_intersect("qt", "t")).alias("overlap"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.row_number().over(w_lex).alias("lex_rank"),
+        )
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("doc_id")
+    )
+    sem = (
+        vecs.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            dot(F.col("qx"), F.col("x")).alias("dot"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.row_number().over(w_sem).alias("sem_rank"),
+        )
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank"))
+        + F.lit(1.0) / (F.lit(60) + F.col("sem_rank"))
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"]).select(
+        "query_id", "doc_id", "lex_rank", "sem_rank", rrf.alias("rrf")
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_fin))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "text_trigram_perplexity",     # 1-row vocab-size broadcast
     "corpus_dsir_selection",       # 1-row corpus-totals broadcast
     "search_bm25_topk",           # 1-row (N, avgdl) corpus-stats broadcast
+    "search_hybrid_rrf",          # broadcast query set x two corpus scans
     "graph_pagerank_trade",       # 1-row |V| / dangling-mass broadcasts
     "sample_temperature_mixing",  # 1-row total/Z/max-rate broadcasts over |langs| rows
     "quality_ccnet_buckets",      # 1-row corpus-total broadcast (vocab p table)
