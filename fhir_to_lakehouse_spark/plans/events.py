@@ -720,3 +720,88 @@ def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("end_ts").alias("island_end"),
         F.sum("dur_min").cast("long").alias("total_event_minutes"),
     )
+
+
+@query(
+    "events_ewma_smoothing",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) - 1 AS t
+      FROM events
+    )
+    SELECT a.user_id, a.event_id, a.ts,
+           ROUND(a.value, 2) AS value,
+           ROUND(
+             SUM(b.value * power(0.7, a.t - b.t))
+               / SUM(power(0.7, a.t - b.t)),
+             6
+           ) AS ewma20
+    FROM ordered a
+    JOIN ordered b
+      ON b.user_id = a.user_id
+     AND b.t BETWEEN a.t - 19 AND a.t
+    GROUP BY a.user_id, a.event_id, a.ts, a.value, a.t
+    """,
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average per user: each
+    event's value smoothed over its 20 most recent predecessors with
+    geometric weights 0.7^k, normalized by the realized weight sum (so
+    early events with short histories stay unbiased). Truncating the
+    kernel at 20 rows is what makes EWMA expressible as a WINDOW
+    AGGREGATE rather than a sequential recursion: the infinite-memory
+    form s_t = a*v_t + (1-a)*s_{t-1} forces row-at-a-time state, while
+    the 20-tap kernel (0.7^20 < 0.1% residual weight) is one
+    rows-window dot product — and the ORACLE can state the identical
+    kernel as a self-join, which the recursive form cannot.
+
+    Plan shape: one user_id exchange, one sort, one 20-row sliding
+    window computing both the weighted sum and the weight sum.
+    Weights come from the row-position difference, so the whole kernel
+    is codegen'd arithmetic.
+
+    100 TB shape: the window buffers at most 20 rows per user at a
+    time; cost is linear in events with a constant 20x multiply-add
+    factor. The DuckDB oracle's self-join restatement is O(20n) too —
+    both engines do the same work, stated differently."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.row_number().over(w_ord) - 1
+    ordered = ev.select(
+        "user_id", "event_id", "ts", "value", t.alias("t")
+    )
+    w20 = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(-19, 0)
+    )
+    # the weight of a window member is 0.7^(distance from the CURRENT
+    # row). A plain windowed SUM can't see that distance (factoring it
+    # as 0.7^t/0.7^i overflows 0.7^-i on long histories), so the frame
+    # is materialized once as an <=20-element array (oldest first) and
+    # the kernel is two codegen'd higher-order folds over positions —
+    # no absolute power larger than 0.7^-19 is ever formed.
+    vals = F.collect_list("value").over(w20)
+    weighted = F.expr(
+        "aggregate(zip_with(vals, sequence(0, size(vals) - 1),"
+        " (v, j) -> v * pow(0.7, size(vals) - 1 - j)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    wsum = F.expr(
+        "aggregate(transform(sequence(0, size(vals) - 1),"
+        " j -> pow(0.7, size(vals) - 1 - j)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        ordered.withColumn("vals", vals)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round("value", 2).alias("value"),
+            F.round(weighted / wsum, 6).alias("ewma20"),
+        )
+    )
