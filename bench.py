@@ -104,6 +104,11 @@ HEADLINE = [
     # $lastn (WindowGroupLimit partial top-N)
     "terminology_subsumed_by",
     "fhir_observation_lastn",
+    # round 8 continued: the two heaviest new operators — trigram-LM
+    # scoring (n-gram-keyed aggregate + re-join, the CCNet shape) and
+    # hybrid RRF retrieval (two modality rankings fused per query)
+    "text_trigram_perplexity",
+    "search_hybrid_rrf",
 ]
 
 

@@ -452,3 +452,54 @@ def fhir_deidentify_patients(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("00"),
         ).alias("zip3"),
     )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH pats AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END
+               AS gender,
+             DATE '1930-01-01' + CAST(c_custkey % 25000 AS INTEGER)
+               AS birth_date,
+             lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0')
+               AS postal
+      FROM customer
+    ),
+    quasi AS (
+      SELECT gender,
+             CASE WHEN year(birth_date) <= 1936 THEN '90+'
+                  ELSE CAST(((2026 - year(birth_date)) // 10) * 10
+                            AS VARCHAR) || 's'
+             END                          AS age_band,
+             substr(postal, 1, 3) || '00' AS zip3
+      FROM pats
+    )
+    SELECT gender, age_band, zip3,
+           CAST(COUNT(*) AS BIGINT)   AS group_size,
+           COUNT(*) < 5               AS below_k
+    FROM quasi
+    GROUP BY gender, age_band, zip3
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the de-identified release — the check a
+    privacy office runs BEFORE an export leaves: group the released
+    rows by their quasi-identifier combination (gender, age band,
+    zip3 — exactly what fhir_deidentify_patients emits) and flag every
+    equivalence class smaller than k=5, since a unique-ish combination
+    re-identifies a person even after Safe Harbor generalization. The
+    de-identification and its audit ship as a PAIR: this entry
+    consumes the other query's projection verbatim.
+
+    Plan shape: the de-id projection (zero-shuffle) feeding one
+    map-side-combinable grouped count over the quasi-identifier key.
+
+    100 TB shape: output is |quasi-identifier combinations| rows (a
+    few thousand — 2 genders x ~10 bands x zip3s), so the aggregate
+    collapses map-side and the audit costs one corpus scan."""
+    released = fhir_deidentify_patients(spark, sf_dir)
+    return released.groupBy("gender", "age_band", "zip3").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < 5).alias("below_k"),
+    )
