@@ -773,3 +773,62 @@ def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_neg_logprob"),
     )
+
+
+@query(
+    "eval_langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_LANG_ORACLE}),
+    labeled AS (
+      SELECT d.lang AS true_lang, p.predicted_lang
+      FROM documents d JOIN pred p USING (doc_id)
+    ),
+    cm AS (
+      SELECT true_lang, predicted_lang, COUNT(*) AS n
+      FROM labeled GROUP BY true_lang, predicted_lang
+    ),
+    per_true AS (
+      SELECT true_lang, SUM(n) AS n_true FROM cm GROUP BY true_lang
+    )
+    SELECT cm.true_lang, cm.predicted_lang,
+           CAST(cm.n AS BIGINT)           AS n,
+           ROUND(cm.n * 1.0 / pt.n_true, 6) AS frac_of_true
+    FROM cm JOIN per_true pt USING (true_lang)
+    """,
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the language-ID heuristic: the
+    confusion matrix of predicted vs LABELED language, with each
+    cell's share of its true-language row — the validation a pipeline
+    runs against a labeled sample before trusting a cheap classifier
+    to route a 100 TB crawl (fastText's published lang-id evals are
+    exactly this table). Reuses text_lang_id's scoring verbatim, so
+    the matrix grades the operator actually deployed, not a
+    re-implementation.
+
+    Plan shape: the scored projection joins the labels it came from
+    (same scan — Catalyst collapses it), then two tiny aggregates:
+    |langs|^2 cells and |langs| row totals, both map-side combinable
+    and broadcast-sized.
+
+    100 TB shape: at scale the labeled side is a small golden sample
+    joined broadcast against predictions; the aggregate output is
+    |langs|^2 rows regardless of corpus size."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    pred = text_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    labeled = docs.select(
+        "doc_id", F.col("lang").alias("true_lang")
+    ).join(pred, "doc_id")
+    cm = labeled.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_true = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return (
+        cm.join(F.broadcast(per_true), "true_lang")
+        .select(
+            "true_lang",
+            "predicted_lang",
+            "n",
+            F.round(F.col("n") / F.col("n_true"), 6).alias("frac_of_true"),
+        )
+    )
