@@ -503,3 +503,89 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) < 5).alias("below_k"),
     )
+
+
+@query(
+    "fhir_encounter_los",
+    oracle="""
+    WITH enc AS (
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderpriority LIKE '1%'
+                    OR o_orderpriority LIKE '2%'
+                  THEN 'IMP' ELSE 'AMB' END AS class_code,
+             CAST(o_orderdate AS DATE)      AS start_d,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 14 + 1 AS INTEGER) AS end_d
+      FROM orders
+    )
+    SELECT class_code,
+           CAST(COUNT(*) AS BIGINT)              AS n_encounters,
+           ROUND(AVG(end_d - start_d), 6)        AS avg_los_days,
+           CAST(MAX(end_d - start_d) AS BIGINT)  AS max_los_days,
+           CAST(COUNT(CASE WHEN end_d - start_d > 7 THEN 1 END)
+                AS BIGINT)                       AS n_long_stays
+    FROM enc
+    GROUP BY class_code
+    """,
+)
+def fhir_encounter_los(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encounter length-of-stay analytics — the first operational
+    question asked of any encounter table: per encounter class
+    (inpatient IMP vs ambulatory AMB, the v3-ActCode codes Synthea
+    emits), the count, mean and max stay in days, and the long-stay
+    (>7 d) tally. Encounters synthesize from orders (order date =
+    admission, deterministic 1-14 day stay) and run the FULL encode
+    path, so Encounter's period/class struct fields get end-to-end
+    coverage like the other decode families.
+
+    Plan shape: encode projection -> datediff on the period bounds ->
+    one map-side-combinable grouped aggregate into 2 class rows.
+
+    100 TB shape: one scan, one tiny aggregate; LOS arithmetic is
+    codegen'd date math on the typed period columns."""
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
+    d = F.col("o_orderdate")
+    enc_json = F.to_json(
+        F.struct(
+            F.lit("Encounter").alias("resourceType"),
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.lit("finished").alias("status"),
+            F.struct(
+                F.lit("http://terminology.hl7.org/CodeSystem/v3-ActCode")
+                .alias("system"),
+                F.when(
+                    F.col("o_orderpriority").rlike("^[12]"), "IMP"
+                )
+                .otherwise("AMB")
+                .alias("code"),
+            ).alias("class"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("o_custkey").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.struct(
+                F.date_format(d, "yyyy-MM-dd").alias("start"),
+                F.date_format(
+                    F.date_add(d, (F.col("o_orderkey") % 14 + 1).cast("int")),
+                    "yyyy-MM-dd",
+                ).alias("end"),
+            ).alias("period"),
+        )
+    )
+    enc = encode_resources(
+        orders.select(enc_json.alias("resource")), "Encounter"
+    )
+    los = F.datediff(
+        F.to_date(F.col("period.end")), F.to_date(F.col("period.start"))
+    )
+    return (
+        enc.select(F.col("class.code").alias("class_code"), los.alias("los"))
+        .groupBy("class_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_encounters"),
+            F.round(F.avg("los"), 6).alias("avg_los_days"),
+            F.max("los").cast("long").alias("max_los_days"),
+            F.count(F.when(F.col("los") > 7, 1)).alias("n_long_stays"),
+        )
+    )
