@@ -182,9 +182,15 @@ def _temporal_boundary(col: Column, lo: bool) -> Column:
     t_filled = F.when(
         t.contains("."), F.rpad(t, 12, "0" if lo else "9")
     ).otherwise(F.concat(t, F.lit(".000" if lo else ".999")))
-    return F.when(
+    out = F.when(
         n > 10, F.concat(date_part, F.lit("T"), t_filled, tz)
     ).otherwise(date_part)
+    # only strings in a FHIR temporal shape get boundaries; anything
+    # else is empty (null) — never a misparsed passthrough
+    valid = body.rlike(
+        r"^\d{4}(-\d{2}(-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?)?)?)?$"
+    )
+    return F.when(valid, out)
 
 
 def _split_path(path: str) -> list[str]:

@@ -1103,3 +1103,162 @@ def test_where_and_join_path_functions(spark):
             },
             enc,
         )
+
+
+def _obs_for_fns(spark):
+    rows = [
+        {
+            "resourceType": "Observation",
+            "id": "o1",
+            "status": "final",
+            "effectiveDateTime": "2019-03-10T11:45:33.5Z",
+            "valueQuantity": {"value": 7.5, "unit": "g"},
+        },
+        {
+            "resourceType": "Observation",
+            "id": "o2",
+            "status": "amended",
+            "effectiveDateTime": "not-a-date",
+        },
+    ]
+    df = spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "resource string"
+    )
+    return encode_resources(df, "Observation")
+
+
+def test_string_function_edge_cases(spark):
+    enc = _obs_for_fns(spark)
+    view = {
+        "resource": "Observation",
+        "select": [
+            {
+                "column": [
+                    {"name": "id", "path": "id"},
+                    # regex metachars in the matches() literal are the
+                    # user's regex, passed through verbatim
+                    {"name": "dotted", "path": "status.matches('f.n')"},
+                    # anchored regex rejects a partial hit
+                    {
+                        "name": "anchored",
+                        "path": "status.matches('^inal$')",
+                    },
+                    # substring len running past the end truncates,
+                    # never errors
+                    {"name": "tail", "path": "status.substring(3, 99)"},
+                    # indexOf of the full string is position 0
+                    {"name": "self_idx", "path": "status.indexOf('final')"},
+                ]
+            }
+        ],
+        "where": [{"path": "status = 'final'"}],
+    }
+    row = compile_view(view, enc).collect()[0]
+    assert row.dotted is True
+    assert row.anchored is False
+    assert row.tail == "al"
+    assert row.self_idx == 0
+
+
+def test_conversion_edge_cases(spark):
+    enc = _obs_for_fns(spark)
+    view = {
+        "resource": "Observation",
+        "select": [
+            {
+                "column": [
+                    {"name": "id", "path": "id"},
+                    # toInteger on a non-numeric string -> empty
+                    {"name": "bad_int", "path": "status.toInteger()"},
+                    # toDecimal on a decimal is a widening no-op path
+                    {
+                        "name": "as_dec",
+                        "path": "valueQuantity.value.toDecimal().toString()",
+                    },
+                    # boolean-returning function chains keep working
+                    # after a conversion segment
+                    {
+                        "name": "has_eff",
+                        "path": "effectiveDateTime.exists()",
+                    },
+                ]
+            }
+        ],
+    }
+    rows = {r.id: r for r in compile_view(view, enc).collect()}
+    assert rows["o1"].bad_int is None
+    assert rows["o2"].bad_int is None
+    assert rows["o1"].as_dec == "7.500000000000000000"
+    assert rows["o1"].has_eff is True
+
+
+def test_boundary_edge_cases(spark):
+    enc = _obs_for_fns(spark)
+    view = {
+        "resource": "Observation",
+        "select": [
+            {
+                "column": [
+                    {"name": "id", "path": "id"},
+                    {
+                        "name": "lo",
+                        "path": "effectiveDateTime.lowBoundary()",
+                    },
+                    {
+                        "name": "hi",
+                        "path": "effectiveDateTime.highBoundary()",
+                    },
+                ]
+            }
+        ],
+    }
+    rows = {r.id: r for r in compile_view(view, enc).collect()}
+    # sub-second precision fills to milliseconds, offset preserved
+    assert rows["o1"].lo == "2019-03-10T11:45:33.500Z"
+    assert rows["o1"].hi == "2019-03-10T11:45:33.599Z"
+    # a string that isn't a FHIR temporal shape yields empty (null),
+    # FHIRPath's empty propagation — never an error
+    assert rows["o2"].lo is None and rows["o2"].hi is None
+
+
+def test_boundary_on_date_type_is_identity(spark):
+    rows = [
+        {"resourceType": "Patient", "id": "p1", "birthDate": "1980-06-15"}
+    ]
+    df = spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "resource string"
+    )
+    enc = encode_resources(df, "Patient")
+    view = {
+        "resource": "Patient",
+        "select": [
+            {
+                "column": [
+                    {"name": "lo", "path": "birthDate.lowBoundary()"},
+                    {"name": "hi", "path": "birthDate.highBoundary()"},
+                ]
+            }
+        ],
+    }
+    row = compile_view(view, enc).collect()[0]
+    assert str(row.lo) == "1980-06-15" and str(row.hi) == "1980-06-15"
+
+
+def test_new_function_guardrails(spark):
+    enc = _obs_for_fns(spark)
+
+    def bad(path):
+        with pytest.raises(ViewCompileError):
+            compile_view(
+                {
+                    "resource": "Observation",
+                    "select": [{"column": [{"name": "x", "path": path}]}],
+                },
+                enc,
+            )
+
+    bad("valueQuantity.upper()")           # string fn on a complex elem
+    bad("valueQuantity.value.lowBoundary().upper()")  # on a decimal
+    bad("status.substring(0).toInteger().length()")   # length on int
+    bad("valueQuantity.toString()")        # toString on a complex elem
+    bad("status.replace('','x')")          # empty replace pattern
