@@ -700,19 +700,12 @@ def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("end_ts"),
         (F.lit(1) + F.col("event_id") % 120).alias("dur_min"),
     )
-    w = Window.partitionBy("user_id").orderBy("start_ts", "event_id")
-    prev_max_end = F.max("end_ts").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
+    from fhir_to_lakehouse_spark.functions.intervals import (
+        coalesce_intervals,
     )
-    flagged = iv.withColumn(
-        "is_new",
-        F.when(F.col("start_ts") <= prev_max_end, 0).otherwise(1),
-    )
-    islands = flagged.withColumn(
-        "island_id",
-        F.sum("is_new")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("long"),
+
+    islands = coalesce_intervals(
+        iv, ["user_id"], "start_ts", "end_ts", order_tiebreak="event_id"
     )
     return islands.groupBy("user_id", "island_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -767,41 +760,21 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     time; cost is linear in events with a constant 20x multiply-add
     factor. The DuckDB oracle's self-join restatement is O(20n) too —
     both engines do the same work, stated differently."""
+    from fhir_to_lakehouse_spark.functions.timeseries import ewma
+
     ev = load_table(spark, sf_dir, "events")
-    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = F.row_number().over(w_ord) - 1
-    ordered = ev.select(
-        "user_id", "event_id", "ts", "value", t.alias("t")
-    )
-    w20 = (
-        Window.partitionBy("user_id")
-        .orderBy("t")
-        .rowsBetween(-19, 0)
-    )
-    # the weight of a window member is 0.7^(distance from the CURRENT
-    # row). A plain windowed SUM can't see that distance (factoring it
-    # as 0.7^t/0.7^i overflows 0.7^-i on long histories), so the frame
-    # is materialized once as an <=20-element array (oldest first) and
-    # the kernel is two codegen'd higher-order folds over positions —
-    # no absolute power larger than 0.7^-19 is ever formed.
-    vals = F.collect_list("value").over(w20)
-    weighted = F.expr(
-        "aggregate(zip_with(vals, sequence(0, size(vals) - 1),"
-        " (v, j) -> v * pow(0.7, size(vals) - 1 - j)),"
-        " 0D, (acc, x) -> acc + x)"
-    )
-    wsum = F.expr(
-        "aggregate(transform(sequence(0, size(vals) - 1),"
-        " j -> pow(0.7, size(vals) - 1 - j)),"
-        " 0D, (acc, x) -> acc + x)"
-    )
-    return (
-        ordered.withColumn("vals", vals)
-        .select(
-            "user_id",
-            "event_id",
-            "ts",
-            F.round("value", 2).alias("value"),
-            F.round(weighted / wsum, 6).alias("ewma20"),
-        )
+    return ewma(
+        ev.select("user_id", "event_id", "ts", "value"),
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        value="value",
+        alpha=0.7,
+        taps=20,
+        out="_ewma",
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value", 2).alias("value"),
+        F.round("_ewma", 6).alias("ewma20"),
     )
