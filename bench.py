@@ -109,6 +109,12 @@ HEADLINE = [
     # hybrid RRF retrieval (two modality rankings fused per query)
     "text_trigram_perplexity",
     "search_hybrid_rrf",
+    # round 8 sixth pass: the clinical-analytics family's two join
+    # shapes — per-patient self-join pair expansion (comorbidity
+    # matrix) and gaps-and-islands adherence (one patient-keyed
+    # exchange serving islands, spans, and deciles)
+    "fhir_comorbidity_pairs",
+    "fhir_medication_mpr",
 ]
 
 

@@ -1,0 +1,783 @@
+"""Oracle-checked clinical-analytics queries over encoded resources.
+
+The reference pipeline (/root/reference/src/bundle_processor.py) lands
+Pathling-encoded resources in a lakehouse so downstream researchers can
+run exactly this family of questions — the bzkf deployment feeds an
+oncology research network, where prevalence, comorbidity, survival and
+medication-adherence queries are the daily workload. Every entry here
+synthesizes real FHIR JSON from the driver tables, runs it through the
+FULL ``encode_resources`` path (so the typed schemas get end-to-end
+coverage), and restates the analytics as flat SQL for the DuckDB
+oracle.
+
+100 TB shape (shared by all entries): resources encode as a pure
+projection (no shuffle); every aggregate keys on low-cardinality
+clinical codes or on patient id, so the single exchange per query is
+map-side combinable or AQE-skew-handled; no entry collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fhir_to_lakehouse_spark.functions.intervals import coalesce_intervals
+from fhir_to_lakehouse_spark.operators.bundles import encode_resources
+from fhir_to_lakehouse_spark.plans.registry import query
+from fhir_to_lakehouse_spark.sources.tables import (
+    fan_out_small_scan,
+    load_table,
+)
+
+_SNOMED = "http://snomed.info/sct"
+_RXNORM = "http://www.nlm.nih.gov/research/umls/rxnorm"
+
+
+def _conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition resources synthesized from orders: patient o_custkey,
+    a 20-code diagnosis vocabulary keyed on o_orderkey, onset at the
+    order date — encoded through the curated CONDITION_SCHEMA so
+    code.coding / subject.reference / onsetDateTime are all typed."""
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
+    code = F.concat(
+        F.lit("C"),
+        F.lpad((F.col("o_orderkey") % 20).cast("string"), 2, "0"),
+    )
+    cond_json = F.to_json(
+        F.struct(
+            F.lit("Condition").alias("resourceType"),
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit(_SNOMED).alias("system"),
+                        code.alias("code"),
+                    )
+                ).alias("coding"),
+                F.concat(F.lit("diagnosis "), code).alias("text"),
+            ).alias("code"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("o_custkey").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias(
+                "onsetDateTime"
+            ),
+        )
+    )
+    return encode_resources(
+        orders.select(cond_json.alias("resource")), "Condition"
+    )
+
+
+@query(
+    "fhir_condition_prevalence",
+    oracle="""
+    WITH total AS (SELECT COUNT(*) AS n_pop FROM customer),
+    cond AS (
+      SELECT 'C' || lpad(CAST(o_orderkey % 20 AS VARCHAR), 2, '0') AS code,
+             o_custkey
+      FROM orders
+    )
+    SELECT code,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_patients,
+           ROUND(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) * 100 / n_pop,
+                 6) AS prevalence_pct
+    FROM cond, total
+    GROUP BY code, n_pop
+    """,
+)
+def fhir_condition_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period prevalence per diagnosis code — the first epidemiology
+    query any disease registry runs: distinct patients carrying each
+    Condition code over the registry population. The denominator is
+    ONE broadcast scalar (count of the Patient dimension), so the
+    per-code rate costs nothing beyond the distinct count.
+
+    Plan shape: encoded Condition scan -> groupBy(code) distinct-count
+    of subject -> broadcast 1-row population join. The distinct-count
+    shuffles (code, patient) key pairs only.
+
+    100 TB shape: 20 codes x |patients| distinct pairs is the partial
+    aggregate's worst case — map-side dedup collapses repeat
+    diagnoses, and a genuinely hot code is AQE-skew-split. No bodies
+    move, no driver collect."""
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
+    total = customer.agg(F.count(F.lit(1)).alias("n_pop"))
+    cond = _conditions(spark, sf_dir)
+    per_code = cond.select(
+        F.element_at("code.coding", 1).getField("code").alias("code"),
+        F.col("subject.reference").alias("patient_id"),
+    ).groupBy("code")
+    return (
+        per_code.agg(F.count_distinct("patient_id").alias("n_patients"))
+        .join(F.broadcast(total))
+        .select(
+            "code",
+            "n_patients",
+            F.round(
+                F.col("n_patients").cast("double") * 100 / F.col("n_pop"), 6
+            ).alias("prevalence_pct"),
+        )
+    )
+
+
+@query(
+    "fhir_comorbidity_pairs",
+    oracle="""
+    WITH cond AS (
+      SELECT DISTINCT
+             'C' || lpad(CAST(o_orderkey % 20 AS VARCHAR), 2, '0') AS code,
+             o_custkey AS patient_id
+      FROM orders
+    )
+    SELECT a.code                        AS code_a,
+           b.code                        AS code_b,
+           CAST(COUNT(*) AS BIGINT)      AS n_patients
+    FROM cond a
+    JOIN cond b
+      ON a.patient_id = b.patient_id AND a.code < b.code
+    GROUP BY a.code, b.code
+    """,
+)
+def fhir_comorbidity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comorbidity co-occurrence: for every unordered pair of
+    diagnosis codes, how many patients carry BOTH — the adjacency
+    matrix behind comorbidity-network papers and Charlson-style risk
+    scores. Per-patient distinct codes first (so repeat diagnoses
+    don't inflate pairs), then a self-join restricted to code_a <
+    code_b within the same patient.
+
+    Plan shape: distinct (patient, code) -> self-join on patient_id ->
+    grouped count into at most C(20,2)=190 rows. Spark reuses the
+    shuffle of the distinct for both join sides (same exchange).
+
+    100 TB shape: the join key is patient id, so the expansion is
+    quadratic ONLY in per-patient distinct codes (tens, by clinical
+    reality — a code-count guard belongs in the distinct if a corpus
+    violates that), never in table size. The final aggregate is
+    |code-pairs| rows: map-side combinable to a few hundred."""
+    cond = _conditions(spark, sf_dir)
+    pc = cond.select(
+        F.col("subject.reference").alias("patient_id"),
+        F.element_at("code.coding", 1).getField("code").alias("code"),
+    ).distinct()
+    a = pc.alias("a")
+    b = pc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.patient_id") == F.col("b.patient_id"))
+            & (F.col("a.code") < F.col("b.code")),
+        )
+        .groupBy(
+            F.col("a.code").alias("code_a"), F.col("b.code").alias("code_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_patients"))
+    )
+
+
+@query(
+    "fhir_observation_range_flags",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS code,
+             CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
+             CAST(length(event_type) * 10 AS DOUBLE)       AS lo,
+             CAST(length(event_type) * 10 + 120 AS DOUBLE) AS hi
+      FROM events
+    )
+    SELECT code,
+           CASE WHEN v > hi THEN 'H'
+                WHEN v < lo THEN 'L'
+                ELSE 'N' END              AS flag,
+           CAST(COUNT(*) AS BIGINT)       AS n_obs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) * 100
+                 / SUM(COUNT(*)) OVER (PARTITION BY code), 6) AS pct
+    FROM obs
+    GROUP BY code, CASE WHEN v > hi THEN 'H' WHEN v < lo THEN 'L'
+                        ELSE 'N' END
+    """,
+)
+def fhir_observation_range_flags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reference-range interpretation — the lab-medicine H/L/N flag:
+    each Observation carries its own referenceRange (as real FHIR
+    data does; ranges vary by assay, age, sex), the value is compared
+    against the range IT shipped with, and the per-code flag mix is
+    the quality dashboard every lab runs. Exercises
+    Observation.referenceRange[].low/high Quantity structs through
+    encode end-to-end.
+
+    Plan shape: encode projection -> codegen'd decimal comparisons
+    against the row's own range (no lookup join — the range travels in
+    the resource) -> one grouped count into |codes| x 3 rows, plus a
+    window over those few aggregated rows for the per-code share.
+
+    100 TB shape: one scan, zero joins; the aggregate output is tiny
+    so the share-window's single-stage shuffle moves |codes|x3 rows."""
+    events = fan_out_small_scan(load_table(spark, sf_dir, "events"))
+    lo = F.length("event_type") * 10
+    obs_json = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit("http://loinc.org").alias("system"),
+                        F.col("event_type").alias("code"),
+                    )
+                ).alias("coding")
+            ).alias("code"),
+            F.struct(
+                F.col("value").cast("decimal(18,2)").alias("value")
+            ).alias("valueQuantity"),
+            F.array(
+                F.struct(
+                    F.struct(
+                        lo.cast("decimal(18,2)").alias("value")
+                    ).alias("low"),
+                    F.struct(
+                        (lo + 120).cast("decimal(18,2)").alias("value")
+                    ).alias("high"),
+                )
+            ).alias("referenceRange"),
+        )
+    )
+    enc = encode_resources(
+        events.select(obs_json.alias("resource")), "Observation"
+    )
+    rr = F.element_at("referenceRange", 1)
+    v = F.col("valueQuantity.value")
+    flag = (
+        F.when(v > rr.getField("high").getField("value"), "H")
+        .when(v < rr.getField("low").getField("value"), "L")
+        .otherwise("N")
+    )
+    counted = (
+        enc.select(
+            F.element_at("code.coding", 1).getField("code").alias("code"),
+            flag.alias("flag"),
+        )
+        .groupBy("code", "flag")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    per_code = Window.partitionBy("code")
+    return counted.select(
+        "code",
+        "flag",
+        "n_obs",
+        F.round(
+            F.col("n_obs").cast("double") * 100 / F.sum("n_obs").over(per_code),
+            6,
+        ).alias("pct"),
+    )
+
+
+@query(
+    "fhir_survival_km",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN c_custkey % 7 = 0 THEN 30
+                  ELSE c_custkey % 30 END AS t,
+             CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END AS ev
+      FROM customer
+    ),
+    times AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS n_t
+      FROM base GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(n_t) OVER (ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+      FROM times
+    ),
+    km AS (
+      SELECT t, d, n_risk,
+             ROUND(EXP(SUM(LN(1 - CAST(d AS DOUBLE) / n_risk))
+                       OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)), 6) AS survival
+      FROM risk
+    )
+    SELECT t AS t_days, n_risk, d AS n_events, survival
+    FROM km WHERE d > 0
+    """,
+)
+def fhir_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate — THE oncology-registry query
+    (the reference's bzkf deployment exists to power exactly this):
+    time from Condition onset to abatement, right-censored at the
+    study end (day 30) when no abatement is recorded. The product-
+    limit estimator S(t) = prod_{t_i <= t} (1 - d_i / n_i) computes
+    as exp of a running sum of logs — a cumulative window — because
+    Spark (like SQL) has sum-windows, not product-windows; censored
+    times contribute ln(1) = 0 so filtering event rows afterward is
+    exact.
+
+    Plan shape: encode projection -> duration/event flags (codegen
+    date math) -> grouped aggregate to |distinct durations| rows ->
+    two cumulative windows (descending risk-set count, ascending
+    log-survival) over that tiny aggregate -> event-time rows out.
+
+    100 TB shape: the only unpartitioned windows run over the
+    AGGREGATED time axis (|distinct event times| rows — thousands for
+    daily resolution, never corpus-sized), a deliberate single
+    partition like the reference's own rollup finals. The corpus-sized
+    work is one map-side-combinable groupBy(t). n_risk > d is
+    structural here (the censored cohort outlives every event time),
+    so ln never sees zero."""
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
+    k = F.col("c_custkey")
+    onset = F.to_date(F.lit("2024-01-01"))
+    abatement = F.when(
+        k % 7 != 0, F.date_add(onset, (k % 30).cast("int"))
+    )
+    cond_json = F.to_json(
+        F.struct(
+            F.lit("Condition").alias("resourceType"),
+            k.cast("string").alias("id"),
+            F.struct(
+                F.concat(F.lit("Patient/"), k.cast("string")).alias(
+                    "reference"
+                )
+            ).alias("subject"),
+            F.date_format(onset, "yyyy-MM-dd").alias("onsetDateTime"),
+            F.date_format(abatement, "yyyy-MM-dd").alias(
+                "abatementDateTime"
+            ),
+        )
+    )
+    enc = encode_resources(
+        customer.select(cond_json.alias("resource")), "Condition"
+    )
+    abat = F.to_date("abatementDateTime")
+    t = F.when(
+        abat.isNotNull(), F.datediff(abat, F.to_date("onsetDateTime"))
+    ).otherwise(F.lit(30))
+    ev = abat.isNotNull().cast("int")
+    times = (
+        enc.select(t.alias("t_days"), ev.alias("ev"))
+        .groupBy("t_days")
+        .agg(F.sum("ev").alias("d"), F.count(F.lit(1)).alias("n_t"))
+    )
+    w_desc = Window.orderBy(F.col("t_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.withColumn("n_risk", F.sum("n_t").over(w_desc))
+    km = risk.withColumn(
+        "survival",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(1 - F.col("d").cast("double") / F.col("n_risk"))
+                ).over(w_asc)
+            ),
+            6,
+        ),
+    )
+    return km.filter(F.col("d") > 0).select(
+        "t_days", "n_risk", F.col("d").alias("n_events"), "survival"
+    )
+
+
+# Charlson-style comorbidity weights for the 20-code vocabulary:
+# most conditions weigh 1, a few 2-3, metastatic-tumor analogs 6 —
+# the shape of the real index (Charlson 1987), keyed to C00..C19.
+_CHARLSON_WEIGHTS = [
+    1, 1, 1, 2, 1, 2, 3, 1, 2, 1, 6, 2, 1, 1, 2, 1, 3, 2, 1, 6,
+]
+
+
+@query(
+    "fhir_risk_score_charlson",
+    oracle=f"""
+    WITH w AS (
+      SELECT 'C' || lpad(CAST(i AS VARCHAR), 2, '0') AS code,
+             wt
+      FROM (
+        SELECT UNNEST(range(20)) AS i,
+               UNNEST({_CHARLSON_WEIGHTS}) AS wt
+      )
+    ),
+    cond AS (
+      SELECT DISTINCT
+             'C' || lpad(CAST(o_orderkey % 20 AS VARCHAR), 2, '0') AS code,
+             o_custkey AS patient_id
+      FROM orders
+    ),
+    scores AS (
+      SELECT patient_id, CAST(SUM(wt) AS BIGINT) AS score
+      FROM cond JOIN w USING (code)
+      GROUP BY patient_id
+    )
+    SELECT score, CAST(COUNT(*) AS BIGINT) AS n_patients
+    FROM scores GROUP BY score
+    """,
+)
+def fhir_risk_score_charlson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charlson-style comorbidity risk score — the standard severity
+    adjuster in outcomes research: each patient's DISTINCT diagnosis
+    codes map through a weight table (a real deployment loads the
+    published Charlson/Elixhauser mapping; here the 20-code vocabulary
+    carries Charlson-shaped weights), the weights sum per patient, and
+    the cohort reports as a score histogram.
+
+    Plan shape: distinct (patient, code) -> BROADCAST join against the
+    20-row weight dimension (the fact side never shuffles for the
+    lookup) -> per-patient sum -> |distinct scores| histogram rows.
+
+    100 TB shape: the weight table is dimension-sized by definition
+    (every published index is < 100 rows), so the only exchange is the
+    per-patient aggregate — patient-keyed, map-side combinable, AQE
+    skew-safe."""
+    cond = _conditions(spark, sf_dir)
+    pc = cond.select(
+        F.col("subject.reference").alias("patient_id"),
+        F.element_at("code.coding", 1).getField("code").alias("code"),
+    ).distinct()
+    weights = spark.createDataFrame(
+        [(f"C{i:02d}", w) for i, w in enumerate(_CHARLSON_WEIGHTS)],
+        "code string, wt int",
+    )
+    scores = (
+        pc.join(F.broadcast(weights), "code")
+        .groupBy("patient_id")
+        .agg(F.sum("wt").alias("score"))
+    )
+    return scores.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_patients")
+    )
+
+
+@query(
+    "fhir_preadmission_labs",
+    oracle="""
+    SELECT e.event_id                           AS encounter_id,
+           CAST(e.user_id AS VARCHAR)           AS patient_id,
+           e.ts                                 AS admit_ts,
+           o.event_id                           AS last_lab_id,
+           o.ts                                 AS last_lab_ts,
+           CAST(o.value AS DECIMAL(18,2))       AS last_lab_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') o
+      ON e.user_id = o.user_id AND e.ts >= o.ts
+    """,
+)
+def fhir_preadmission_labs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-admission lab lookback — the ubiquitous clinical as-of
+    question: for every Encounter, the patient's most recent lab
+    Observation at or before admission (baseline creatinine before a
+    contrast scan, last INR before surgery). Both resource streams run
+    through encode (Encounter.period.start / Observation.
+    effectiveDateTime as microsecond-precision FHIR instants, parsed
+    back to timestamps), then the library's union-window as-of shape
+    matches them: one shuffle on patient id, no range-join explosion,
+    ties (lab at the admission instant) match like DuckDB ASOF >=.
+
+    Plan shape: two encode projections -> unionByName -> one window
+    partitioned by patient ordered by (ts, kind) with last(ignorenulls)
+    carrying the lab forward -> encounter rows out.
+
+    100 TB shape: identical to the proven as-of entries — a single
+    patient-keyed exchange over (labs + encounters), per-row state is
+    the carried last-lab triple; AQE handles hot patients."""
+    events = fan_out_small_scan(load_table(spark, sf_dir, "events"))
+    iso = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+    enc_json = F.to_json(
+        F.struct(
+            F.lit("Encounter").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("in-progress").alias("status"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("user_id").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.struct(
+                F.date_format("ts", iso).alias("start")
+            ).alias("period"),
+        )
+    )
+    encounters = encode_resources(
+        events.filter(F.col("event_type") == "purchase").select(
+            enc_json.alias("resource")
+        ),
+        "Encounter",
+    )
+    obs_json = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("user_id").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.date_format("ts", iso).alias("effectiveDateTime"),
+            F.struct(
+                F.col("value").cast("decimal(18,2)").alias("value")
+            ).alias("valueQuantity"),
+        )
+    )
+    labs = encode_resources(
+        events.filter(F.col("event_type") == "error").select(
+            obs_json.alias("resource")
+        ),
+        "Observation",
+    )
+
+    pid = F.regexp_replace(F.col("subject.reference"), "^Patient/", "")
+    left = encounters.select(
+        pid.alias("patient_id"),
+        F.to_timestamp(F.col("period.start"), iso).alias("ts"),
+        F.lit(1).alias("is_enc"),
+        F.col("id").cast("long").alias("encounter_id"),
+        F.lit(None).cast("long").alias("lab_id"),
+        F.lit(None).cast("timestamp").alias("lab_ts"),
+        F.lit(None).cast("decimal(18,2)").alias("lab_value"),
+    )
+    right = labs.select(
+        pid.alias("patient_id"),
+        F.to_timestamp(F.col("effectiveDateTime"), iso).alias("ts"),
+        F.lit(0).alias("is_enc"),
+        F.lit(None).cast("long").alias("encounter_id"),
+        F.col("id").cast("long").alias("lab_id"),
+        F.to_timestamp(F.col("effectiveDateTime"), iso).alias("lab_ts"),
+        F.col("valueQuantity.value").cast("decimal(18,2)").alias("lab_value"),
+    )
+    w = (
+        Window.partitionBy("patient_id")
+        .orderBy(F.col("ts").asc(), F.col("is_enc").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        left.unionByName(right)
+        .withColumn("last_lab_id", F.last("lab_id", ignorenulls=True).over(w))
+        .withColumn("last_lab_ts", F.last("lab_ts", ignorenulls=True).over(w))
+        .withColumn(
+            "last_lab_value", F.last("lab_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_enc") == 1)
+    )
+    return matched.select(
+        "encounter_id",
+        "patient_id",
+        F.col("ts").alias("admit_ts"),
+        "last_lab_id",
+        "last_lab_ts",
+        "last_lab_value",
+    )
+
+
+def _dispenses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MedicationDispense resources from orders: patient o_custkey, an
+    8-drug RxNorm-ish vocabulary, handed over at the order date with a
+    7-27 day supply — daysSupply travels as a typed Quantity."""
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
+    med = F.concat(F.lit("M"), (F.col("o_orderkey") % 8).cast("string"))
+    disp_json = F.to_json(
+        F.struct(
+            F.lit("MedicationDispense").alias("resourceType"),
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.lit("completed").alias("status"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit(_RXNORM).alias("system"),
+                        med.alias("code"),
+                    )
+                ).alias("coding")
+            ).alias("medicationCodeableConcept"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("o_custkey").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.struct(
+                (F.col("o_orderkey") % 21 + 7)
+                .cast("decimal(18,2)")
+                .alias("value"),
+                F.lit("d").alias("unit"),
+            ).alias("daysSupply"),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias(
+                "whenHandedOver"
+            ),
+        )
+    )
+    return encode_resources(
+        orders.select(disp_json.alias("resource")), "MedicationDispense"
+    )
+
+
+@query(
+    "fhir_medication_mpr",
+    oracle="""
+    WITH disp AS (
+      SELECT o_custkey AS patient_id,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 21 + 7 AS INTEGER) AS e
+      FROM orders
+    ),
+    flagged AS (
+      SELECT patient_id, s, e,
+             CASE WHEN s <= MAX(e) OVER (
+                    PARTITION BY patient_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS is_new
+      FROM disp
+    ),
+    islands AS (
+      SELECT patient_id, s, e,
+             SUM(is_new) OVER (
+               PARTITION BY patient_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    cov AS (
+      SELECT patient_id,
+             SUM(ilen)           AS covered,
+             MAX(emax) - MIN(smin) AS window_days
+      FROM (
+        SELECT patient_id, island,
+               MAX(e) - MIN(s) AS ilen,
+               MAX(e) AS emax, MIN(s) AS smin
+        FROM islands GROUP BY patient_id, island
+      ) GROUP BY patient_id
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_patients
+    FROM (
+      SELECT LEAST(CAST(FLOOR(CAST(covered AS DOUBLE) * 10
+                               / window_days) AS INTEGER), 10) AS band
+      FROM cov
+    )
+    GROUP BY band
+    """,
+)
+def fhir_medication_mpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medication-possession ratio (MPR) — the standard claims-data
+    adherence measure: per patient, days covered by at least one
+    dispense (overlapping supplies COALESCED, not double-counted —
+    that is the textbook MPR pitfall) over the patient's own refill
+    span (first handed-over to last supply end), banded into deciles.
+    Reuses the library's gaps-and-islands operator
+    (functions/intervals.coalesce_intervals) on dispense windows
+    [handedOver, handedOver + daysSupply).
+
+    Plan shape: encode projection -> ONE exchange on patient_id serves
+    the island windows, the per-island aggregate, the per-patient
+    aggregate, and the span max/min (same key throughout) -> decile
+    banding -> 11-row grouped count, map-side combinable.
+
+    100 TB shape: everything keys on patient id; per-patient state is
+    a running max during the island scan. The quotient is exact where
+    it matters: band boundaries only bind when covered*10 divides the
+    window, and integer-valued IEEE quotients are exact, so Spark and
+    the oracle band identically."""
+    disp = _dispenses(spark, sf_dir)
+    s = F.to_date("whenHandedOver")
+    spans = disp.select(
+        F.col("subject.reference").alias("patient_id"),
+        s.alias("s"),
+        F.date_add(
+            s, F.col("daysSupply.value").cast("int")
+        ).alias("e"),
+    )
+    islands = coalesce_intervals(
+        spans, ["patient_id"], "s", "e", order_tiebreak="e"
+    )
+    per_island = islands.groupBy("patient_id", "island_id").agg(
+        F.datediff(F.max("e"), F.min("s")).alias("ilen"),
+        F.max("e").alias("emax"),
+        F.min("s").alias("smin"),
+    )
+    cov = per_island.groupBy("patient_id").agg(
+        F.sum("ilen").alias("covered"),
+        F.datediff(F.max("emax"), F.min("smin")).alias("window_days"),
+    )
+    band = F.least(
+        F.floor(
+            F.col("covered").cast("double") * 10 / F.col("window_days")
+        ).cast("int"),
+        F.lit(10),
+    )
+    return (
+        cov.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_patients"))
+    )
+
+
+@query(
+    "fhir_med_coprescription",
+    oracle="""
+    WITH disp AS (
+      SELECT o_custkey AS patient_id,
+             'M' || CAST(o_orderkey % 8 AS VARCHAR) AS med,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 21 + 7 AS INTEGER) AS e
+      FROM orders
+    )
+    SELECT a.med                                  AS med_a,
+           b.med                                  AS med_b,
+           CAST(COUNT(DISTINCT a.patient_id) AS BIGINT) AS n_patients
+    FROM disp a
+    JOIN disp b
+      ON a.patient_id = b.patient_id
+     AND a.med < b.med
+     AND a.s < b.e AND b.s < a.e
+    GROUP BY a.med, b.med
+    """,
+)
+def fhir_med_coprescription(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-medication screening — the interaction-surveillance
+    query: for every pair of DIFFERENT drugs, how many patients held
+    overlapping supplies of both at any point (dispense windows
+    intersect). This is the denominator feed for drug-drug interaction
+    alerts and polypharmacy dashboards.
+
+    Plan shape: encoded dispense windows self-join on patient_id with
+    the overlap predicate as a join residual -> distinct-patient count
+    per drug pair into at most C(8,2)=28 rows.
+
+    100 TB shape: like the comorbidity pairs, the join keys on patient
+    id so expansion is bounded by per-patient dispense counts squared
+    (claims reality: tens), never corpus size; both sides are the same
+    exchange. The distinct-count shuffles (pair, patient) ids only."""
+    disp = _dispenses(spark, sf_dir)
+    s = F.to_date("whenHandedOver")
+    win = disp.select(
+        F.col("subject.reference").alias("patient_id"),
+        F.element_at("medicationCodeableConcept.coding", 1)
+        .getField("code")
+        .alias("med"),
+        s.alias("s"),
+        F.date_add(s, F.col("daysSupply.value").cast("int")).alias("e"),
+    )
+    a = win.alias("a")
+    b = win.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.patient_id") == F.col("b.patient_id"))
+            & (F.col("a.med") < F.col("b.med"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .groupBy(F.col("a.med").alias("med_a"), F.col("b.med").alias("med_b"))
+        .agg(F.count_distinct(F.col("a.patient_id")).alias("n_patients"))
+    )

@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "quality_ccnet_buckets",      # 1-row corpus-total broadcast (vocab p table)
     "events_funnel_conversion",   # 1-row stage-count broadcasts -> 3-row stack
     "text_heavy_hitters_exact",   # 1-row total-N broadcast (bm25-stats class)
+    "fhir_condition_prevalence",  # 1-row population-denominator broadcast
 }
 
 _SKIP = {
