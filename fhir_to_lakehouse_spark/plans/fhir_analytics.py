@@ -391,6 +391,135 @@ def fhir_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fhir_adverse_event_prr",
+    oracle="""
+    WITH drugs AS (
+      SELECT DISTINCT o_custkey AS patient_id,
+             'M' || CAST(o_orderkey % 8 AS VARCHAR) AS med
+      FROM orders
+    ),
+    aes AS (
+      SELECT DISTINCT user_id AS patient_id, event_type AS ae
+      FROM events
+    ),
+    pop AS (
+      SELECT COUNT(*) AS n_pop FROM customer
+    ),
+    per_drug AS (
+      SELECT med, COUNT(*) AS n_d FROM drugs GROUP BY med
+    ),
+    per_ae AS (
+      SELECT ae, COUNT(*) AS n_e FROM aes GROUP BY ae
+    ),
+    pairs AS (
+      SELECT d.med, a.ae, COUNT(*) AS a_cnt
+      FROM drugs d JOIN aes a USING (patient_id)
+      GROUP BY d.med, a.ae
+    )
+    SELECT med, ae,
+           CAST(a_cnt AS BIGINT)        AS n_both,
+           CAST(n_d - a_cnt AS BIGINT)  AS n_drug_only,
+           CAST(n_e - a_cnt AS BIGINT)  AS n_ae_only,
+           ROUND(
+             (CAST(a_cnt AS DOUBLE) / n_d)
+             / NULLIF(CAST(n_e - a_cnt AS DOUBLE)
+                      / NULLIF(n_pop - n_d, 0), 0),
+             6) AS prr
+    FROM pairs
+    JOIN per_drug USING (med)
+    JOIN per_ae USING (ae)
+    CROSS JOIN pop
+    """,
+)
+def fhir_adverse_event_prr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pharmacovigilance disproportionality — the proportional
+    reporting ratio (PRR) every safety-surveillance system (FAERS,
+    EudraVigilance) computes: for each (drug, adverse event) pair,
+    the rate of the event among exposed patients over its rate among
+    unexposed patients, from the 2x2 contingency counts. PRR >> 1
+    flags a safety signal worth review.
+
+    Exposure comes from the encoded MedicationDispense frame, events
+    from encoded Observations; both reduce to DISTINCT patient-level
+    sets first (disproportionality is patient-level, not report-level
+    — the double-count pitfall of naive FAERS queries).
+
+    Plan shape: two distinct-reductions -> patient-keyed inner join ->
+    pair counts (|drugs| x |AE terms| rows) -> broadcast joins against
+    the per-drug / per-AE margins and the 1-row population scalar.
+
+    100 TB shape: only patient-id pairs shuffle; margins are
+    dimension-sized by vocabulary (drug and MedDRA terms — at most
+    tens of thousands), so every enrichment join broadcasts. The wide
+    work is the distinct + one co-keyed join, both AQE-skew-safe."""
+    disp = _dispenses(spark, sf_dir)
+    drugs = disp.select(
+        F.col("subject.reference").alias("patient_id"),
+        F.element_at("medicationCodeableConcept.coding", 1)
+        .getField("code")
+        .alias("med"),
+    ).distinct()
+    events = fan_out_small_scan(load_table(spark, sf_dir, "events"))
+    obs_json = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(
+                F.array(
+                    F.struct(F.col("event_type").alias("code"))
+                ).alias("coding")
+            ).alias("code"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("user_id").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+        )
+    )
+    aes = (
+        encode_resources(
+            events.select(obs_json.alias("resource")), "Observation"
+        )
+        .select(
+            F.col("subject.reference").alias("patient_id"),
+            F.element_at("code.coding", 1).getField("code").alias("ae"),
+        )
+        .distinct()
+    )
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
+    pop = customer.agg(F.count(F.lit(1)).alias("n_pop"))
+    per_drug = drugs.groupBy("med").agg(F.count(F.lit(1)).alias("n_d"))
+    per_ae = aes.groupBy("ae").agg(F.count(F.lit(1)).alias("n_e"))
+    pairs = (
+        drugs.join(aes, "patient_id")
+        .groupBy("med", "ae")
+        .agg(F.count(F.lit(1)).alias("a_cnt"))
+    )
+    a = F.col("a_cnt").cast("double")
+    unexposed_rate = (F.col("n_e") - F.col("a_cnt")).cast("double") / (
+        F.col("n_pop") - F.col("n_d")
+    )
+    enriched = (
+        pairs.join(F.broadcast(per_drug), "med")
+        .join(F.broadcast(per_ae), "ae")
+        .join(F.broadcast(pop))
+    )
+    return enriched.select(
+        "med",
+        "ae",
+        F.col("a_cnt").alias("n_both"),
+        (F.col("n_d") - F.col("a_cnt")).alias("n_drug_only"),
+        (F.col("n_e") - F.col("a_cnt")).alias("n_ae_only"),
+        F.round(
+            (a / F.col("n_d"))
+            / F.when(unexposed_rate != 0, unexposed_rate),
+            6,
+        ).alias("prr"),
+    )
+
+
 # Charlson-style comorbidity weights for the 20-code vocabulary:
 # most conditions weigh 1, a few 2-3, metastatic-tumor analogs 6 —
 # the shape of the real index (Charlson 1987), keyed to C00..C19.

@@ -154,6 +154,65 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             length(text)  AS n_chars,
+             strlen(text)  AS n_bytes,
+             len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))
+               AS n_toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                    AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT)                 AS n_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks), 6)
+             AS chars_per_token,
+           ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_toks), 6)
+             AS bytes_per_token
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def eval_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the compression-rate eval
+    every multilingual tokenizer paper reports: characters and UTF-8
+    bytes per (BPE-ish) token, per language. A tokenizer that spends
+    3x the tokens per byte on one language triples that language's
+    effective training and inference cost, so this table gates
+    tokenizer choice for a corpus mix. Ratios are corpus-level
+    (sum/sum, not mean-of-ratios) — stable under short docs and
+    immune to per-doc zero-token division.
+
+    Plan shape: one scan, three codegen'd per-row lengths, one
+    map-side-combinable aggregate into |langs| rows. No shuffle
+    beyond the |langs|-row final combine.
+
+    100 TB shape: scan-bound by construction; the regex token count
+    is the only nontrivial per-row cost and stays in the JVM."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.octet_length("text").alias("n_bytes"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
+            "n_toks"
+        ),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_toks"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_toks"), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+@query(
     "text_chunk_windows",
     oracle="""
     WITH starts AS (

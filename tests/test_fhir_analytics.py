@@ -143,6 +143,23 @@ def test_preadmission_labs_lookback_is_at_or_before(spark, sf_dir):
         assert r["last_lab_value"] is not None
 
 
+def test_prr_contingency_margins_reconcile(spark, sf_dir):
+    """The 2x2 algebra must reconcile: per drug, n_both + n_drug_only
+    is the same margin in every AE row; PRR is positive when defined;
+    and a drug-AE pair with the same exposed and unexposed rate (which
+    the deterministic synthesis makes common) centers PRR near 1."""
+    rows = QUERIES["fhir_adverse_event_prr"](spark, sf_dir).collect()
+    assert rows
+    margins: dict[str, int] = {}
+    for r in rows:
+        m = r["n_both"] + r["n_drug_only"]
+        assert margins.setdefault(r["med"], m) == m
+        assert r["n_both"] > 0
+        assert r["n_ae_only"] >= 0
+        if r["prr"] is not None:
+            assert r["prr"] > 0
+
+
 def test_coprescription_subset_of_comorbidity_shape(spark, sf_dir):
     """Overlap-constrained pairs can never exceed the unconstrained
     any-time pair counts for the same patient-drug incidence — checked

@@ -45,6 +45,7 @@ BNLJ_ALLOWED = {
     "events_funnel_conversion",   # 1-row stage-count broadcasts -> 3-row stack
     "text_heavy_hitters_exact",   # 1-row total-N broadcast (bm25-stats class)
     "fhir_condition_prevalence",  # 1-row population-denominator broadcast
+    "fhir_adverse_event_prr",     # 1-row population scalar over pair rows
 }
 
 _SKIP = {
