@@ -392,6 +392,221 @@ def fhir_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fhir_observation_unit_normalize",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS code,
+             CASE WHEN event_id % 3 = 0 THEN 'mg/dL' ELSE 'mmol/L' END
+               AS unit,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    conv AS (
+      SELECT * FROM (VALUES
+        ('mg/dL',  0.0555),
+        ('mmol/L', 1.0)
+      ) t(unit, factor)
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT)                     AS n_obs,
+           CAST(COUNT(DISTINCT unit) AS BIGINT)         AS n_units_seen,
+           ROUND(AVG(CAST(v AS DOUBLE) * factor), 6)    AS mean_canonical,
+           ROUND(MIN(CAST(v AS DOUBLE) * factor), 6)    AS min_canonical,
+           ROUND(MAX(CAST(v AS DOUBLE) * factor), 6)    AS max_canonical
+    FROM obs JOIN conv USING (unit)
+    GROUP BY code
+    """,
+)
+def fhir_observation_unit_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unit normalization — the prerequisite for EVERY cross-site
+    FHIR analysis: the same lab arrives as mg/dL from one sender and
+    mmol/L from another (the classic glucose case), so values must
+    convert to a canonical unit through a UCUM conversion table
+    before any aggregate is meaningful. The conversion table is a
+    broadcast dimension (UCUM is a few thousand rows at most); the
+    per-code stats then come from ONE grouped aggregate over
+    normalized values.
+
+    Plan shape: encode projection (valueQuantity.unit travels in the
+    typed Quantity struct) -> broadcast join against the conversion
+    dim -> map-side-combinable per-code aggregate.
+
+    100 TB shape: the fact side never shuffles for the conversion
+    (BroadcastHashJoin); the only exchange is the |codes|-group
+    aggregate. Mixed-unit detection (n_units_seen) rides the same
+    aggregate as a distinct count."""
+    events = fan_out_small_scan(load_table(spark, sf_dir, "events"))
+    unit = F.when(F.col("event_id") % 3 == 0, "mg/dL").otherwise("mmol/L")
+    obs_json = F.to_json(
+        F.struct(
+            F.lit("Observation").alias("resourceType"),
+            F.col("event_id").cast("string").alias("id"),
+            F.lit("final").alias("status"),
+            F.struct(
+                F.array(
+                    F.struct(F.col("event_type").alias("code"))
+                ).alias("coding")
+            ).alias("code"),
+            F.struct(
+                F.col("value").cast("decimal(18,2)").alias("value"),
+                unit.alias("unit"),
+                F.lit("http://unitsofmeasure.org").alias("system"),
+            ).alias("valueQuantity"),
+        )
+    )
+    enc = encode_resources(
+        events.select(obs_json.alias("resource")), "Observation"
+    )
+    conv = spark.createDataFrame(
+        [("mg/dL", 0.0555), ("mmol/L", 1.0)], "unit string, factor double"
+    )
+    flat = enc.select(
+        F.element_at("code.coding", 1).getField("code").alias("code"),
+        F.col("valueQuantity.unit").alias("unit"),
+        F.col("valueQuantity.value").cast("double").alias("v"),
+    )
+    canon = flat.join(F.broadcast(conv), "unit").withColumn(
+        "cv", F.col("v") * F.col("factor")
+    )
+    return canon.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count_distinct("unit").alias("n_units_seen"),
+        F.round(F.avg("cv"), 6).alias("mean_canonical"),
+        F.round(F.min("cv"), 6).alias("min_canonical"),
+        F.round(F.max("cv"), 6).alias("max_canonical"),
+    )
+
+
+@query(
+    "fhir_immunization_coverage",
+    oracle="""
+    WITH pats AS (
+      SELECT c_custkey AS patient_id,
+             1930 + CAST(FLOOR((c_custkey % 25000) / 365.0) AS INTEGER)
+               AS birth_year
+      FROM customer
+    ),
+    vacc AS (
+      SELECT DISTINCT
+             'V' || CAST(l_partkey % 3 AS VARCHAR) AS vaccine,
+             l_suppkey % 150 + 1                   AS patient_id
+      FROM lineitem
+      WHERE l_linestatus = 'F'
+    ),
+    vaccines AS (SELECT DISTINCT vaccine FROM vacc),
+    cells AS (
+      SELECT p.patient_id, p.birth_year, vs.vaccine
+      FROM pats p CROSS JOIN vaccines vs
+    )
+    SELECT CAST((c.birth_year // 10) * 10 AS BIGINT) AS birth_decade,
+           c.vaccine,
+           CAST(COUNT(v.patient_id) AS BIGINT)       AS n_vaccinated,
+           CAST(COUNT(*) AS BIGINT)                  AS n_cohort,
+           ROUND(CAST(COUNT(v.patient_id) AS DOUBLE) * 100 / COUNT(*), 6)
+             AS coverage_pct
+    FROM cells c
+    LEFT JOIN vacc v
+      ON v.patient_id = c.patient_id AND v.vaccine = c.vaccine
+    GROUP BY 1, 2
+    """,
+)
+def fhir_immunization_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Immunization coverage by birth cohort — the public-health
+    dashboard query (think MMR coverage per birth decade): for every
+    (birth decade, vaccine) cell, vaccinated patients over the cohort
+    size. Immunizations synthesize from lineitem (COMPLETED doses
+    only — the status filter is part of the definition; 'not-done'
+    rows are encoded and then excluded, exercising the status path)
+    and run the full Immunization encode (vaccineCode / patient /
+    status); patients carry a deterministic birth year.
+
+    The denominator must count the UNVACCINATED, so the patient
+    dimension expands by the distinct-vaccine frame (broadcast) and
+    the vaccination set LEFT-joins on — a plain inner join would
+    silently report 100% coverage everywhere, the classic
+    coverage-query bug.
+
+    Plan shape: encode -> distinct (vaccine, patient) -> patient-dim
+    x vaccine-catalog broadcast expansion -> left join -> one grouped
+    aggregate into decade x vaccine cells.
+
+    100 TB shape: the expansion multiplies the PATIENT DIMENSION by
+    the vaccine catalog (CDC CVX is ~200 codes) — dimension x
+    dimension, never fact-sized; the vaccination set shuffles
+    (vaccine, patient) ids only and the left join keys on both."""
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
+    lineitem = fan_out_small_scan(load_table(spark, sf_dir, "lineitem"))
+    imm_json = F.to_json(
+        F.struct(
+            F.lit("Immunization").alias("resourceType"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("string")
+            .alias("id"),
+            F.when(F.col("l_linestatus") == "F", "completed")
+            .otherwise("not-done")
+            .alias("status"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit("http://hl7.org/fhir/sid/cvx").alias("system"),
+                        F.concat(
+                            F.lit("V"), (F.col("l_partkey") % 3).cast("string")
+                        ).alias("code"),
+                    )
+                ).alias("coding")
+            ).alias("vaccineCode"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"),
+                    (F.col("l_suppkey") % 150 + 1).cast("string"),
+                ).alias("reference")
+            ).alias("patient"),
+        )
+    )
+    imm = encode_resources(
+        lineitem.select(imm_json.alias("resource")), "Immunization"
+    )
+    vacc = (
+        imm.filter(F.col("status") == "completed")
+        .select(
+            F.element_at("vaccineCode.coding", 1)
+            .getField("code")
+            .alias("vaccine"),
+            F.col("patient.reference").alias("patient_ref"),
+        )
+        .distinct()
+        .withColumn("vaccinated", F.lit(1))
+    )
+    pats = customer.select(
+        F.concat(F.lit("Patient/"), F.col("c_custkey").cast("string")).alias(
+            "patient_ref"
+        ),
+        (
+            F.lit(1930)
+            + F.floor((F.col("c_custkey") % 25000) / 365).cast("int")
+        ).alias("birth_year"),
+    )
+    vaccines = vacc.select("vaccine").distinct()
+    cells = pats.crossJoin(F.broadcast(vaccines))
+    full = cells.join(vacc, ["patient_ref", "vaccine"], "left")
+    decade = (F.floor(F.col("birth_year") / 10) * 10).cast("long")
+    return full.groupBy(
+        decade.alias("birth_decade"), F.col("vaccine")
+    ).agg(
+        F.count("vaccinated").alias("n_vaccinated"),
+        F.count(F.lit(1)).alias("n_cohort"),
+        F.round(
+            F.count("vaccinated").cast("double") * 100 / F.count(F.lit(1)),
+            6,
+        ).alias("coverage_pct"),
+    )
+
+
+@query(
     "fhir_adverse_event_prr",
     oracle="""
     WITH drugs AS (

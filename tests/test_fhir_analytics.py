@@ -160,6 +160,40 @@ def test_prr_contingency_margins_reconcile(spark, sf_dir):
             assert r["prr"] > 0
 
 
+def test_unit_normalization_keeps_mixed_units_comparable(spark, sf_dir):
+    """Every code sees both source units, and canonical stats are
+    consistent (min <= mean <= max, all positive since event values
+    are non-negative and factors positive)."""
+    rows = QUERIES["fhir_observation_unit_normalize"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_units_seen"] == 2
+        assert r["min_canonical"] <= r["mean_canonical"] <= r["max_canonical"]
+        assert r["min_canonical"] >= 0
+
+
+def test_immunization_coverage_denominator_counts_unvaccinated(
+    spark, sf_dir
+):
+    """The cohort denominator must equal the full patient dimension
+    per cell (the inner-join bug would shrink it to the vaccinated),
+    and coverage stays within [0, 100]."""
+    rows = QUERIES["fhir_immunization_coverage"](spark, sf_dir).collect()
+    assert rows
+    n_pop = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    per_vaccine: dict[str, int] = {}
+    for r in rows:
+        per_vaccine[r["vaccine"]] = (
+            per_vaccine.get(r["vaccine"], 0) + r["n_cohort"]
+        )
+        assert 0 <= r["coverage_pct"] <= 100
+        assert r["n_vaccinated"] <= r["n_cohort"]
+    for vaccine, total in per_vaccine.items():
+        assert total == n_pop, f"{vaccine} cohorts don't cover the population"
+
+
 def test_coprescription_subset_of_comorbidity_shape(spark, sf_dir):
     """Overlap-constrained pairs can never exceed the unconstrained
     any-time pair counts for the same patient-drug incidence — checked

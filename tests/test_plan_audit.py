@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "text_heavy_hitters_exact",   # 1-row total-N broadcast (bm25-stats class)
     "fhir_condition_prevalence",  # 1-row population-denominator broadcast
     "fhir_adverse_event_prr",     # 1-row population scalar over pair rows
+    "fhir_immunization_coverage",  # vaccine-catalog dim broadcast expansion
 }
 
 _SKIP = {
