@@ -607,6 +607,104 @@ def fhir_immunization_coverage(
 
 
 @query(
+    "fhir_readmission_rate",
+    oracle="""
+    WITH enc AS (
+      SELECT o_orderkey AS id,
+             o_custkey  AS patient_id,
+             CASE WHEN o_orderpriority LIKE '1%'
+                    OR o_orderpriority LIKE '2%'
+                  THEN 'IMP' ELSE 'AMB' END AS class_code,
+             CAST(o_orderdate AS DATE) AS admit_d,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 14 + 1 AS INTEGER) AS discharge_d
+      FROM orders
+    ),
+    seq AS (
+      SELECT class_code, discharge_d,
+             LEAD(admit_d) OVER (
+               PARTITION BY patient_id ORDER BY admit_d, id
+             ) AS next_admit
+      FROM enc
+    )
+    SELECT class_code,
+           CAST(COUNT(*) AS BIGINT) AS n_discharges,
+           CAST(COUNT(CASE WHEN next_admit - discharge_d BETWEEN 0 AND 30
+                           THEN 1 END) AS BIGINT) AS n_readmitted,
+           ROUND(CAST(COUNT(CASE WHEN next_admit - discharge_d
+                                      BETWEEN 0 AND 30
+                                 THEN 1 END) AS DOUBLE) * 100
+                 / COUNT(*), 6) AS readmission_pct
+    FROM seq
+    GROUP BY class_code
+    """,
+)
+def fhir_readmission_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day readmission rate — the quality measure hospitals are
+    penalized on (CMS HRRP): a discharge counts as a readmission when
+    the patient's NEXT admission starts within 30 days of it.
+    Computed per encounter class from the same encoded Encounter
+    synthesis as the length-of-stay entry (period.start/end through
+    encode), with the next-admission lookup as a per-patient LEAD
+    window — deterministic tie-break on encounter id so both engines
+    sequence same-day admissions identically.
+
+    Plan shape: encode projection -> one patient-keyed window (LEAD)
+    -> one grouped aggregate into |classes| rows.
+
+    100 TB shape: one exchange on patient id; per-row window state is
+    a single lookahead. The aggregate collapses map-side to 2 rows.
+    Overlapping stays (next admit before discharge) land outside the
+    [0, 30] band and are excluded, matching the measure spec."""
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
+    d = F.col("o_orderdate")
+    enc_json = F.to_json(
+        F.struct(
+            F.lit("Encounter").alias("resourceType"),
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.lit("finished").alias("status"),
+            F.struct(
+                F.when(F.col("o_orderpriority").rlike("^[12]"), "IMP")
+                .otherwise("AMB")
+                .alias("code")
+            ).alias("class"),
+            F.struct(
+                F.concat(
+                    F.lit("Patient/"), F.col("o_custkey").cast("string")
+                ).alias("reference")
+            ).alias("subject"),
+            F.struct(
+                F.date_format(d, "yyyy-MM-dd").alias("start"),
+                F.date_format(
+                    F.date_add(d, (F.col("o_orderkey") % 14 + 1).cast("int")),
+                    "yyyy-MM-dd",
+                ).alias("end"),
+            ).alias("period"),
+        )
+    )
+    enc = encode_resources(
+        orders.select(enc_json.alias("resource")), "Encounter"
+    )
+    w = Window.partitionBy(F.col("subject.reference")).orderBy(
+        F.to_date("period.start"), F.col("id").cast("long")
+    )
+    seq = enc.select(
+        F.col("class.code").alias("class_code"),
+        F.to_date("period.end").alias("discharge_d"),
+        F.lead(F.to_date("period.start")).over(w).alias("next_admit"),
+    )
+    gap = F.datediff("next_admit", "discharge_d")
+    readmit = F.count(F.when((gap >= 0) & (gap <= 30), 1))
+    return seq.groupBy("class_code").agg(
+        F.count(F.lit(1)).alias("n_discharges"),
+        readmit.alias("n_readmitted"),
+        F.round(
+            readmit.cast("double") * 100 / F.count(F.lit(1)), 6
+        ).alias("readmission_pct"),
+    )
+
+
+@query(
     "fhir_adverse_event_prr",
     oracle="""
     WITH drugs AS (

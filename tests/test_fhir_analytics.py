@@ -194,6 +194,21 @@ def test_immunization_coverage_denominator_counts_unvaccinated(
         assert total == n_pop, f"{vaccine} cohorts don't cover the population"
 
 
+def test_readmission_rate_counts_and_bounds(spark, sf_dir):
+    """Discharges partition the encounter table by class; readmission
+    counts are bounded by discharges and the rate is their exact
+    ratio."""
+    rows = QUERIES["fhir_readmission_rate"](spark, sf_dir).collect()
+    assert {r["class_code"] for r in rows} == {"IMP", "AMB"}
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_discharges"] for r in rows) == n_orders
+    for r in rows:
+        assert 0 <= r["n_readmitted"] <= r["n_discharges"]
+        assert r["readmission_pct"] == pytest.approx(
+            r["n_readmitted"] * 100 / r["n_discharges"], abs=1e-5
+        )
+
+
 def test_coprescription_subset_of_comorbidity_shape(spark, sf_dir):
     """Overlap-constrained pairs can never exceed the unconstrained
     any-time pair counts for the same patient-drug incidence — checked
