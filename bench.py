@@ -499,13 +499,46 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def _jvm_counters() -> tuple[float, float]:
+        """(total GC seconds, total Janino compile seconds) so far —
+        the two session-state costs that can masquerade as query time
+        in a long run (BENCH_DEBUG diagnostics)."""
+        jvm = spark.sparkContext._jvm
+        gc_ms = 0
+        for b in jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans():
+            gc_ms += max(b.getCollectionTime(), 0)
+        try:
+            cm = getattr(
+                getattr(
+                    jvm.org.apache.spark.metrics.source, "CodegenMetrics$"
+                ),
+                "MODULE$",
+            )
+            compile_ms = cm.METRIC_COMPILATION_TIME().getSnapshot().getValues()
+            compile_s = sum(compile_ms) / 1e3
+        except Exception:  # pragma: no cover — metric shape may drift
+            compile_s = float("nan")
+        return gc_ms / 1e3, compile_s
+
+    debug = os.environ.get("BENCH_DEBUG") == "1"
+
     def run_steady(name: str) -> float:
         """Warm-up pass, then the median of `reps` timed passes."""
+        if debug:
+            gc0, comp0 = _jvm_counters()
         first = run_once(name)
         if cold:
             return first
-        times = sorted(run_once(name) for _ in range(reps))
-        return times[len(times) // 2]
+        times = [run_once(name) for _ in range(reps)]
+        if debug:
+            gc1, comp1 = _jvm_counters()
+            print(
+                f"# {name}: warmup {first:.2f} passes "
+                f"{[round(t, 2) for t in times]} "
+                f"gc +{gc1 - gc0:.2f}s janino +{comp1 - comp0:.2f}s",
+                flush=True,
+            )
+        return sorted(times)[len(times) // 2]
 
     # per-query error isolation: one broken query must never zero the
     # round's perf signal — record {"error": ...} and keep timing the rest
