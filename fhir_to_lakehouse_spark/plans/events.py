@@ -778,3 +778,78 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         F.round("_ewma", 6).alias("ewma20"),
     )
+
+
+@query(
+    "events_ab_test_ztest",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_a,
+             COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_b,
+             COUNT(CASE WHEN event_id % 2 = 0
+                         AND event_type = 'purchase' THEN 1 END) AS conv_a,
+             COUNT(CASE WHEN event_id % 2 = 1
+                         AND event_type = 'purchase' THEN 1 END) AS conv_b
+      FROM events
+    )
+    SELECT CAST(n_a AS BIGINT)                       AS n_a,
+           CAST(conv_a AS BIGINT)                    AS conv_a,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6)    AS rate_a,
+           CAST(n_b AS BIGINT)                       AS n_b,
+           CAST(conv_b AS BIGINT)                    AS conv_b,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6)    AS rate_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a
+                  - CAST(conv_b AS DOUBLE) / n_b)
+                 / NULLIF(
+                     SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                          * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                                 / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b)), 0), 6) AS z_score
+    FROM s
+    """,
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test readout — the two-proportion pooled z-test every
+    experimentation platform computes: exposures split into arms by a
+    deterministic id hash (here event-id parity — an impression-level
+    experiment), conversion = the exposure is a purchase, and the arm
+    rates compared via z = (pA - pB) / sqrt(p(1-p)(1/nA + 1/nB)) with
+    p pooled. The p-value threshold lives in the consumer (|z| > 1.96
+    at 5%); emitting the statistic keeps the query engine-exact. The
+    degenerate all-converted/none-converted case (p(1-p) = 0) yields
+    NULL on both engines (try_divide / NULLIF), not an error.
+
+    Plan shape: ONE global conditional aggregate to a single row
+    (map-side combinable — one partial row per partition) followed by
+    codegen'd arithmetic. Counts stay integers until the final
+    projection, so both engines compute the identical IEEE expression
+    on identical inputs — no accumulation-order drift.
+
+    100 TB shape: the cheapest possible shape — one scan, one
+    one-row-per-partition reduce. Per-experiment variants add the
+    experiment id as a grouping key to the same aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    arm_a = F.col("event_id") % 2 == 0
+    conv = F.col("event_type") == "purchase"
+    s = ev.agg(
+        F.count(F.when(arm_a, 1)).alias("n_a"),
+        F.count(F.when(~arm_a, 1)).alias("n_b"),
+        F.count(F.when(arm_a & conv, 1)).alias("conv_a"),
+        F.count(F.when(~arm_a & conv, 1)).alias("conv_b"),
+    )
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    na, nb = F.col("n_a"), F.col("n_b")
+    pooled = (ca + cb) / (na + nb)
+    z = F.try_divide(
+        ca / na - cb / nb,
+        F.sqrt(pooled * (1 - pooled) * (1.0 / na + 1.0 / nb)),
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        F.round(ca / na, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
