@@ -442,14 +442,19 @@ def _resolve(
                     # type filter: urn:uuid refs carry no type — they
                     # only pass when an explicit Reference.type says so
                     bare = F.when(rtype == F.lit(arg), bare)
-                return bare, T.StringType()
+                # keep resolving: the key is a singular string, so
+                # chains like getReferenceKey(Patient).exists() work
+                # (an early return here used to drop the suffix)
+                col, dtype = bare, T.StringType()
+                continue
             if fn == "getResourceKey":
                 if i != 0 or ctx is not None:
                     raise ViewCompileError(
-                        "getResourceKey() is only valid as a whole "
+                        "getResourceKey() is only valid leading a "
                         "root-level path"
                     )
-                return F.col("id"), T.StringType()
+                col, dtype = F.col("id"), T.StringType()
+                continue
             if col is None:
                 raise ViewCompileError(f"{fn}() needs a preceding path")
             if fn == "first":
