@@ -31,7 +31,9 @@ Supported subset (compile-time errors otherwise, never silent):
   current forEach element — how the spec suite reads a primitive
   collection: ``forEach: name.given`` + column path ``$this``),
   ``[i]`` indexing,
-  ``first()``, ``exists()``, ``empty()``, ``count()``, ``not()``
+  ``first()``, ``exists()`` (and ``exists(field='lit')``, the
+  FHIRPath criteria sugar for ``where(field='lit').exists()``),
+  ``empty()``, ``count()``, ``not()``
   (chainable after any boolean, e.g. ``deceasedBoolean.not()`` or
   ``address.exists().not()``),
   ``getResourceKey()``, ``getReferenceKey([Type])`` (the spec's join
@@ -139,6 +141,8 @@ _FUNC_RE = re.compile(r"^([A-Za-z]+)\(([A-Za-z]*)\)$")
 # collection). Path splitting is quote-aware, so literals may contain
 # dots (URLs always do).
 _WHERE_SEG_RE = re.compile(r"^where\((\w+)\s*=\s*'([^']*)'\)$")
+# exists(field='lit') — FHIRPath sugar for where(field='lit').exists()
+_EXISTS_SEG_RE = re.compile(r"^exists\((\w+)\s*=\s*'([^']*)'\)$")
 _JOIN_SEG_RE = re.compile(r"^join\('([^']*)'\)$")
 _EXT_SEG_RE = re.compile(r"^extension\('([^']+)'\)$")
 # FHIRPath string functions with one string-literal argument; a
@@ -292,6 +296,37 @@ def _resolve(
                     x[fname] == F.lit(lit), F.lit(False)
                 ),
             )
+            continue
+        xm = _EXISTS_SEG_RE.match(seg)
+        if xm:
+            # FHIRPath exists(criteria): sugar for
+            # where(criteria).exists() — any element matches
+            if not isinstance(dtype, T.ArrayType) or not isinstance(
+                dtype.elementType, T.StructType
+            ):
+                raise ViewCompileError(
+                    f"exists(criteria) in {path!r} needs a collection "
+                    "of complex elements"
+                )
+            fname, lit = xm.groups()
+            if all(f.name != fname for f in dtype.elementType.fields):
+                raise ViewCompileError(
+                    f"exists({fname}=...) in {path!r}: no such field "
+                    "on the element"
+                )
+            if col is None:
+                raise ViewCompileError(
+                    "exists(criteria) needs a preceding path"
+                )
+            col = F.exists(
+                col,
+                lambda x: F.coalesce(
+                    x[fname] == F.lit(lit), F.lit(False)
+                ),
+            )
+            # absent collection: FHIRPath exists() over empty is false
+            col = F.coalesce(col, F.lit(False))
+            dtype = T.BooleanType()
             continue
         jm = _JOIN_SEG_RE.match(seg)
         if jm:
@@ -665,7 +700,35 @@ def _resolve(
     return col, dtype
 
 
-_CMP_RE = re.compile(r"^(.*?)\s*(!=|>=|<=|=|>|<)\s*(.+)$")
+def _split_cmp(s: str) -> tuple[str, str, str] | None:
+    """Split at the first TOP-LEVEL comparison operator — outside
+    quotes and parentheses, so ``name.exists(use='official')`` is an
+    atom while ``valueQuantity.value >= 50`` splits. (The old regex
+    split inside function arguments: exists(use='official') broke at
+    the inner ``=``.)"""
+    depth = 0
+    in_q = False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_q:
+            if ch == "'":
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "!<>=":
+            for op in ("!=", ">=", "<=", "=", ">", "<"):
+                if s.startswith(op, i):
+                    left = s[:i].rstrip()
+                    right = s[i + len(op):].lstrip()
+                    if left and right:
+                        return left, op, right
+        i += 1
+    return None
 
 _CMP_OPS = {
     "=": lambda c, v: c == v,
@@ -774,9 +837,9 @@ def _predicate(path: str, dtype: T.DataType) -> Column:
 
 
 def _predicate_atom(path: str, dtype: T.DataType) -> Column:
-    m = _CMP_RE.match(path)
+    m = _split_cmp(path)
     if m:
-        left, op, right = m.groups()
+        left, op, right = m
         col, cdt = _resolve(None, dtype, left, allow_collection=True)
         if isinstance(cdt, T.ArrayType):
             raise ViewCompileError(

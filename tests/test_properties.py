@@ -375,3 +375,63 @@ def test_split_path_quote_aware_roundtrip(segs, lit, where_field):
         # literal intact (leading/trailing blanks strip like segments)
         assert len(got) == len(segs) + 1
         assert got[-1] == fn_seg.strip()
+
+
+# --- interval coalescing: islands match a sweep-line model ----------
+
+
+def model_islands(intervals):
+    """Spec: sort by (start, end); a row opens a new island exactly
+    when its start exceeds the running max of all previous ends.
+    Returns the multiset of (island_start, island_end) spans."""
+    spans = []
+    cur_s = cur_e = None
+    for s, e in sorted(intervals):
+        if cur_s is None or s > cur_e:
+            if cur_s is not None:
+                spans.append((cur_s, cur_e))
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_s is not None:
+        spans.append((cur_s, cur_e))
+    return sorted(spans)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # start
+            st.integers(min_value=0, max_value=20),  # length
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_coalesce_intervals_matches_sweep_line(spark, raw):
+    """functions/intervals.coalesce_intervals (the operator under
+    fhir_medication_mpr and events_interval_coalesce) must produce
+    exactly the sweep-line model's island spans for ANY interval
+    multiset — including duplicates, containment, touching ends, and
+    zero-length intervals."""
+    from fhir_to_lakehouse_spark.functions.intervals import (
+        coalesce_intervals,
+    )
+
+    intervals = [(s, s + ln) for s, ln in raw]
+    df = spark.createDataFrame(
+        [("k", s, e) for s, e in intervals], "key string, s int, e int"
+    )
+    out = (
+        coalesce_intervals(df, ["key"], "s", "e", order_tiebreak="e")
+        .groupBy("island_id")
+        .agg(F.min("s").alias("is"), F.max("e").alias("ie"))
+        .collect()
+    )
+    got = sorted((r["is"], r["ie"]) for r in out)
+    assert got == model_islands(intervals)
