@@ -147,3 +147,75 @@ def embedding_pca_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "basket_fpgrowth_itemsets",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey,
+             'I' || lpad(CAST(l_partkey % 12 AS VARCHAR), 2, '0') AS item
+      FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+    ones AS (
+      SELECT [item] AS itemset, COUNT(*) AS freq
+      FROM baskets GROUP BY item
+    ),
+    twos AS (
+      SELECT [a.item, b.item] AS itemset, COUNT(*) AS freq
+      FROM baskets a
+      JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT itemset, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM ones UNION ALL SELECT * FROM twos)
+    CROSS JOIN nb
+    WHERE freq >= CEIL(0.0625 * n)
+    """,
+)
+def basket_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining — MLlib FP-Growth over order baskets
+    (distinct items per order), emitting the frequent itemsets of
+    size <= 2 with their EXACT support counts, which makes this a
+    rare oracle-checkable MLlib entry: frequency counting is
+    deterministic even though the FP-tree's internal order is not.
+    minSupport is 0.0625 (dyadic on purpose: ceil(minSupport * n)
+    must land on the same integer in IEEE doubles and in DuckDB's
+    decimal arithmetic — 0.05 * 1500 rounds UP in doubles and would
+    flip the threshold). The size cap keeps the oracle's restatement
+    a 1-itemset group-by plus a basket self-join; FP-Growth itself
+    also mines the longer itemsets a SQL oracle can't enumerate
+    tractably.
+
+    100 TB shape: MLlib's parallel FP-Growth partitions conditional
+    trees by item suffix (the PFP paper's shape) — baskets shuffle
+    once on item groups; the oracle-side restatement is the same
+    per-basket pair expansion the comorbidity entry bounds by
+    per-basket cardinality."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(
+            "l_orderkey",
+            F.concat(
+                F.lit("I"),
+                F.lpad((F.col("l_partkey") % 12).cast("string"), 2, "0"),
+            ).alias("item"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("item").alias("items"))
+    )
+    fp = FPGrowth(
+        itemsCol="items", minSupport=0.0625, minConfidence=0.5
+    )
+    model = fp.fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.sort_array("items").alias("itemset"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )

@@ -446,3 +446,83 @@ def q20_part_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+@query(
+    "profile_functional_dependencies",
+    oracle="""
+    SELECT 'nation' AS tbl, 'n_nationkey' AS det, 'n_regionkey' AS dep,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT)
+             AS n_violating,
+           COUNT(CASE WHEN nd > 1 THEN 1 END) = 0 AS holds
+    FROM (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS nd
+          FROM nation GROUP BY n_nationkey)
+    UNION ALL
+    SELECT 'customer', 'c_custkey', 'c_mktsegment',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN nd > 1 THEN 1 END) = 0
+    FROM (SELECT c_custkey, COUNT(DISTINCT c_mktsegment) AS nd
+          FROM customer GROUP BY c_custkey)
+    UNION ALL
+    SELECT 'orders', 'o_custkey', 'o_orderpriority',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN nd > 1 THEN 1 END) = 0
+    FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+          FROM orders GROUP BY o_custkey)
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN nd > 1 THEN 1 END) = 0
+    FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nd
+          FROM lineitem GROUP BY l_orderkey)
+    """,
+)
+def profile_functional_dependencies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency validation — the Metanome/Deequ-class
+    profiling primitive behind schema discovery and key detection:
+    for each candidate ``determinant -> dependent`` pair, count the
+    determinant groups whose dependent takes more than one value. A
+    zero violation count certifies the FD (n_nationkey -> n_regionkey
+    holds; o_custkey -> o_orderpriority does not), which is how a
+    profiler proposes primary keys, denormalization opportunities,
+    and data-quality rules.
+
+    Plan shape: one grouped distinct-count per candidate pair (each a
+    map-side-combinable aggregate over only the two columns — column
+    pruning reaches the scan), folded to one summary row each and
+    unioned.
+
+    100 TB shape: each check shuffles (determinant, dependent) pairs
+    only; checks over the same table still prune to two columns per
+    scan. A production profiler batches same-table candidates into
+    one pass — the per-pair form keeps each FD's cost attributable."""
+
+    def check(tbl: str, det: str, dep: str) -> DataFrame:
+        t = load_table(spark, sf_dir, tbl)
+        per_group = t.groupBy(det).agg(
+            F.count_distinct(dep).alias("nd")
+        )
+        viol = F.count(F.when(F.col("nd") > 1, 1))
+        return per_group.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(det).alias("det"),
+            F.lit(dep).alias("dep"),
+            F.count(F.lit(1)).alias("n_groups"),
+            viol.alias("n_violating"),
+            (viol == 0).alias("holds"),
+        )
+
+    out = check("nation", "n_nationkey", "n_regionkey")
+    for args in (
+        ("customer", "c_custkey", "c_mktsegment"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+    ):
+        out = out.unionByName(check(*args))
+    return out
