@@ -219,3 +219,148 @@ def basket_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("long").alias("freq"),
         )
     )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey,
+             'I' || lpad(CAST(l_partkey % 12 AS VARCHAR), 2, '0') AS item
+      FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+    ones AS (
+      SELECT item, COUNT(*) AS freq FROM baskets GROUP BY item
+    ),
+    pairs AS (
+      SELECT a.item AS ia, b.item AS ib, COUNT(*) AS freq
+      FROM baskets a
+      JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT p.ia                                   AS antecedent,
+           p.ib                                   AS consequent,
+           ROUND(CAST(p.freq AS DOUBLE) / oa.freq, 6) AS confidence,
+           ROUND((CAST(p.freq AS DOUBLE) / oa.freq)
+                 / (CAST(ob.freq AS DOUBLE) / nb.n), 6) AS lift,
+           ROUND(CAST(p.freq AS DOUBLE) / nb.n, 6) AS support
+    FROM pairs p
+    JOIN ones oa ON oa.item = p.ia
+    JOIN ones ob ON ob.item = p.ib
+    CROSS JOIN nb
+    WHERE p.freq >= CEIL(0.0625 * nb.n)
+      AND oa.freq >= CEIL(0.0625 * nb.n)
+      AND CAST(p.freq AS DOUBLE) / oa.freq >= 0.25
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules from the same FP-Growth model — the
+    recommender / cross-sell primitive: for every frequent
+    {antecedent} -> {consequent} single-item rule, its confidence
+    (P(consequent | antecedent)), lift (confidence over the
+    consequent's base rate) and support. MLlib derives rules from the
+    mined itemsets; the oracle restates the single-item rules from
+    raw pair and item counts, so every emitted number is
+    cross-engine-verified (ratios of exact integers — deterministic
+    doubles). Rules with multi-item antecedents exist in the model
+    but are filtered, mirroring the SQL-tractable slice.
+
+    100 TB shape: rule derivation is itemset-table-sized (not
+    corpus-sized); the heavy lifting is the same PFP mining pass as
+    basket_fpgrowth_itemsets."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(
+            "l_orderkey",
+            F.concat(
+                F.lit("I"),
+                F.lpad((F.col("l_partkey") % 12).cast("string"), 2, "0"),
+            ).alias("item"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("item").alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.0625, minConfidence=0.25
+    ).fit(baskets)
+    rules = model.associationRules
+    return rules.filter(
+        (F.size("antecedent") == 1) & (F.size("consequent") == 1)
+    ).select(
+        F.element_at("antecedent", 1).alias("antecedent"),
+        F.element_at("consequent", 1).alias("consequent"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+        F.round("support", 6).alias("support"),
+    )
+
+
+@query(
+    "events_prefixspan_patterns",
+    oracle="""
+    WITH users AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+    ones AS (
+      SELECT event_type AS e1, CAST(NULL AS VARCHAR) AS e2,
+             COUNT(DISTINCT user_id) AS freq
+      FROM events GROUP BY event_type
+    ),
+    twos AS (
+      SELECT a.event_type AS e1, b.event_type AS e2,
+             COUNT(DISTINCT a.user_id) AS freq
+      FROM events a
+      JOIN events b
+        ON a.user_id = b.user_id
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT e1, e2, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM ones UNION ALL SELECT * FROM twos)
+    CROSS JOIN users
+    WHERE freq >= CEIL(0.25 * n)
+    """,
+)
+def events_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining — MLlib PrefixSpan over per-user
+    event sequences (each event a 1-item itemset, ordered by
+    (ts, event_id) so equal timestamps sequence deterministically):
+    every frequent pattern of length <= 2 with its EXACT user count,
+    oracle-checked against the subsequence restatement (a user
+    supports [a -> b] iff some a-event precedes some b-event). The
+    dyadic minSupport (0.25) keeps ceil(minSupport * n) on the same
+    integer in both engines.
+
+    100 TB shape: PrefixSpan shuffles postfixes by frequent prefix
+    (the PrefixSpan paper's projected-database shape) with
+    maxPatternLength capping the recursion at 2; sequence assembly is
+    one user-keyed sort-aggregate. The oracle's self-join restatement
+    is per-user-quadratic and exists only for verification."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("e")),
+                lambda x: F.array(x["event_type"]),
+            ).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=0.25,
+        maxPatternLength=2,
+        sequenceCol="sequence",
+    )
+    pats = ps.findFrequentSequentialPatterns(seqs)
+    return pats.select(
+        F.element_at(F.element_at("sequence", 1), 1).alias("e1"),
+        F.when(
+            F.size("sequence") > 1,
+            F.element_at(F.element_at("sequence", 2), 1),
+        ).alias("e2"),
+        F.col("freq").cast("long").alias("freq"),
+    )
