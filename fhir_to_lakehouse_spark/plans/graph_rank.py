@@ -26,7 +26,7 @@ documented at functions/graph.py:14-18.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.functions.graph import bfs_hops, pagerank
@@ -180,3 +180,138 @@ def graph_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reach = bfs_hops(edges, seed=1, max_hops=3)
     return reach.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+@query(
+    "graph_knn_triangles",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS m
+      FROM li a
+      JOIN li b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    directed AS (
+      SELECT u AS n, v AS o, m FROM pairs
+      UNION ALL
+      SELECT v, u, m FROM pairs
+    ),
+    topk AS (
+      SELECT n, o FROM (
+        SELECT n, o,
+               ROW_NUMBER() OVER (PARTITION BY n
+                                  ORDER BY m DESC, o ASC) AS r
+        FROM directed
+      ) WHERE r <= 5
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(n, o) AS u, GREATEST(n, o) AS v FROM topk
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS d
+      FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+      GROUP BY n
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT)  AS n_nodes,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT)  AS n_edges,
+           CAST(t AS BIGINT)                           AS n_triangles,
+           ROUND(3.0 * t
+                 / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6)
+             AS global_clustering
+    FROM tri
+    """,
+)
+def graph_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph sparsification + triangle census — the similarity-
+    graph pipeline shape (SemDeDup / graph-based clustering build
+    their neighbor graphs exactly like this): co-purchase strength
+    between parts, each node keeping only its 5 STRONGEST neighbors
+    (deterministic tie-break by neighbor id), then the global triangle
+    count and clustering coefficient over the sparsified graph.
+    Top-k sparsification is what makes triangle counting tractable —
+    edge count is <= 5|V| by construction at ANY scale, where the raw
+    co-occurrence graph saturates toward complete as data grows (the
+    sf0.1 graph is 99.6% dense before sparsification).
+
+    Plan shape: one orderkey-keyed self-join for pair strengths ->
+    per-node top-5 window (map-side WindowGroupLimit prunes before the
+    shuffle) -> distinct undirected edges -> triangle enumeration as
+    two self-joins over the u<v edge list (each triangle counted once
+    by vertex order) -> 1-row census.
+
+    100 TB shape: the bounded degree (<= 10 after union) bounds wedges
+    at 45|V| and the triangle joins at wedge count; everything keys on
+    node ids. The raw pair strengths remain the dominant cost and ride
+    the same bounded per-order fan-out as the BFS edge derivation."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    directed = pairs.select(
+        F.col("u").alias("n"), F.col("v").alias("o"), "m"
+    ).unionByName(
+        pairs.select(F.col("v").alias("n"), F.col("u").alias("o"), "m")
+    )
+    w = Window.partitionBy("n").orderBy(F.col("m").desc(), F.col("o").asc())
+    topk = (
+        directed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("n", "o")
+    )
+    und = topk.select(
+        F.least("n", "o").alias("u"), F.greatest("n", "o").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionByName(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.join(F.broadcast(nodes))
+        .join(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.round(
+                3.0 * F.col("t") / F.col("wedges"), 6
+            ).alias("global_clustering"),
+        )
+    )

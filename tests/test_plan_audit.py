@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "fhir_condition_prevalence",  # 1-row population-denominator broadcast
     "fhir_adverse_event_prr",     # 1-row population scalar over pair rows
     "fhir_immunization_coverage",  # vaccine-catalog dim broadcast expansion
+    "graph_knn_triangles",        # 1-row census/wedge-total broadcasts
 }
 
 _SKIP = {
