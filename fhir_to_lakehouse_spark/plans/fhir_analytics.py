@@ -1024,6 +1024,116 @@ def fhir_preadmission_labs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fhir_survival_logrank",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN c_custkey % 7 = 0 THEN 30
+                  ELSE c_custkey % 30 END AS t,
+             CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END AS ev,
+             c_custkey % 2 AS grp
+      FROM customer
+    ),
+    times AS (
+      SELECT t,
+             SUM(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS d0,
+             SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS d1,
+             COUNT(CASE WHEN grp = 0 THEN 1 END) AS c0,
+             COUNT(CASE WHEN grp = 1 THEN 1 END) AS c1
+      FROM base GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d0, d1,
+             SUM(c0) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n0,
+             SUM(c1) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+      FROM times
+    ),
+    terms AS (
+      SELECT CAST(d0 AS DOUBLE) AS d0x,
+             CAST(d0 + d1 AS DOUBLE) * n0 / (n0 + n1) AS e0,
+             CAST(d0 + d1 AS DOUBLE) * n0 * n1
+               * (n0 + n1 - d0 - d1)
+               / ((n0 + n1) * (n0 + n1) * (n0 + n1 - 1)) AS v
+      FROM risk WHERE d0 + d1 > 0
+    )
+    SELECT CAST(SUM(d0x) AS BIGINT)          AS observed_a,
+           ROUND(SUM(e0), 6)                 AS expected_a,
+           ROUND(POW(SUM(d0x - e0), 2) / SUM(v), 6) AS chi2
+    FROM terms
+    """,
+)
+def fhir_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test — the companion inference to the Kaplan-Meier
+    curve and THE standard two-arm survival comparison in oncology
+    trials: at every event time, compare group A's observed event
+    count with its expectation under the null (events distribute
+    proportionally to the at-risk sets), accumulate the
+    hypergeometric variance, and report chi-square =
+    (sum(O-E))^2 / sum(V) on 1 df. Same cohort definition as
+    fhir_survival_km (onset -> abatement, censored at day 30), with
+    patient parity as the treatment arm; the KM twin drives the FHIR
+    encode path for this cohort — here the flat synthesis keeps the
+    statistic itself the thing under test.
+
+    Plan shape: one grouped aggregate to the time axis (per-group
+    event/at-risk tallies via conditional sums) -> two descending
+    cumulative windows over the TINY aggregated frame (|distinct
+    times| rows — the same deliberate single partition as the KM
+    entry) -> one scalar aggregate.
+
+    100 TB shape: the corpus-sized work is the first groupBy(t)
+    (map-side combinable); everything after runs on |event times|
+    rows. The variance denominator n-1 is structurally nonzero (the
+    censored cohort keeps n >= 2 at every event time)."""
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
+    k = F.col("c_custkey")
+    base = customer.select(
+        F.when(k % 7 == 0, 30).otherwise(k % 30).alias("t"),
+        F.when(k % 7 == 0, 0).otherwise(1).alias("ev"),
+        (k % 2).alias("grp"),
+    )
+    times = base.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("ev")).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("ev")).otherwise(0)).alias("d1"),
+        F.count(F.when(F.col("grp") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("c1"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "t",
+        "d0",
+        "d1",
+        F.sum("c0").over(w_desc).alias("n0"),
+        F.sum("c1").over(w_desc).alias("n1"),
+    ).filter(F.col("d0") + F.col("d1") > 0)
+    n = F.col("n0") + F.col("n1")
+    d = (F.col("d0") + F.col("d1")).cast("double")
+    e0 = d * F.col("n0") / n
+    v = (
+        d
+        * F.col("n0")
+        * F.col("n1")
+        * (n - F.col("d0") - F.col("d1"))
+        / (n * n * (n - 1))
+    )
+    terms = risk.select(
+        F.col("d0").cast("double").alias("d0x"),
+        e0.alias("e0"),
+        v.alias("v"),
+    )
+    return terms.agg(
+        F.sum("d0x").cast("long").alias("observed_a"),
+        F.round(F.sum("e0"), 6).alias("expected_a"),
+        F.round(
+            F.pow(F.sum(F.col("d0x") - F.col("e0")), 2) / F.sum("v"), 6
+        ).alias("chi2"),
+    )
+
+
 def _dispenses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MedicationDispense resources from orders: patient o_custkey, an
     8-drug RxNorm-ish vocabulary, handed over at the order date with a

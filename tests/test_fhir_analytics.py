@@ -209,6 +209,21 @@ def test_readmission_rate_counts_and_bounds(spark, sf_dir):
         )
 
 
+def test_logrank_observed_expected_reconcile(spark, sf_dir):
+    """O and E totals must both count group A's share of events; with
+    parity-based arms over a parity-independent event rule, the test
+    should be far from significant (the null is TRUE here), and chi2
+    is non-negative by construction."""
+    row = QUERIES["fhir_survival_logrank"](spark, sf_dir).collect()[0]
+    assert row["chi2"] >= 0
+    # under the true null chi2(1df) exceeding 15 has p < 1e-4
+    assert row["chi2"] < 15
+    assert row["observed_a"] > 0
+    assert row["expected_a"] == pytest.approx(
+        row["observed_a"], rel=0.25
+    )
+
+
 def test_coprescription_subset_of_comorbidity_shape(spark, sf_dir):
     """Overlap-constrained pairs can never exceed the unconstrained
     any-time pair counts for the same patient-drug incidence — checked
