@@ -1134,6 +1134,80 @@ def fhir_survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fhir_incidence_rate",
+    oracle="""
+    WITH cond AS (
+      SELECT o_custkey AS patient_id,
+             'C' || lpad(CAST(o_orderkey % 20 AS VARCHAR), 2, '0') AS code,
+             CAST(o_orderdate AS DATE) AS onset
+      FROM orders
+    ),
+    exposure AS (
+      SELECT SUM(datediff('day', mn, mx) + 1) / 365.25 AS person_years
+      FROM (SELECT patient_id, MIN(onset) AS mn, MAX(onset) AS mx
+            FROM cond GROUP BY patient_id)
+    ),
+    first_onsets AS (
+      SELECT code, COUNT(*) AS n_incident
+      FROM (SELECT DISTINCT patient_id, code FROM cond)
+      GROUP BY code
+    )
+    SELECT code,
+           CAST(n_incident AS BIGINT) AS n_incident,
+           ROUND(CAST(n_incident AS DOUBLE) * 1000 / person_years, 6)
+             AS rate_per_1000py
+    FROM first_onsets CROSS JOIN exposure
+    """,
+)
+def fhir_incidence_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incidence rate per 1000 person-years — prevalence's
+    person-TIME twin and the registry metric that handles unequal
+    follow-up: incident (first-ever per patient) diagnoses of each
+    code over the cohort's summed observation time (each patient's
+    first-to-last encounter span). Uses the same encoded Condition
+    synthesis as the prevalence entry, so onsetDateTime drives the
+    exposure window end-to-end through encode.
+
+    Plan shape: one patient-keyed min/max aggregate for exposure
+    (folded to a 1-row person-years scalar, broadcast), one distinct
+    (patient, code) reduction for incident cases, one grouped count.
+
+    100 TB shape: both aggregates shuffle id-sized rows and are
+    map-side combinable; the person-years scalar is the same 1-row
+    broadcast class as the prevalence denominator."""
+    cond = _conditions(spark, sf_dir)
+    flat = cond.select(
+        F.col("subject.reference").alias("patient_id"),
+        F.element_at("code.coding", 1).getField("code").alias("code"),
+        F.to_date("onsetDateTime").alias("onset"),
+    )
+    exposure = (
+        flat.groupBy("patient_id")
+        .agg(F.min("onset").alias("mn"), F.max("onset").alias("mx"))
+        .agg(
+            (
+                F.sum(F.datediff("mx", "mn") + 1) / 365.25
+            ).alias("person_years")
+        )
+    )
+    incident = (
+        flat.select("patient_id", "code")
+        .distinct()
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).alias("n_incident"))
+    )
+    return incident.join(F.broadcast(exposure)).select(
+        "code",
+        "n_incident",
+        F.round(
+            F.col("n_incident").cast("double") * 1000
+            / F.col("person_years"),
+            6,
+        ).alias("rate_per_1000py"),
+    )
+
+
 def _dispenses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MedicationDispense resources from orders: patient o_custkey, an
     8-drug RxNorm-ish vocabulary, handed over at the order date with a

@@ -277,3 +277,117 @@ def pipeline_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     puts, _deletes = split_by_method(deduped)
     encoded = encode_resources(puts, "Patient")
     return encoded.select("id", "active")
+
+
+@query(
+    "linkage_blocked_scoring",
+    oracle="""
+    WITH clean AS (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+             c_acctbal AS bal,
+             substr(c_name, length(c_name) - 2, 3) AS blk
+      FROM customer
+    ),
+    dirty AS (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN replace(c_name, 'Customer', 'Custmoer')
+                  ELSE c_name END AS name,
+             c_nationkey
+               + CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END AS nation,
+             c_acctbal
+               + CASE WHEN c_custkey % 5 = 0 THEN 0.3 ELSE 0 END AS bal,
+             substr(c_name, length(c_name) - 2, 3) AS blk
+      FROM customer
+    ),
+    scored AS (
+      SELECT c.id AS id_c, d.id AS id_d,
+             CASE WHEN levenshtein(c.name, d.name) = 0 THEN 3
+                  WHEN levenshtein(c.name, d.name) <= 2 THEN 2
+                  ELSE 0 END
+             + CASE WHEN c.nation = d.nation THEN 1 ELSE 0 END
+             + CASE WHEN ABS(c.bal - d.bal) < 0.01 THEN 1 ELSE 0 END
+               AS score
+      FROM clean c JOIN dirty d ON c.blk = d.blk
+    )
+    SELECT score,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(CASE WHEN id_c = id_d THEN 1 END) AS BIGINT)
+             AS n_true,
+           COUNT(CASE WHEN score >= 4 THEN 1 END) > 0 AS classified_match
+    FROM scored
+    GROUP BY score
+    """,
+)
+def linkage_blocked_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage, Fellegi-Sunter shape — the master-patient-index
+    primitive behind every healthcare data integration: a second
+    registry is simulated by deterministic perturbations of the
+    customer dimension (name transposition on every 3rd record,
+    nation drift on every 11th, balance noise on every 5th), records
+    pair only WITHIN blocks (last-3-digits blocking key — blocking is
+    what makes linkage subquadratic), each pair gets an agreement
+    score over three comparators (edit-distance-banded name, exact
+    nation, toleranced balance), and the output is the score
+    CALIBRATION TABLE: pair counts per score with ground-truth match
+    counts — exactly what an analyst inspects to place the
+    match/possible/non-match thresholds. The classified_match column
+    marks the score band a >= 4 threshold accepts; the perturbation
+    mix makes both false negatives (triple-perturbed records score 3)
+    and the clean-pair score 5 visible.
+
+    Plan shape: two projections of one scan -> equi-join on the
+    blocking key (shuffle-hash, block-bounded fan-out) -> codegen'd
+    comparator arithmetic -> |score values| grouped rows.
+
+    100 TB shape: pair volume is sum over blocks of |c_blk| x |d_blk|,
+    controlled entirely by the blocking key's selectivity (the
+    production knob); comparators are pure codegen; ground truth
+    rides the same row, so calibration costs nothing extra."""
+    cust = load_table(spark, sf_dir, "customer")
+    blk = F.substring(
+        F.col("c_name"), F.length("c_name") - 2, 3
+    ).alias("blk")
+    clean = cust.select(
+        F.col("c_custkey").alias("id_c"),
+        F.col("c_name").alias("name_c"),
+        F.col("c_nationkey").alias("nation_c"),
+        F.col("c_acctbal").alias("bal_c"),
+        blk,
+    )
+    k = F.col("c_custkey")
+    dirty = cust.select(
+        k.alias("id_d"),
+        F.when(
+            k % 3 == 0,
+            F.regexp_replace("c_name", "Customer", "Custmoer"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name_d"),
+        (
+            F.col("c_nationkey")
+            + F.when(k % 11 == 0, 1).otherwise(0)
+        ).alias("nation_d"),
+        (
+            F.col("c_acctbal") + F.when(k % 5 == 0, 0.3).otherwise(0.0)
+        ).alias("bal_d"),
+        blk,
+    )
+    lev = F.levenshtein("name_c", "name_d")
+    score = (
+        F.when(lev == 0, 3).when(lev <= 2, 2).otherwise(0)
+        + F.when(F.col("nation_c") == F.col("nation_d"), 1).otherwise(0)
+        + F.when(
+            F.abs(F.col("bal_c") - F.col("bal_d")) < 0.01, 1
+        ).otherwise(0)
+    )
+    scored = clean.join(dirty, "blk").select(
+        "id_c", "id_d", score.alias("score")
+    )
+    return scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("id_c") == F.col("id_d"), 1)).alias("n_true"),
+        (
+            F.count(F.when(F.col("score") >= 4, 1)) > 0
+        ).alias("classified_match"),
+    )

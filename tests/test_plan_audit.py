@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "fhir_adverse_event_prr",     # 1-row population scalar over pair rows
     "fhir_immunization_coverage",  # vaccine-catalog dim broadcast expansion
     "graph_knn_triangles",        # 1-row census/wedge-total broadcasts
+    "fhir_incidence_rate",        # 1-row person-years scalar broadcast
 }
 
 _SKIP = {
