@@ -853,3 +853,59 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cb / nb, 6).alias("rate_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@query(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH base AS (
+      SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod, value
+      FROM events
+    ),
+    seasonal AS (
+      SELECT dow, hod, AVG(value) AS season_mean,
+             COUNT(*) AS n
+      FROM base GROUP BY dow, hod
+    ),
+    total AS (SELECT AVG(value) AS grand_mean FROM base)
+    SELECT dow, hod,
+           CAST(n AS BIGINT)                       AS n,
+           ROUND(season_mean, 6)                   AS season_mean,
+           ROUND(season_mean - grand_mean, 6)      AS seasonal_effect
+    FROM seasonal CROSS JOIN total
+    """,
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition — the ops-analytics baseline
+    before any anomaly logic: the (day-of-week, hour-of-day) seasonal
+    profile of the event value stream and each cell's effect relative
+    to the grand mean. Subtracting this profile is what turns the
+    MAD/CUSUM detectors (events_anomaly_mad, events_changepoint_cusum)
+    from raw-value alarms into seasonality-aware ones.
+
+    Plan shape: one grouped aggregate into at most 7x24 cells plus a
+    1-row grand-mean broadcast — map-side combinable end to end.
+
+    100 TB shape: output is structurally bounded at 168 rows; the
+    only corpus-sized pass is the shared scan. The averages divide
+    exact sums, so both engines agree to the rounding guard."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        "value",
+    )
+    seasonal = base.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("season_mean"),
+    )
+    total = base.agg(F.avg("value").alias("grand_mean"))
+    return seasonal.join(F.broadcast(total)).select(
+        "dow",
+        "hod",
+        "n",
+        F.round("season_mean", 6).alias("season_mean"),
+        F.round(
+            F.col("season_mean") - F.col("grand_mean"), 6
+        ).alias("seasonal_effect"),
+    )

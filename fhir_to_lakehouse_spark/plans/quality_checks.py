@@ -210,3 +210,59 @@ def feature_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v"), 6).alias("max_v"),
         )
     )
+
+
+@query(
+    "quality_benford_digits",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT d,
+           CAST(n AS BIGINT)                              AS n,
+           ROUND(CAST(n AS DOUBLE) / total, 6)            AS observed_p,
+           ROUND(log10(1.0 + 1.0 / d), 6)                 AS benford_p,
+           ROUND(CAST(n AS DOUBLE) / total
+                 - log10(1.0 + 1.0 / d), 6)               AS deviation
+    FROM obs CROSS JOIN tot
+    """,
+)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the forensic-accounting screen for
+    fabricated numeric columns: the leading-digit distribution of
+    order totals against Benford's law p(d) = log10(1 + 1/d), with
+    per-digit deviations. Real multi-scale monetary data tracks
+    Benford closely; synthetic or tampered columns (like this
+    uniform-ish TPC-H price) deviate visibly — which is exactly what
+    the audit exists to flag.
+
+    Plan shape: leading digit via integer-string truncation (codegen)
+    -> 9-row grouped count -> 1-row total broadcast.
+
+    100 TB shape: output structurally bounded at 9 rows; map-side
+    combinable; one scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = orders.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    p = F.col("n").cast("double") / F.col("total")
+    return obs.join(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(p, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(p - benford, 6).alias("deviation"),
+    )

@@ -49,6 +49,8 @@ BNLJ_ALLOWED = {
     "fhir_immunization_coverage",  # vaccine-catalog dim broadcast expansion
     "graph_knn_triangles",        # 1-row census/wedge-total broadcasts
     "fhir_incidence_rate",        # 1-row person-years scalar broadcast
+    "events_seasonal_decompose",  # 1-row grand-mean broadcast, 168-cell out
+    "quality_benford_digits",     # 1-row total broadcast over 9 digit rows
 }
 
 _SKIP = {
