@@ -526,3 +526,136 @@ def profile_functional_dependencies(
     ):
         out = out.unionByName(check(*args))
     return out
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate)                    AS last_order,
+             COUNT(*)                            AS frequency,
+             ROUND(SUM(o_totalprice), 2)         AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT NTILE(5) OVER (ORDER BY last_order ASC,  o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency  ASC,  o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary   ASC,  o_custkey) AS m
+      FROM rfm
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored
+    GROUP BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the CRM workhorse: per customer the recency
+    (last order date), frequency (order count) and monetary (total
+    spend) measures, each cut into quintiles (NTILE with a
+    deterministic customer-id tie-break so both engines assign
+    boundary rows identically), reported as the 5x5x5 segment-size
+    cube marketing actually consumes.
+
+    Plan shape: one customer-keyed aggregate -> three ranking windows
+    over the customer-dimension-sized frame -> <=125-row grouped
+    count.
+
+    100 TB shape: windows run over the CUSTOMER DIMENSION (not the
+    fact table); NTILE needs a global order, which at dimension scale
+    is one rangepartition sort — the standard trade for exact
+    quantile segmentation. The fact-table pass is the map-side
+    combinable RFM aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    def quintile(colname: str):
+        return F.ntile(5).over(
+            Window.orderBy(F.col(colname).asc(), F.col("o_custkey"))
+        )
+    scored = rfm.select(
+        quintile("last_order").alias("r"),
+        quintile("frequency").alias("f"),
+        quintile("monetary").alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "revenue_abc_classes",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running,
+             SUM(revenue) OVER () AS total
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN running / total <= 0.8 THEN 'A'
+                  WHEN running / total <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             revenue
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT)        AS n_customers,
+           ROUND(SUM(revenue), 2)          AS class_revenue
+    FROM classed
+    GROUP BY abc_class
+    """,
+)
+def revenue_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis — inventory and account management's
+    80/15/5 rule: customers ranked by revenue, classified A while the
+    running share stays within 80%, B to 95%, C after. The running
+    share needs a deterministic total order (revenue DESC, customer
+    id), and the per-class counts plus revenue mass are what the
+    Pareto chart plots.
+
+    Plan shape: fact-table aggregate to the customer dimension -> one
+    ordered cumulative window + an unbounded total window over the
+    dimension-sized frame -> 3-row grouped rollup.
+
+    100 TB shape: like RFM, the global-order window runs over the
+    customer dimension; revenue sums are rounded decimals-of-cents at
+    aggregation, so the running shares divide identical numbers on
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w_run = Window.orderBy(
+        F.col("revenue").desc(), F.col("o_custkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "revenue",
+        F.sum("revenue").over(w_run).alias("running"),
+        F.sum("revenue").over(w_all).alias("total"),
+    )
+    share = F.col("running") / F.col("total")
+    classed = ranked.select(
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "revenue",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("revenue"), 2).alias("class_revenue"),
+    )
