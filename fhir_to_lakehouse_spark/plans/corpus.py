@@ -157,3 +157,88 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "embedding_lang_centroid_distances",
+    oracle="""
+    WITH joined AS (
+      SELECT d.lang, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    comps AS (
+      SELECT lang, pos, ROUND(AVG(x), 9) AS c
+      FROM (
+        SELECT lang,
+               UNNEST(embedding) AS x,
+               UNNEST(range(1, len(embedding) + 1)) AS pos
+        FROM joined
+      )
+      GROUP BY lang, pos
+    ),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             SUM(a.c * b.c) AS dot,
+             SQRT(SUM(a.c * a.c)) AS na,
+             SQRT(SUM(b.c * b.c)) AS nb
+      FROM comps a
+      JOIN comps b ON a.pos = b.pos AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT lang_a, lang_b,
+           ROUND(1 - dot / (na * nb), 6) AS cosine_distance
+    FROM pairs
+    """,
+)
+def embedding_lang_centroid_distances(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding drift between corpus slices — the monitoring query a
+    multilingual embedding pipeline runs per snapshot: the centroid
+    vector of each language's embeddings and the pairwise cosine
+    distance between centroids. A slice whose centroid drifts from
+    its historical position (or toward another language's) signals an
+    upstream encoder or language-ID regression. Components round at
+    1e-9 BEFORE the cosine so per-component mean accumulation order
+    (Spark partial aggregates vs DuckDB sequential) cannot leak into
+    the distances.
+
+    Plan shape: modality join on the sample key -> posexplode ->
+    (lang, pos) mean (map-side combinable, |langs| x dim rows) ->
+    pos-keyed pair join over the TINY centroid frame -> C(5,2) rows.
+
+    100 TB shape: the corpus-sized work is one join + one aggregate
+    whose output is |langs| x dim (hundreds of rows); everything
+    downstream is centroid-table-sized."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "lang", F.posexplode("embedding").alias("pos0", "x")
+    )
+    comps = (
+        joined.groupBy("lang", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("x"), 9).alias("c"))
+    )
+    a, b = comps.alias("a"), comps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.sqrt(F.sum(F.col("a.c") * F.col("a.c"))).alias("na"),
+            F.sqrt(F.sum(F.col("b.c") * F.col("b.c"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "lang_a",
+        "lang_b",
+        F.round(
+            1 - F.col("dot") / (F.col("na") * F.col("nb")), 6
+        ).alias("cosine_distance"),
+    )
