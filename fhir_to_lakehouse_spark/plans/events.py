@@ -909,3 +909,101 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("season_mean") - F.col("grand_mean"), 6
         ).alias("seasonal_effect"),
     )
+
+
+@query(
+    "events_attribution_time_decay",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, event_type AS channel, ts AS t_ts
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    weighted AS (
+      SELECT p.purchase_id, t.channel,
+             POW(0.5, date_diff('microsecond', t.t_ts, p.p_ts)
+                      / 86400000000.0) AS w
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 3 DAY
+    ),
+    normalized AS (
+      SELECT channel,
+             w / SUM(w) OVER (PARTITION BY purchase_id) AS credit
+      FROM weighted
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT)     AS n_touches,
+           ROUND(SUM(credit), 4)        AS attributed_conversions
+    FROM normalized
+    GROUP BY channel
+    """,
+)
+def events_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-touch attribution, time-decay model — the marketing
+    analytics standard between last-touch (the as-of entries) and
+    data-driven models: every touchpoint in the 3 days before a
+    purchase earns weight 0.5^(age_days), weights normalize per
+    purchase (each conversion distributes exactly 1.0 of credit), and
+    channels report their attributed conversion mass. The credit
+    normalization is what makes this a window-over-join shape rather
+    than a plain aggregate.
+
+    Plan shape: user-keyed equi-join with the window predicate as a
+    residual (per-user touch density is bounded, so fan-out is
+    per-user-quadratic like the co-prescription join) -> per-purchase
+    normalization window -> per-channel sum into 3 rows. The decay
+    weights are pure codegen; per-purchase credit sums divide
+    identical doubles on both engines (the window orders the same
+    additions), and the final channel sum rounds at 1e-4 to absorb
+    cross-partition accumulation order.
+
+    100 TB shape: the join and the normalization window share the
+    purchase key; AQE skew handling covers hot users. At petabyte
+    event volumes the 3-day predicate makes this the bucketized
+    interval join's shape (events_interval_join_bucketized) — the
+    equi+residual form here is the dimension-bounded variant."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+    )
+    age_days = (
+        F.unix_micros("p_ts") - F.unix_micros("t_ts")
+    ) / 86400000000.0
+    weighted = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAYS"))
+        )
+        .select(
+            "purchase_id",
+            "channel",
+            F.pow(F.lit(0.5), age_days).alias("w"),
+        )
+    )
+    per_purchase = Window.partitionBy("purchase_id")
+    normalized = weighted.select(
+        "channel",
+        (F.col("w") / F.sum("w").over(per_purchase)).alias("credit"),
+    )
+    return normalized.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("credit"), 4).alias("attributed_conversions"),
+    )

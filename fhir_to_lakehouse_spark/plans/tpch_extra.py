@@ -659,3 +659,103 @@ def revenue_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("revenue"), 2).alias("class_revenue"),
     )
+
+
+@query(
+    "revenue_gini_lorenz",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS i,
+             NTILE(10)   OVER (ORDER BY revenue, o_custkey) AS decile
+      FROM rev
+    ),
+    g AS (
+      SELECT ROUND(2.0 * SUM(i * revenue)
+                   / (COUNT(*) * SUM(revenue))
+                   - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+             SUM(revenue) AS total,
+             COUNT(*) AS n
+      FROM ranked
+    ),
+    per_decile AS (
+      SELECT decile, SUM(revenue) AS drev, COUNT(*) AS dn
+      FROM ranked GROUP BY decile
+    ),
+    lorenz AS (
+      SELECT decile,
+             SUM(dn)   OVER (ORDER BY decile) AS cum_n,
+             SUM(drev) OVER (ORDER BY decile) AS cum_rev
+      FROM per_decile
+    )
+    SELECT decile,
+           ROUND(CAST(cum_n AS DOUBLE) / n, 6)    AS cum_pop_share,
+           ROUND(cum_rev / total, 6)              AS cum_rev_share,
+           gini
+    FROM lorenz CROSS JOIN g
+    """,
+)
+def revenue_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + Lorenz curve — the concentration measure
+    behind 'whale' analyses (and the ABC entry's continuous twin):
+    customers sorted by revenue with deterministic tie-breaks, the
+    Gini from the rank-weighted closed form
+    2*sum(i*x)/(n*sum(x)) - (n+1)/n, and the Lorenz curve sampled at
+    population deciles (cumulative population share vs cumulative
+    revenue share — the plot's 10 points).
+
+    Plan shape: fact aggregate to the customer dimension -> one
+    global-order window pass assigning rank and decile together ->
+    one scalar aggregate (gini) + a 10-row cumulative window.
+
+    100 TB shape: the global sort runs over the customer DIMENSION
+    (same trade as RFM/ABC); rank-weighted sums are exact integer x
+    cents products summed as doubles — identical addition ORDER is
+    not needed because the 1e-6 rounding guard dwarfs sub-ulp drift
+    on dimension-sized sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue"), F.col("o_custkey"))
+    ranked = rev.select(
+        "revenue",
+        F.row_number().over(w).alias("i"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    g = ranked.agg(
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("revenue"))
+            / (F.count(F.lit(1)) * F.sum("revenue"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+        F.sum("revenue").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.sum("revenue").alias("drev"), F.count(F.lit(1)).alias("dn")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lorenz = per_decile.select(
+        "decile",
+        F.sum("dn").over(w_cum).alias("cum_n"),
+        F.sum("drev").over(w_cum).alias("cum_rev"),
+    )
+    return lorenz.join(F.broadcast(g)).select(
+        "decile",
+        F.round(F.col("cum_n").cast("double") / F.col("n"), 6).alias(
+            "cum_pop_share"
+        ),
+        F.round(F.col("cum_rev") / F.col("total"), 6).alias(
+            "cum_rev_share"
+        ),
+        "gini",
+    )

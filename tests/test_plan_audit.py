@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "fhir_incidence_rate",        # 1-row person-years scalar broadcast
     "events_seasonal_decompose",  # 1-row grand-mean broadcast, 168-cell out
     "quality_benford_digits",     # 1-row total broadcast over 9 digit rows
+    "revenue_gini_lorenz",        # 1-row gini/total broadcast over 10 deciles
 }
 
 _SKIP = {
