@@ -1007,3 +1007,90 @@ def events_attribution_time_decay(
         F.count(F.lit(1)).alias("n_touches"),
         F.round(F.sum("credit"), 4).alias("attributed_conversions"),
     )
+
+
+@query(
+    "events_diff_in_diff",
+    oracle="""
+    WITH labeled AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS treated
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT l.treated,
+             CASE WHEN e.ts >= TIMESTAMP '2024-01-04' THEN 1 ELSE 0 END
+               AS post,
+             e.value
+      FROM events e JOIN labeled l USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ),
+    means AS (
+      SELECT treated, post, AVG(value) AS m, COUNT(*) AS n
+      FROM cells GROUP BY treated, post
+    )
+    SELECT ROUND(MAX(CASE WHEN treated = 1 AND post = 1 THEN m END)
+                 - MAX(CASE WHEN treated = 1 AND post = 0 THEN m END)
+                 - MAX(CASE WHEN treated = 0 AND post = 1 THEN m END)
+                 + MAX(CASE WHEN treated = 0 AND post = 0 THEN m END),
+                 6) AS did_estimate,
+           CAST(SUM(CASE WHEN treated = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_treated_obs,
+           CAST(SUM(CASE WHEN treated = 0 THEN n ELSE 0 END) AS BIGINT)
+             AS n_control_obs
+    FROM means
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the quasi-experimental workhorse
+    when randomization isn't available: users who ever signed up form
+    the treated group, the cutoff date splits pre/post, and the DiD
+    estimate is the treated group's purchase-value change minus the
+    control group's (differencing out the common time trend). The
+    2x2 cell means are everything; the estimator is their alternating
+    sum.
+
+    Plan shape: one user-keyed label aggregate -> join onto the
+    purchase slice -> a 4-cell grouped mean -> one-row alternating
+    sum.
+
+    100 TB shape: the label set is user-dimension-sized (broadcast
+    below the threshold, shuffle-hash above); the cell aggregate is
+    map-side combinable to 4 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("treated")
+    )
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(labeled, "user_id")
+        .select(
+            "treated",
+            F.when(
+                F.col("ts") >= F.lit("2024-01-04").cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("post"),
+            "value",
+        )
+    )
+    means = cells.groupBy("treated", "post").agg(
+        F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    cell = lambda t, p: F.max(  # noqa: E731 — 4-cell pivot shorthand
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("m"))
+    )
+    return means.agg(
+        F.round(cell(1, 1) - cell(1, 0) - cell(0, 1) + cell(0, 0), 6).alias(
+            "did_estimate"
+        ),
+        F.sum(F.when(F.col("treated") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_treated_obs"),
+        F.sum(F.when(F.col("treated") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_control_obs"),
+    )

@@ -1208,6 +1208,109 @@ def fhir_incidence_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fhir_case_control_odds",
+    oracle="""
+    WITH pats AS (
+      SELECT c_custkey AS patient_id,
+             CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END AS exposed
+      FROM customer
+    ),
+    cases AS (
+      SELECT DISTINCT o_custkey AS patient_id
+      FROM orders WHERE o_orderkey % 20 = 7
+    ),
+    cells AS (
+      SELECT p.exposed,
+             CASE WHEN c.patient_id IS NOT NULL THEN 1 ELSE 0 END
+               AS is_case
+      FROM pats p LEFT JOIN cases c USING (patient_id)
+    ),
+    counts AS (
+      SELECT SUM(CASE WHEN exposed=1 AND is_case=1 THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN exposed=1 AND is_case=0 THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN exposed=0 AND is_case=1 THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN exposed=0 AND is_case=0 THEN 1 ELSE 0 END) AS d
+      FROM cells
+    )
+    SELECT CAST(a AS BIGINT) AS n_exposed_cases,
+           CAST(b AS BIGINT) AS n_exposed_controls,
+           CAST(c AS BIGINT) AS n_unexposed_cases,
+           CAST(d AS BIGINT) AS n_unexposed_controls,
+           ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+             AS odds_ratio,
+           ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     - 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS ci_low,
+           ROUND(EXP(LN(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                     + 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS ci_high
+    FROM counts
+    """,
+)
+def fhir_case_control_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-control odds ratio with its Woolf 95% confidence interval
+    — the retrospective-study estimator (PRR's cohort cousin): cases
+    are patients carrying the index diagnosis (code C07 from the
+    shared Condition synthesis), exposure is a patient attribute, and
+    the 2x2 table yields OR = ad/bc with
+    exp(ln OR +- 1.96*sqrt(1/a+1/b+1/c+1/d)). A CI that excludes 1.0
+    is the signal; with exposure independent of the diagnosis by
+    construction here, the interval should straddle 1 — the
+    null-is-true sanity the pytest gate checks.
+
+    Plan shape: distinct case reduction -> left join onto the patient
+    dimension -> one conditional aggregate to the 2x2 -> closed-form
+    arithmetic on one row.
+
+    100 TB shape: only patient ids move; the 2x2 collapses map-side.
+    Stratified (Mantel-Haenszel) variants add the stratum to the
+    grouping key of the same aggregate."""
+    customer = fan_out_small_scan(load_table(spark, sf_dir, "customer"))
+    cond = _conditions(spark, sf_dir)
+    cases = (
+        cond.filter(
+            F.element_at("code.coding", 1).getField("code") == "C07"
+        )
+        .select(
+            F.regexp_replace("subject.reference", "^Patient/", "").alias(
+                "patient_id"
+            )
+        )
+        .distinct()
+        .withColumn("is_case", F.lit(1))
+    )
+    pats = customer.select(
+        F.col("c_custkey").cast("string").alias("patient_id"),
+        F.when(F.col("c_custkey") % 4 == 0, 1).otherwise(0).alias("exposed"),
+    )
+    cells = pats.join(cases, "patient_id", "left").select(
+        "exposed", F.coalesce("is_case", F.lit(0)).alias("is_case")
+    )
+    cnt = lambda e, c: F.sum(  # noqa: E731 — 2x2 cell shorthand
+        F.when((F.col("exposed") == e) & (F.col("is_case") == c), 1).otherwise(0)
+    )
+    counts = cells.agg(
+        cnt(1, 1).alias("a"),
+        cnt(1, 0).alias("b"),
+        cnt(0, 1).alias("c"),
+        cnt(0, 0).alias("d"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    c, d = F.col("c").cast("double"), F.col("d").cast("double")
+    or_ = a * d / (b * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return counts.select(
+        F.col("a").alias("n_exposed_cases"),
+        F.col("b").alias("n_exposed_controls"),
+        F.col("c").alias("n_unexposed_cases"),
+        F.col("d").alias("n_unexposed_controls"),
+        F.round(or_, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(or_) - 1.96 * se), 6).alias("ci_low"),
+        F.round(F.exp(F.log(or_) + 1.96 * se), 6).alias("ci_high"),
+    )
+
+
 def _dispenses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MedicationDispense resources from orders: patient o_custkey, an
     8-drug RxNorm-ish vocabulary, handed over at the order date with a

@@ -224,6 +224,23 @@ def test_logrank_observed_expected_reconcile(spark, sf_dir):
     )
 
 
+def test_case_control_ci_straddles_null(spark, sf_dir):
+    """Exposure (custkey % 4) is independent of the index diagnosis
+    (orderkey % 20) by construction, so the Woolf CI must contain
+    OR = 1; the 2x2 must partition the population."""
+    row = QUERIES["fhir_case_control_odds"](spark, sf_dir).collect()[0]
+    assert row["ci_low"] < 1 < row["ci_high"]
+    assert row["ci_low"] < row["odds_ratio"] < row["ci_high"]
+    n_pop = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    total = (
+        row["n_exposed_cases"]
+        + row["n_exposed_controls"]
+        + row["n_unexposed_cases"]
+        + row["n_unexposed_controls"]
+    )
+    assert total == n_pop
+
+
 def test_coprescription_subset_of_comorbidity_shape(spark, sf_dir):
     """Overlap-constrained pairs can never exceed the unconstrained
     any-time pair counts for the same patient-drug incidence — checked
