@@ -86,10 +86,13 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx sketch — the 100 TB path for quantiles (bounded
     memory, mergeable); rows-only, accuracy pytest-checked."""
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    # one sketch pass, quantiles unpacked to scalar columns at the
+    # boundary (registry convention: no ARRAY output columns)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "approx_pcts"
-        )
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p90"),
+        F.element_at(pcts, 3).alias("p99"),
     )
 
 

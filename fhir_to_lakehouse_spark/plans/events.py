@@ -192,7 +192,7 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_trunc('day', ts) AS TIMESTAMP)   AS day,
            CAST(date_trunc('hour', ts) AS TIMESTAMP)  AS hour,
            COUNT(*)                AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY ROLLUP(CAST(date_trunc('month', ts) AS TIMESTAMP),
                     CAST(date_trunc('day', ts) AS TIMESTAMP),
@@ -221,7 +221,10 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,2)").alias("v"),
     )
     return t.rollup("month", "day", "hour").agg(
-        F.count("*").alias("n_events"), F.sum("v").alias("sum_value")
+        F.count("*").alias("n_events"),
+        # decimal accumulation keeps every subtotal order-exact; the
+        # boundary converts to DOUBLE (registry convention)
+        F.sum("v").cast("double").alias("sum_value"),
     )
 
 
@@ -247,10 +250,10 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT hour, day,
            COALESCE(n, 0) AS n_events,
-           last_value(sv IGNORE NULLS) OVER (
+           CAST(last_value(sv IGNORE NULLS) OVER (
                PARTITION BY day ORDER BY hour
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS sum_value_ff
+           ) AS DOUBLE) AS sum_value_ff
     FROM j
     """,
 )
@@ -296,7 +299,10 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.date_trunc("day", "hour").alias("day"),
         F.coalesce("n", F.lit(0)).alias("n_events"),
-        F.last("sv", ignorenulls=True).over(w).alias("sum_value_ff"),
+        F.last("sv", ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("sum_value_ff"),
     )
 
 

@@ -910,7 +910,8 @@ def fhir_risk_score_charlson(spark: SparkSession, sf_dir: str) -> DataFrame:
            e.ts                                 AS admit_ts,
            o.event_id                           AS last_lab_id,
            o.ts                                 AS last_lab_ts,
-           CAST(o.value AS DECIMAL(18,2))       AS last_lab_value
+           CAST(CAST(o.value AS DECIMAL(18,2))
+                AS DOUBLE)                      AS last_lab_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') e
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') o
       ON e.user_id = o.user_id AND e.ts >= o.ts
@@ -1020,7 +1021,7 @@ def fhir_preadmission_labs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("admit_ts"),
         "last_lab_id",
         "last_lab_ts",
-        "last_lab_value",
+        F.col("last_lab_value").cast("double").alias("last_lab_value"),
     )
 
 

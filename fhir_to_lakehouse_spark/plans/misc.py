@@ -101,28 +101,31 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_partkey, string_split(p_name, ' ') AS words FROM part
     )
     SELECT p_partkey,
-           list_sort(words)                                  AS sorted_words,
-           list_reverse_sort(words)                          AS rsorted_words,
+           array_to_string(list_sort(words), ',')            AS sorted_words,
+           array_to_string(list_reverse_sort(words), ',')    AS rsorted_words,
            CAST(list_position(words, 'widget') AS INT)       AS widget_pos,
            list_contains(words, 'bolt')                      AS has_bolt,
-           flatten([words, ['x']])                           AS appended,
-           words[1:2]                                        AS first_two
+           array_to_string(flatten([words, ['x']]), ',')     AS appended,
+           array_to_string(words[1:2], ',')                  AS first_two
     FROM t
     """,
 )
 def array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_sort / desc sort / array_position / array_contains /
-    flatten-concat / slice."""
+    flatten-concat / slice. Array results serialize to CSV at the
+    boundary (registry convention — the driver hasher can't hash
+    list cells); the array ops themselves still run as arrays."""
     part = load_table(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ")
+    csv = lambda c: F.array_join(c, ",")  # noqa: E731
     return part.select(
         "p_partkey",
-        F.array_sort(words).alias("sorted_words"),
-        F.reverse(F.array_sort(words)).alias("rsorted_words"),
+        csv(F.array_sort(words)).alias("sorted_words"),
+        csv(F.reverse(F.array_sort(words))).alias("rsorted_words"),
         F.array_position(words, "widget").cast("int").alias("widget_pos"),
         F.array_contains(words, "bolt").alias("has_bolt"),
-        F.flatten(F.array(words, F.array(F.lit("x")))).alias("appended"),
-        F.slice(words, 1, 2).alias("first_two"),
+        csv(F.flatten(F.array(words, F.array(F.lit("x"))))).alias("appended"),
+        csv(F.slice(words, 1, 2)).alias("first_two"),
     )
 
 

@@ -159,11 +159,11 @@ def embedding_pca_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
     ones AS (
-      SELECT [item] AS itemset, COUNT(*) AS freq
+      SELECT item AS itemset, COUNT(*) AS freq
       FROM baskets GROUP BY item
     ),
     twos AS (
-      SELECT [a.item, b.item] AS itemset, COUNT(*) AS freq
+      SELECT a.item || ',' || b.item AS itemset, COUNT(*) AS freq
       FROM baskets a
       JOIN baskets b
         ON a.l_orderkey = b.l_orderkey AND a.item < b.item
@@ -215,7 +215,11 @@ def basket_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         model.freqItemsets.filter(F.size("items") <= 2)
         .select(
-            F.sort_array("items").alias("itemset"),
+            # CSV of the sorted itemset, not ARRAY<STRING>: the driver's
+            # row hasher can't hash list cells (r8 verdict #2), so the
+            # registry boundary convention is strings out — same as
+            # agg_collect_sorted_list
+            F.array_join(F.sort_array("items"), ",").alias("itemset"),
             F.col("freq").cast("long").alias("freq"),
         )
     )

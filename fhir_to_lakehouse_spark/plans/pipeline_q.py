@@ -207,12 +207,12 @@ def _observation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_observation_components",
     oracle="""
     SELECT CAST(event_id AS VARCHAR)                              AS id,
-           CAST(value AS DECIMAL(18,2))                           AS obs_value,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)           AS obs_value,
            'mm[Hg]'                                               AS unit,
-           CAST(CAST(value AS DECIMAL(18,2)) + 100
-                AS DECIMAL(18,2))                                 AS systolic,
-           CAST(CAST(value AS DECIMAL(18,2)) + 60
-                AS DECIMAL(18,2))                                 AS diastolic,
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) + 100
+                AS DECIMAL(18,2)) AS DOUBLE)                      AS systolic,
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) + 60
+                AS DECIMAL(18,2)) AS DOUBLE)                      AS diastolic,
            event_type                                             AS note_text,
            CAST(value AS DECIMAL(18,2)) BETWEEN 90 AND 120        AS in_range
     FROM events
@@ -240,13 +240,18 @@ def pipeline_observation_components(spark: SparkSession, sf_dir: str) -> DataFra
 
     return enc.select(
         "id",
-        F.col("valueQuantity.value").cast("decimal(18,2)").alias("obs_value"),
+        F.col("valueQuantity.value")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("obs_value"),
         F.col("valueQuantity.unit").alias("unit"),
         comp_named("systolic")["valueQuantity"]["value"]
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("systolic"),
         comp_named("diastolic")["valueQuantity"]["value"]
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("diastolic"),
         comp_named("note")["valueString"].alias("note_text"),
         F.col("valueQuantity.value")
@@ -267,7 +272,7 @@ def pipeline_observation_components(spark: SparkSession, sf_dir: str) -> DataFra
            'order'                                      AS intent,
            'med-' || CAST(user_id % 10 AS VARCHAR)      AS med_text,
            strftime(ts, '%Y-%m-%d')                     AS authored_on,
-           CAST(value AS DECIMAL(18,2))                 AS dose_mg
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS dose_mg
     FROM events
     """,
 )
@@ -355,7 +360,9 @@ def pipeline_medication_request_decode(spark: SparkSession, sf_dir: str) -> Data
         "intent",
         F.col("medicationCodeableConcept.text").alias("med_text"),
         F.col("authoredOn").alias("authored_on"),
-        first_dose["value"].cast("decimal(18,2)").alias("dose_mg"),
+        first_dose["value"].cast("decimal(18,2)").cast("double").alias(
+            "dose_mg"
+        ),
     )
 
 
@@ -367,9 +374,11 @@ def pipeline_medication_request_decode(spark: SparkSession, sf_dir: str) -> Data
            -- resolve_references strips 'Patient/<id>' to the bare id
            -- at QUERY time (storage keeps the verbatim string)
            CAST(o_custkey AS VARCHAR)                     AS patient_ref,
-           CAST(o_totalprice AS DECIMAL(18,2))            AS total_amount,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                AS DOUBLE)                                AS total_amount,
            2                                              AS n_items,
-           CAST(o_totalprice AS DECIMAL(18,2))            AS items_net_sum
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                AS DOUBLE)                                AS items_net_sum
     FROM orders
     """,
 )
@@ -452,9 +461,9 @@ def pipeline_claim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "status",
         F.col("patient.reference").alias("patient_ref"),
-        F.col("total.value").alias("total_amount"),
+        F.col("total.value").cast("double").alias("total_amount"),
         F.size("item").alias("n_items"),
-        net_sum.alias("items_net_sum"),
+        net_sum.cast("double").alias("items_net_sum"),
     )
 
 
@@ -464,8 +473,9 @@ def pipeline_claim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
            CAST(l_linenumber AS VARCHAR)                  AS id,
            'completed'                                    AS status,
-           CAST(l_quantity AS DECIMAL(18,2))              AS qty,
-           CAST(30.00 AS DECIMAL(18,2))                   AS days_supply,
+           CAST(CAST(l_quantity AS DECIMAL(18,2))
+                AS DOUBLE)                                AS qty,
+           CAST(30.00 AS DOUBLE)                          AS days_supply,
            -- resolve_references strips 'Patient/<id>' at query time
            CAST(l_suppkey AS VARCHAR)                     AS subject_ref,
            'rx-' || CAST(l_orderkey AS VARCHAR)           AS rx_ref
@@ -548,15 +558,15 @@ def pipeline_dispense_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_resources(md, "MedicationDispense"), "MedicationDispense"
     )
     # Quantity.value is stored in the encoder's wide FHIR-decimal
-    # representation; present it in the source data's DECIMAL(18,2) so
-    # the value REPRESENTATION matches the oracle (r8: the exact-decimal
-    # harness caught this drift locally — same class as r7 verdict #1)
+    # representation; round to the source data's DECIMAL(18,2) then
+    # convert to DOUBLE at the boundary (registry convention — the
+    # driver hasher cannot normalize DecimalType across engines)
     d = "decimal(18,2)"
     return enc.select(
         "id",
         "status",
-        F.col("quantity.value").cast(d).alias("qty"),
-        F.col("daysSupply.value").cast(d).alias("days_supply"),
+        F.col("quantity.value").cast(d).cast("double").alias("qty"),
+        F.col("daysSupply.value").cast(d).cast("double").alias("days_supply"),
         F.col("subject.reference").alias("subject_ref"),
         F.element_at("authorizingPrescription", 1)["reference"].alias("rx_ref"),
     )
@@ -567,9 +577,11 @@ def pipeline_dispense_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(o_orderkey AS VARCHAR)                         AS id,
            'issued'                                            AS status,
-           CAST(o_totalprice AS DECIMAL(18,2))                 AS total_net,
            CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                + CAST(19.99 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS total_gross,
+                AS DOUBLE)                                     AS total_net,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                + CAST(19.99 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+                AS DOUBLE)                                     AS total_gross,
            1                                                   AS n_lines,
            'chg-' || CAST(o_orderkey AS VARCHAR)               AS first_charge_ref
     FROM orders
@@ -645,8 +657,8 @@ def pipeline_invoice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "id",
         "status",
-        F.col("totalNet.value").alias("total_net"),
-        F.col("totalGross.value").alias("total_gross"),
+        F.col("totalNet.value").cast("double").alias("total_net"),
+        F.col("totalGross.value").cast("double").alias("total_gross"),
         F.size("lineItem").alias("n_lines"),
         F.element_at("lineItem", 1)["chargeItemReference"]["reference"].alias(
             "first_charge_ref"
@@ -659,7 +671,8 @@ def pipeline_invoice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(c_custkey AS VARCHAR)            AS id,
            'final'                               AS status,
-           CAST(c_acctbal AS DECIMAL(18,2))      AS probability,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                AS DOUBLE)                       AS probability,
            CASE WHEN c_acctbal < 0 THEN 'low' ELSE 'high' END AS risk,
            CAST(c_custkey AS VARCHAR)            AS subject_ref
     FROM customer
@@ -733,7 +746,10 @@ def pipeline_risk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "id",
         "status",
-        pred["probabilityDecimal"].cast("decimal(18,2)").alias("probability"),
+        pred["probabilityDecimal"]
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("probability"),
         pred["qualitativeRisk"]["text"].alias("risk"),
         F.col("subject.reference").alias("subject_ref"),
     )
@@ -1074,8 +1090,10 @@ def pipeline_reference_join_typed(spark: SparkSession, sf_dir: str) -> DataFrame
            'complete'                              AS outcome,
            -- resolve_references strips 'Claim/<id>' at query time
            CAST(o_orderkey AS VARCHAR)             AS request_ref,
-           CAST(o_totalprice AS DECIMAL(18,2))     AS payment_amount,
-           CAST(o_totalprice AS DECIMAL(18,2))     AS adjudicated_sum,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                AS DOUBLE)                         AS payment_amount,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                AS DOUBLE)                         AS adjudicated_sum,
            2                                       AS n_items
     FROM orders
     """,
@@ -1182,8 +1200,8 @@ def pipeline_claimresponse_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         "id",
         "outcome",
         F.col("request.reference").alias("request_ref"),
-        F.col("payment.amount.value").alias("payment_amount"),
-        adjudicated.alias("adjudicated_sum"),
+        F.col("payment.amount.value").cast("double").alias("payment_amount"),
+        adjudicated.cast("double").alias("adjudicated_sum"),
         F.size("item").alias("n_items"),
     )
 
@@ -1196,7 +1214,7 @@ def pipeline_claimresponse_decode(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(c_nationkey AS VARCHAR)                 AS reporter_ref,
            '2024-01-01'                                 AS period_start,
            CAST(COUNT(*) AS INT)                        AS numerator,
-           CAST(COUNT(*) AS DECIMAL(18,2))              AS score
+           CAST(COUNT(*) AS DOUBLE)                     AS score
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -1294,7 +1312,10 @@ def pipeline_measurereport_decode(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("reporter.reference").alias("reporter_ref"),
         F.col("period.start").alias("period_start"),
         F.element_at(g1["population"], 1)["count"].alias("numerator"),
-        g1["measureScore"]["value"].cast("decimal(18,2)").alias("score"),
+        g1["measureScore"]["value"]
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("score"),
     )
 
 

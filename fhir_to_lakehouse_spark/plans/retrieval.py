@@ -129,7 +129,8 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT term,
            COUNT(*)                                   AS df,
            CAST(SUM(c) AS BIGINT)                     AS total_tf,
-           (array_agg(doc_id ORDER BY doc_id))[1:20]  AS postings_head
+           array_to_string((array_agg(doc_id ORDER BY doc_id))[1:20], ',')
+                                                      AS postings_head
     FROM tf GROUP BY term
     """,
 )
@@ -178,7 +179,14 @@ def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .groupBy("term")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_head"))
+        # CSV, not ARRAY<BIGINT>: registry boundary convention — the
+        # driver's row hasher can't hash list cells (r8 verdict #2)
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+                ",",
+            ).alias("postings_head")
+        )
     )
     return stats.join(head, "term").select(
         "term", "df", "total_tf", "postings_head"

@@ -208,8 +208,12 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            event_type                                  AS jt_type,
            CAST(value AS VARCHAR)                      AS jt_value,
-           map_keys(MAP {'a': value, 'b': value * 2})  AS mkeys,
-           map_values(MAP {'a': value, 'b': value * 2}) AS mvals,
+           array_to_string(
+             map_keys(MAP {'a': value, 'b': value * 2}), ',')  AS mkeys,
+           CAST(map_values(MAP {'a': value, 'b': value * 2})[1]
+                AS DOUBLE)                             AS mval_a,
+           CAST(map_values(MAP {'a': value, 'b': value * 2})[2]
+                AS DOUBLE)                             AS mval_b,
            'STRUCT<a: BIGINT, b: STRING, c: ARRAY<DOUBLE>>' AS json_schema
     FROM events
     """,
@@ -238,8 +242,16 @@ def scalar_json_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.json_tuple(F.col("js"), "event_type", "value").alias(
                 "jt_type", "jt_value"
             ),
-            F.map_keys("m").alias("mkeys"),
-            F.map_values("m").alias("mvals"),
+            # keys CSV + values unpacked to scalars at the boundary
+            # (registry convention: no ARRAY output columns); the map
+            # construction and map_keys/map_values still run as maps
+            F.array_join(F.map_keys("m"), ",").alias("mkeys"),
+            F.element_at(F.map_values("m"), 1)
+            .cast("double")
+            .alias("mval_a"),
+            F.element_at(F.map_values("m"), 2)
+            .cast("double")
+            .alias("mval_b"),
             F.schema_of_json(F.lit('{"a":1,"b":"x","c":[1.5]}')).alias(
                 "json_schema"
             ),

@@ -65,17 +65,17 @@ _OBS_VIEW = {
     "viewdef_observation_components",
     oracle="""
     SELECT CAST(event_id AS VARCHAR)                       AS id,
-           CAST(value AS DECIMAL(18,2))                    AS obs_value,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)    AS obs_value,
            'mm[Hg]'                                        AS unit,
-           CAST(90 AS DECIMAL(18,2))                       AS range_low,
+           CAST(90 AS DOUBLE)                              AS range_low,
            3                                               AS n_components,
            c.comp_code                                     AS comp_code,
-           CASE c.comp_code
+           CAST(CASE c.comp_code
                 WHEN 'systolic'
                 THEN CAST(CAST(value AS DECIMAL(18,2)) + 100 AS DECIMAL(18,2))
                 WHEN 'diastolic'
                 THEN CAST(CAST(value AS DECIMAL(18,2)) + 60 AS DECIMAL(18,2))
-           END                                             AS comp_value,
+           END AS DOUBLE)                                  AS comp_value,
            CASE WHEN c.comp_code = 'note' THEN event_type END AS comp_note
     FROM events,
          (VALUES ('systolic'), ('diastolic'), ('note')) AS c(comp_code)
@@ -93,23 +93,26 @@ def viewdef_observation_components(spark: SparkSession, sf_dir: str) -> DataFram
 
     The compiled view's decimal columns carry the ENCODER's stored
     decimal representation (schemas.py maps FHIR decimal to one wide
-    DecimalType, and the compiler now preserves stored decimals rather
-    than re-casting — r7 verdict item 1); the trailing cast to the
-    source data's DECIMAL(18,2) puts the result in the same
-    representation the oracle states, exactly as the sibling viewdef
-    queries do."""
+    DecimalType, and the compiler preserves stored decimals rather
+    than re-casting — r7 verdict item 1). At the QUERY BOUNDARY the
+    values round to DECIMAL(18,2) and convert to DOUBLE: r7/r8 showed
+    the values are bit-identical across engines yet DecimalType at the
+    interface hash-mismatches in the driver's cross-engine
+    normalization, so the registry convention (enforced by
+    tests/test_boundary_contract.py) is doubles out, decimals
+    inside."""
     events = _observation_events(spark, sf_dir)
     obs = prepare_stream(events).filter(F.col("resource_type") == "Observation")
     enc = encode_resources(obs, "Observation")
     d = "decimal(18,2)"
     return compile_view(_OBS_VIEW, enc).select(
         "id",
-        F.col("obs_value").cast(d).alias("obs_value"),
+        F.col("obs_value").cast(d).cast("double").alias("obs_value"),
         "unit",
-        F.col("range_low").cast(d).alias("range_low"),
+        F.col("range_low").cast(d).cast("double").alias("range_low"),
         "n_components",
         "comp_code",
-        F.col("comp_value").cast(d).alias("comp_value"),
+        F.col("comp_value").cast(d).cast("double").alias("comp_value"),
         "comp_note",
     )
 
@@ -201,10 +204,10 @@ _OBS_AGG = {
     oracle="""
     SELECT 'Patient/' || CAST(user_id AS VARCHAR)       AS subject_ref,
            COUNT(*)                                     AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
-                AS DECIMAL(18,2))                       AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS DOUBLE)            AS total_value,
            CAST(MIN(CAST(value AS DECIMAL(18,2)))
-                AS DECIMAL(18,2))                       AS min_value
+                AS DOUBLE)                              AS min_value
     FROM events
     GROUP BY user_id
     """,
@@ -227,8 +230,12 @@ def viewdef_aggregate_observations(spark: SparkSession, sf_dir: str) -> DataFram
     return agg.select(
         "subject_ref",
         "n",
-        F.col("total_value").cast("decimal(18,2)").alias("total_value"),
-        F.col("min_value").cast("decimal(18,2)").alias("min_value"),
+        F.col("total_value").cast("decimal(18,2)").cast("double").alias(
+            "total_value"
+        ),
+        F.col("min_value").cast("decimal(18,2)").cast("double").alias(
+            "min_value"
+        ),
     )
 
 
@@ -259,9 +266,9 @@ _OBS_SUBJECT_VIEW = {
 @query(
     "viewdef_observation_subjects",
     oracle="""
-    SELECT CAST(event_id AS VARCHAR)          AS oid,
-           CAST(user_id AS VARCHAR)           AS patient_key,
-           CAST(value AS DECIMAL(18,2))       AS qty
+    SELECT CAST(event_id AS VARCHAR)                    AS oid,
+           CAST(user_id AS VARCHAR)                     AS patient_key,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS qty
     FROM events
     """,
 )
@@ -276,7 +283,9 @@ def viewdef_observation_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = encode_resources(obs, "Observation")
     view = compile_view(_OBS_SUBJECT_VIEW, enc)
     return view.select(
-        "oid", "patient_key", F.col("qty").cast("decimal(18,2)").alias("qty")
+        "oid",
+        "patient_key",
+        F.col("qty").cast("decimal(18,2)").cast("double").alias("qty"),
     )
 
 
@@ -666,7 +675,7 @@ def viewdef_collection_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT patient_key, code_text, oid,
            CAST(effective AS VARCHAR) AS effective,
-           CAST(value AS DECIMAL(18,2)) AS qty
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS qty
     FROM (
       SELECT CAST(user_id AS VARCHAR)                       AS patient_key,
              CASE WHEN event_id % 2 = 0
@@ -735,7 +744,10 @@ def fhir_observation_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("code.text").alias("code_text"),
             F.col("id").alias("oid"),
             F.col("effectiveDateTime").alias("effective"),
-            F.col("valueQuantity.value").cast("decimal(18,2)").alias("qty"),
+            F.col("valueQuantity.value")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("qty"),
         )
     )
 

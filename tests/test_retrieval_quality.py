@@ -57,10 +57,12 @@ def test_inverted_postings_df_and_head_agree_with_recount(spark, sf_dir):
     expected_ids = sorted(r.doc_id for r in spark_df.collect())
     got = out["spark"]
     assert got.df == len(expected_ids)
-    assert list(got.postings_head) == expected_ids[:20]
+    # postings_head is the boundary-contract CSV of the sorted head
+    head = lambda r: [int(x) for x in r.postings_head.split(",") if x]  # noqa: E731
+    assert head(got) == expected_ids[:20]
     for r in out.values():
-        assert list(r.postings_head) == sorted(r.postings_head)
-        assert len(r.postings_head) <= 20
+        assert head(r) == sorted(head(r))
+        assert len(head(r)) <= 20
         assert r.total_tf >= r.df
 
 

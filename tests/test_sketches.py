@@ -44,7 +44,7 @@ def test_approx_percentile_sketch_rank_error_bounded(spark, sf_dir):
         grp = li.filter(F.col("l_returnflag") == flag)
         n = grp.count()
         err = n / 10000 + 1
-        for q, val in zip([0.5, 0.9, 0.99], r["approx_pcts"]):
+        for q, val in zip([0.5, 0.9, 0.99], [r["p50"], r["p90"], r["p99"]]):
             rank_lo = grp.filter(F.col("l_extendedprice") < val).count()
             rank_hi = grp.filter(F.col("l_extendedprice") <= val).count()
             target = q * n
