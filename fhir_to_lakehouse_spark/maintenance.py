@@ -87,6 +87,112 @@ def discover_tables(
     return sorted(out)
 
 
+def deltars_available() -> bool:
+    """True when the Rust ``deltalake`` package (delta-rs) is
+    importable — the reference's no-JVM maintenance dependency
+    (/root/reference/src/lakehousekeeper.py:156-165). Not shipped in
+    every environment; the Spark/KeyedTable path is the fallback."""
+    try:
+        import deltalake  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _deltars_tables(warehouse_dir: str) -> list[tuple[str, bool]]:
+    """Table discovery for the no-JVM path: (path, is_delta) per table
+    directory. Runs WITHOUT a SparkSession, so only plain local paths
+    are walked here; delta-rs itself accepts object-store URIs, but
+    listing a scheme'd warehouse without the session JVM needs the
+    store's own SDK — out of scope for this branch (point it at one
+    table, or use the Spark path). ``is_delta`` is the ``_delta_log``
+    probe: parquet-fallback tables have no Delta log and delta-rs
+    cannot maintain them — they are reported, never silently skipped
+    or corrupted."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", warehouse_dir):
+        raise ValueError(
+            "the delta-rs maintenance path lists local warehouses only; "
+            "for object-store URIs use the Spark path (or pass a single "
+            "table path directly)"
+        )
+    return [
+        (p, os.path.isdir(os.path.join(p, "_delta_log")))
+        for p in discover_tables(warehouse_dir)
+    ]
+
+
+def vacuum_all_deltars(
+    warehouse_dir: str,
+    retention_hours: float | None = None,
+    dry_run: bool = True,
+    enforce_retention_duration: bool = True,
+) -> list[str]:
+    """VACUUM every Delta table via delta-rs — NO SparkSession, no JVM
+    startup: the reference's out-of-band maintenance shape
+    (/root/reference/src/lakehousekeeper.py:156-165 vacuums with the
+    Rust ``deltalake`` lib precisely so a cron job doesn't pay Spark
+    boot for a metadata-sized operation). Same safety defaults as
+    ``vacuum_all``: dry-run unless opted out, 1-week retention floor
+    enforced unless opted out (delta-rs re-checks the floor against
+    the table's own ``deletedFileRetentionDuration`` too)."""
+    import deltalake
+
+    if retention_hours is None:
+        retention_hours = KeyedTable.RETENTION_FLOOR_HOURS
+    if (
+        enforce_retention_duration
+        and retention_hours < KeyedTable.RETENTION_FLOOR_HOURS
+    ):
+        raise ValueError(
+            f"retention {retention_hours} h is below the "
+            f"{KeyedTable.RETENTION_FLOOR_HOURS} h retention floor; pass "
+            "enforce_retention_duration=False to override"
+        )
+    out = []
+    for path, is_delta in _deltars_tables(warehouse_dir):
+        if not is_delta:
+            out.append(f"{path}: SKIPPED (no _delta_log; parquet fallback "
+                       "tables need the Spark path)")
+            continue
+        dt = deltalake.DeltaTable(path)
+        removed = dt.vacuum(
+            retention_hours=int(retention_hours),
+            dry_run=dry_run,
+            enforce_retention_duration=enforce_retention_duration,
+        )
+        verb = "would delete" if dry_run else "deleted"
+        out.append(f"{path}: {verb} {len(removed)} files")
+    return out
+
+
+def optimize_all_deltars(
+    warehouse_dir: str,
+    target_size: int | None = None,
+    zorder_by: list[str] | None = None,
+) -> list[str]:
+    """Compaction via delta-rs (reference lakehousekeeper.py:232-235
+    runs ``optimize.compact()`` the same way) — bin-packs small files
+    up to ``target_size`` (delta-rs default 256 MiB) without a JVM.
+    ``zorder_by`` switches to ``optimize.z_order`` on those columns."""
+    import deltalake
+
+    out = []
+    for path, is_delta in _deltars_tables(warehouse_dir):
+        if not is_delta:
+            out.append(f"{path}: SKIPPED (no _delta_log; parquet fallback "
+                       "tables need the Spark path)")
+            continue
+        dt = deltalake.DeltaTable(path)
+        if zorder_by:
+            metrics = dt.optimize.z_order(
+                zorder_by, target_size=target_size
+            )
+        else:
+            metrics = dt.optimize.compact(target_size=target_size)
+        out.append(f"{path}: {metrics}")
+    return out
+
+
 def vacuum_all(
     spark: SparkSession,
     warehouse_dir: str,
@@ -608,6 +714,17 @@ def main(argv: list[str] | None = None) -> int:
                 default=None,
                 help="comma-separated numeric columns to Z-order by",
             )
+        if cmd in ("vacuum", "optimize"):
+            # reference parity (lakehousekeeper.py:156-165,232-235):
+            # maintenance through the Rust deltalake lib, NO Spark
+            # session / JVM startup — the out-of-band cron shape
+            p.add_argument(
+                "--use-delta-rs",
+                action="store_true",
+                help="maintain via the deltalake (delta-rs) package "
+                "without starting a SparkSession (requires the "
+                "package and real Delta tables)",
+            )
         if cmd == "vacuum":
             # reference CLI defaults (lakehousekeeper.py:106-133):
             # retention None -> 1-week default, DRY-RUN by default
@@ -630,6 +747,34 @@ def main(argv: list[str] | None = None) -> int:
             # (lakehousekeeper.py:243-257: spark.hive.metastore.uris)
             p.add_argument("--hive-metastore", default=None)
     args = ap.parse_args(argv)
+
+    # the no-JVM branch never builds a SparkSession — that IS the
+    # feature (reference parity: metadata-sized maintenance shouldn't
+    # pay Spark boot)
+    if getattr(args, "use_delta_rs", False):
+        if not deltars_available():
+            ap.error(
+                "--use-delta-rs needs the 'deltalake' package "
+                "(pip install deltalake); falling back is deliberate "
+                "NOT done — drop the flag to use the Spark path"
+            )
+        if args.cmd == "vacuum":
+            out = vacuum_all_deltars(
+                args.warehouse,
+                args.retention_hours,
+                args.dry_run,
+                args.enforce_retention_duration,
+            )
+        else:
+            zcols = (
+                [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+                if args.zorder_by
+                else None
+            )
+            out = optimize_all_deltars(args.warehouse, zorder_by=zcols)
+        for line in out:
+            print(line)
+        return 0
 
     extra = None
     if getattr(args, "hive_metastore", None):

@@ -132,12 +132,20 @@ def fhir_condition_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
              'C' || lpad(CAST(o_orderkey % 20 AS VARCHAR), 2, '0') AS code,
              o_custkey AS patient_id
       FROM orders
+    ),
+    capped AS (
+      SELECT code, patient_id FROM (
+        SELECT code, patient_id,
+               ROW_NUMBER() OVER (PARTITION BY patient_id ORDER BY code)
+                 AS rn
+        FROM cond
+      ) WHERE rn <= 64
     )
     SELECT a.code                        AS code_a,
            b.code                        AS code_b,
            CAST(COUNT(*) AS BIGINT)      AS n_patients
-    FROM cond a
-    JOIN cond b
+    FROM capped a
+    JOIN capped b
       ON a.patient_id = b.patient_id AND a.code < b.code
     GROUP BY a.code, b.code
     """,
@@ -150,20 +158,34 @@ def fhir_comorbidity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't inflate pairs), then a self-join restricted to code_a <
     code_b within the same patient.
 
-    Plan shape: distinct (patient, code) -> self-join on patient_id ->
-    grouped count into at most C(20,2)=190 rows. Spark reuses the
-    shuffle of the distinct for both join sides (same exchange).
+    Plan shape: distinct (patient, code) -> per-patient code-count
+    guard -> self-join on patient_id -> grouped count into at most
+    C(20,2)=190 rows. Spark reuses the shuffle of the distinct for
+    both join sides (same exchange).
 
     100 TB shape: the join key is patient id, so the expansion is
-    quadratic ONLY in per-patient distinct codes (tens, by clinical
-    reality — a code-count guard belongs in the distinct if a corpus
-    violates that), never in table size. The final aggregate is
-    |code-pairs| rows: map-side combinable to a few hundred."""
+    quadratic ONLY in per-patient distinct codes — tens, by clinical
+    reality, but a data-shape assumption is not a guard, so the
+    pipeline caps each patient at the first 64 codes (row_number over
+    a deterministic code order, planned as WindowGroupLimit on the
+    SAME patient-keyed exchange the join needs — no extra shuffle).
+    A pathological record with 10^5 codes now contributes C(64,2)
+    pairs, not 10^10. The oracle restates the identical cap. The
+    final aggregate is |code-pairs| rows: map-side combinable to a
+    few hundred."""
+    from pyspark.sql import Window
+
     cond = _conditions(spark, sf_dir)
     pc = cond.select(
         F.col("subject.reference").alias("patient_id"),
         F.element_at("code.coding", 1).getField("code").alias("code"),
     ).distinct()
+    guard = Window.partitionBy("patient_id").orderBy("code")
+    pc = (
+        pc.withColumn("rn", F.row_number().over(guard))
+        .filter(F.col("rn") <= 64)
+        .drop("rn")
+    )
     a = pc.alias("a")
     b = pc.alias("b")
     return (

@@ -694,3 +694,147 @@ def test_validate_tables_cli_function(spark, tmp_path):
     out = M.validate_tables(spark, str(wh), [str(sp), str(other)])
     assert "Patient.gender_required: 1 violations / 2 checked" in out
     assert any(line.startswith("Observation: SKIPPED") for line in out)
+
+
+# ---------------------------------------------------------------- delta-rs
+
+
+class _FakeDeltaRs:
+    """Stand-in for the Rust `deltalake` package (not shipped in this
+    container): records vacuum/optimize calls so the no-JVM dispatch,
+    argument plumbing, and _delta_log gating are tested for real. The
+    live library is exercised wherever it IS installed — the branch
+    imports it lazily and changes nothing else."""
+
+    def __init__(self):
+        self.calls = []
+        fake = self
+
+        class _Optimize:
+            def __init__(self, path):
+                self.path = path
+
+            def compact(self, target_size=None):
+                fake.calls.append(("compact", self.path, target_size))
+                return {"numFilesAdded": 1}
+
+            def z_order(self, cols, target_size=None):
+                fake.calls.append(("z_order", self.path, tuple(cols)))
+                return {"numFilesAdded": 1}
+
+        class DeltaTable:
+            def __init__(self, path):
+                self.path = path
+                self.optimize = _Optimize(path)
+
+            def vacuum(
+                self,
+                retention_hours=None,
+                dry_run=True,
+                enforce_retention_duration=True,
+            ):
+                fake.calls.append(
+                    ("vacuum", self.path, retention_hours, dry_run,
+                     enforce_retention_duration)
+                )
+                return ["part-000.parquet"]
+
+        self.DeltaTable = DeltaTable
+
+
+def _fake_warehouse(tmp_path):
+    """Two table dirs: one with a _delta_log (delta-rs eligible), one
+    parquet-fallback (must be SKIPPED, never touched)."""
+    d1 = tmp_path / "Patient.parquet"
+    (d1 / "_delta_log").mkdir(parents=True)
+    d2 = tmp_path / "Observation.parquet"
+    d2.mkdir()
+    return str(tmp_path), str(d1), str(d2)
+
+
+def test_deltars_vacuum_dispatch_and_delta_log_gate(tmp_path, monkeypatch):
+    import sys
+
+    fake = _FakeDeltaRs()
+    monkeypatch.setitem(sys.modules, "deltalake", fake)
+    wh, d1, d2 = _fake_warehouse(tmp_path)
+    out = M.vacuum_all_deltars(wh, retention_hours=200.0, dry_run=True)
+    # Delta table vacuumed with the exact safety args; fallback skipped
+    assert fake.calls == [("vacuum", d1, 200, True, True)]
+    assert any("would delete 1 files" in line for line in out)
+    assert any("SKIPPED" in line and "Observation" in line for line in out)
+
+
+def test_deltars_vacuum_enforces_retention_floor(tmp_path, monkeypatch):
+    import sys
+
+    import pytest as _pytest
+
+    fake = _FakeDeltaRs()
+    monkeypatch.setitem(sys.modules, "deltalake", fake)
+    wh, _, _ = _fake_warehouse(tmp_path)
+    with _pytest.raises(ValueError, match="retention floor"):
+        M.vacuum_all_deltars(wh, retention_hours=1.0)
+    assert fake.calls == []  # rejected before touching any table
+    out = M.vacuum_all_deltars(
+        wh, retention_hours=1.0, enforce_retention_duration=False,
+        dry_run=False,
+    )
+    assert fake.calls[0][3] is False  # dry_run forwarded
+    assert any("deleted 1 files" in line for line in out)
+
+
+def test_deltars_optimize_compact_and_zorder(tmp_path, monkeypatch):
+    import sys
+
+    fake = _FakeDeltaRs()
+    monkeypatch.setitem(sys.modules, "deltalake", fake)
+    wh, d1, _ = _fake_warehouse(tmp_path)
+    M.optimize_all_deltars(wh)
+    M.optimize_all_deltars(wh, zorder_by=["id", "ts"])
+    assert ("compact", d1, None) in fake.calls
+    assert ("z_order", d1, ("id", "ts")) in fake.calls
+
+
+def test_deltars_rejects_schemed_uris(tmp_path, monkeypatch):
+    import sys
+
+    import pytest as _pytest
+
+    monkeypatch.setitem(sys.modules, "deltalake", _FakeDeltaRs())
+    with _pytest.raises(ValueError, match="local warehouses only"):
+        M.vacuum_all_deltars("s3a://bucket/warehouse")
+
+
+def test_cli_use_delta_rs_never_starts_spark(tmp_path, monkeypatch):
+    """The whole point of the branch: `vacuum --use-delta-rs` must not
+    build a SparkSession (reference lakehousekeeper.py:156-165 runs
+    JVM-free). get_spark is booby-trapped to prove it."""
+    import sys
+
+    fake = _FakeDeltaRs()
+    monkeypatch.setitem(sys.modules, "deltalake", fake)
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("--use-delta-rs must not start Spark")
+
+    monkeypatch.setattr(M, "get_spark", boom)
+    wh, d1, _ = _fake_warehouse(tmp_path)
+    assert M.main(["vacuum", "--warehouse", wh, "--use-delta-rs"]) == 0
+    assert fake.calls == [("vacuum", d1, 168, True, True)]
+    fake.calls.clear()
+    assert M.main(["optimize", "--warehouse", wh, "--use-delta-rs"]) == 0
+    assert fake.calls == [("compact", d1, None)]
+
+
+def test_cli_use_delta_rs_errors_without_package(tmp_path, monkeypatch):
+    import pytest as _pytest
+
+    monkeypatch.setattr(M, "deltars_available", lambda: False)
+    monkeypatch.setattr(
+        M, "get_spark",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("no spark")),
+    )
+    with _pytest.raises(SystemExit) as ei:
+        M.main(["vacuum", "--warehouse", str(tmp_path), "--use-delta-rs"])
+    assert ei.value.code == 2  # argparse error, actionable message
