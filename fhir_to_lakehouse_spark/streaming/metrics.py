@@ -25,6 +25,7 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 ROWS_PER_SECOND = "spark_streaming_query_processed_rows_per_second"
 SOURCE_OFFSET = "spark_streaming_query_source_offset"
+OBSERVED_METRIC = "spark_streaming_query_observed_metric"
 
 # labels: a tuple of (key, value) pairs, sorted — hashable + stable
 Labels = tuple[tuple[str, str], ...]
@@ -67,6 +68,7 @@ class ThroughputListener(StreamingQueryListener):
         self.input_rows: dict[str, int] = defaultdict(int)
         self.batches: dict[str, int] = defaultdict(int)
         self.offsets: dict[str, dict] = {}
+        self.observed: dict[str, dict] = {}
         self.gauges = GaugeSnapshot()
         self._export = export or (lambda name, metric, value: None)
 
@@ -85,6 +87,27 @@ class ThroughputListener(StreamingQueryListener):
             ROWS_PER_SECOND, self.rows_per_second[name], query_name=name
         )
         self._export(name, "processedRowsPerSecond", self.rows_per_second[name])
+        # observedMetrics: the Observation-API counters attached with
+        # df.observe(...) — computed inside the batch's own job
+        # (exactly once per batch, zero extra scans). Each numeric
+        # field becomes a gauge labeled by observation + metric name.
+        observed = getattr(p, "observedMetrics", None) or {}
+        for obs_name, row in observed.items():
+            try:
+                fields = row.asDict()
+            except AttributeError:
+                continue
+            self.observed.setdefault(name, {})[obs_name] = fields
+            for field, value in fields.items():
+                if isinstance(value, (int, float)):
+                    self.gauges.set(
+                        OBSERVED_METRIC,
+                        float(value),
+                        query_name=name,
+                        observation=obs_name,
+                        field=field,
+                    )
+                    self._export(name, f"{obs_name}.{field}", float(value))
         # source offsets: Kafka's are {"topic": {"partition": offset}};
         # other sources expose scalars or custom dicts. Kafka-shaped
         # offsets become per-topic/partition gauges exactly like the

@@ -457,9 +457,24 @@ class BundlePipeline:
         ``available_now=True`` switches to the bounded-backfill trigger:
         process everything currently in the source (rate limits still
         apply per batch), then stop — the pattern for catch-up runs and
-        scheduled incremental jobs."""
+        scheduled incremental jobs.
+
+        The source carries a named ``observe`` set (Spark Observation
+        API): per-batch input rows and null/empty-payload counts ride
+        the SAME job foreachBatch runs — no extra pass, exactly-once
+        per batch — and surface through
+        ``StreamingQueryProgress.observedMetrics["bundle_ingest"]``,
+        which ThroughputListener exports as gauges next to the
+        reference's row-rate metrics."""
+        observed = source_df.observe(
+            "bundle_ingest",
+            F.count(F.lit(1)).alias("input_rows"),
+            F.count_if(
+                F.col("value").isNull() | (F.length("value") == 0)
+            ).alias("empty_payloads"),
+        )
         writer = (
-            source_df.writeStream.outputMode("append")
+            observed.writeStream.outputMode("append")
             .option(
                 "checkpointLocation",
                 os.path.join(self.cfg.checkpoint_dir, query_name),

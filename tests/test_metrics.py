@@ -251,3 +251,72 @@ def test_measure_elapsed_records_on_failure():
             raise RuntimeError("boom")
     s = h.get("m", operation="merge")
     assert s["count"] == 1 and s["sum"] >= 0
+
+
+def test_observed_metrics_become_gauges(spark, tmp_path):
+    """Observation-API counters attached with df.observe ride the
+    batch's own job and surface through observedMetrics -> gauges
+    (zero extra scans; the §2.8g path the pipeline's bundle_ingest
+    observation uses)."""
+    import pyspark.sql.functions as F
+
+    from fhir_to_lakehouse_spark.streaming.metrics import OBSERVED_METRIC
+
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text('{"v": 1}\n{"v": null}\n{"v": 3}\n')
+        stream = (
+            spark.readStream.schema("v long")
+            .json(str(src))
+            .observe(
+                "qa",
+                F.count(F.lit(1)).alias("rows"),
+                F.count_if(F.col("v").isNull()).alias("null_v"),
+            )
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("observe_e2e")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            deadline = time.time() + 15
+            while (
+                time.time() < deadline
+                and listener.gauges.get(
+                    OBSERVED_METRIC,
+                    query_name="observe_e2e",
+                    observation="qa",
+                    field="rows",
+                )
+                is None
+            ):
+                time.sleep(0.2)
+        finally:
+            q.stop()
+    finally:
+        spark.streams.removeListener(listener)
+    assert (
+        listener.gauges.get(
+            OBSERVED_METRIC,
+            query_name="observe_e2e",
+            observation="qa",
+            field="rows",
+        )
+        == 3.0
+    )
+    assert (
+        listener.gauges.get(
+            OBSERVED_METRIC,
+            query_name="observe_e2e",
+            observation="qa",
+            field="null_v",
+        )
+        == 1.0
+    )
+    assert listener.observed["observe_e2e"]["qa"]["rows"] == 3
