@@ -39,6 +39,7 @@ from fhir_to_lakehouse_spark.plans import viewdef  # noqa: F401
 from fhir_to_lakehouse_spark.plans import compartment_q  # noqa: F401
 from fhir_to_lakehouse_spark.plans import fhir_analytics  # noqa: F401
 from fhir_to_lakehouse_spark.plans import sql_features  # noqa: F401
+from fhir_to_lakehouse_spark.plans import xml_q  # noqa: F401
 
 def _interleave_families() -> None:
     """Reorder the registry round-robin across operator families.
