@@ -435,3 +435,73 @@ def test_coalesce_intervals_matches_sweep_line(spark, raw):
     )
     got = sorted((r["is"], r["ie"]) for r in out)
     assert got == model_islands(intervals)
+
+
+# ---------------------------------------------------------- pagerank paths
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=20,
+).map(
+    # collapse parallel edges (pagerank expects an aggregated edge
+    # list); self-loops are legal and kept
+    lambda es: sorted({(a, b): w for a, b, w in es}.items())
+)
+
+
+def _model_pagerank(edge_items, iterations=2, damping=0.85):
+    """Reference implementation in plain Python: the exact update
+    formula pagerank documents, dangling mass redistributed uniformly."""
+    edges = [(a, b, w) for (a, b), w in edge_items]
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n = len(nodes)
+    out = {}
+    for a, _, w in edges:
+        out[a] = out.get(a, 0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        c = {}
+        for a, b, w in edges:
+            c[b] = c.get(b, 0.0) + rank[a] * (w / out[a])
+        dm = 1.0 - sum(c.values())
+        rank = {
+            v: (1 - damping) / n + damping * (c.get(v, 0.0) + dm / n)
+            for v in nodes
+        }
+    return rank
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edge_items=edges_strategy)
+def test_pagerank_three_paths_agree_with_model(spark, edge_items):
+    """The r9 collect-once local path, the broadcast driver-iterate
+    path, and the shuffle path must all match the Python model (and
+    each other) on arbitrary small graphs — self-loops, dangling
+    nodes, disconnected components included."""
+    from fhir_to_lakehouse_spark.functions.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in edge_items], "src long, dst long, w long"
+    )
+    want = _model_pagerank(edge_items)
+    for kw in (
+        {"broadcast_threshold": 10**6},  # collect-once local path
+        {"broadcast_threshold": True},   # driver-iterate broadcast path
+        {"broadcast_threshold": False},  # distributed shuffle path
+    ):
+        got = {
+            r.node: r.r
+            for r in pagerank(df, iterations=2, **kw).collect()
+        }
+        assert got.keys() == want.keys(), kw
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-9, (kw, v, got[v], want[v])
