@@ -78,6 +78,99 @@ class Scd2ChangeProcessor(StatefulProcessor):
         pass
 
 
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    """Inactivity-closed sessions via EVENT-TIME TIMERS — the part of
+    the transformWithState API the built-in session_window cannot
+    express when the close action is more than an aggregate: per key,
+    accumulate (start, last-seen, count); (re-)arm one timer at
+    last-seen + gap; when the WATERMARK passes it, emit the closed
+    session and clear state. Exactly-once by construction: the timer
+    registry and the value state live in the same versioned store as
+    the offsets.
+
+    State per key is three scalars + one timer — bounded regardless of
+    session length, the property that lets 100 TB clickstreams keep
+    billions of concurrent sessions in RocksDB."""
+
+    def __init__(self, gap_seconds: int):
+        self._gap_ms = gap_seconds * 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("sess", _SESSION_STATE)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows), ignore_index=True)
+        lo, hi, n = batch["ts"].min(), batch["ts"].max(), len(batch)
+        if self._sess.exists():
+            start, last, seen = self._sess.get()
+            start, last, n = min(start, lo), max(last, hi), seen + n
+        else:
+            start, last = lo, hi
+        self._sess.update((start, last, n))
+        # one live timer per key: re-arm at the new inactivity deadline
+        deadline = int(pd.Timestamp(last).value // 1_000_000) + self._gap_ms
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(deadline)
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: Any, expiredTimerInfo: Any
+    ) -> Iterator[pd.DataFrame]:
+        if not self._sess.exists():  # pragma: no cover - defensive
+            return
+        start, last, n = self._sess.get()
+        self._sess.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [start],
+                "session_end": [last],
+                "n_events": [n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_timeouts(stream: DataFrame, gap_seconds: int = 60) -> DataFrame:
+    """Sessions closed by event-time inactivity over an events stream
+    (``user_id``, ``ts`` columns; the stream must carry a watermark on
+    ``ts`` — timers fire when the watermark passes last-seen + gap)."""
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        SessionTimeoutProcessor(gap_seconds),
+        outputStructType=SESSION_OUTPUT,
+        outputMode="append",
+        timeMode="EventTime",
+    )
+
+
 def scd2_changelog(stream: DataFrame) -> DataFrame:
     """Streaming SCD2 changelog over an events stream (``user_id``,
     ``event_type``, ``ts``, ``event_id`` columns). Requires the RocksDB

@@ -42,6 +42,9 @@ class _FakeValueState:
     def update(self, v):
         self._v = v
 
+    def clear(self):
+        self._v = None
+
 
 def test_processor_logic_without_spark_state_server():
     """Drive handleInputRows directly with a fake ValueState: the
@@ -125,3 +128,114 @@ def test_scd2_changelog_stream_matches_batch_rebuild(spark, sf_dir, tmp_path):
         assert row["prev_type"] == prev_row["event_type"]
         assert row["prev_from"] == prev_row["valid_from"]
         assert row["event_type"] != row["prev_type"]
+
+
+class _FakeTimerHandle:
+    """listTimers/deleteTimer/registerTimer recorder for the
+    protobuf-free logic tests."""
+
+    def __init__(self):
+        self.timers: list[int] = []
+
+    def listTimers(self):  # noqa: N802 - Spark API casing
+        return list(self.timers)
+
+    def deleteTimer(self, t):  # noqa: N802
+        self.timers.remove(t)
+
+    def registerTimer(self, t):  # noqa: N802
+        self.timers.append(t)
+
+
+def test_session_timeout_processor_logic_without_state_server():
+    """Drive the timer processor directly with fakes: accumulation
+    across batches, single re-armed timer at last-seen + gap, and the
+    expiry emit + state clear."""
+    from fhir_to_lakehouse_spark.streaming.stateful import (
+        SessionTimeoutProcessor,
+    )
+
+    p = SessionTimeoutProcessor(gap_seconds=60)
+    p._handle = _FakeTimerHandle()
+    p._sess = _FakeValueState()
+    t = pd.Timestamp
+    b1 = pd.DataFrame({"ts": [t("2024-01-01 12:00:00"), t("2024-01-01 12:00:10")]})
+    assert list(p.handleInputRows((1,), iter([b1]), None)) == []
+    assert p._sess.get() == (t("2024-01-01 12:00:00"), t("2024-01-01 12:00:10"), 2)
+    deadline1 = p._handle.timers[0]
+    # second batch re-arms the ONE timer at the new deadline
+    b2 = pd.DataFrame({"ts": [t("2024-01-01 12:00:30")]})
+    list(p.handleInputRows((1,), iter([b2]), None))
+    assert len(p._handle.timers) == 1
+    assert p._handle.timers[0] == deadline1 + 20_000
+    assert p._sess.get()[2] == 3
+    # expiry emits the closed session and clears state
+    out = pd.concat(list(p.handleExpiredTimer((1,), None, None)))
+    assert out.iloc[0]["n_events"] == 3
+    assert out.iloc[0]["session_start"] == t("2024-01-01 12:00:00")
+    assert out.iloc[0]["session_end"] == t("2024-01-01 12:00:30")
+    assert not p._sess.exists()
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState needs protobuf (absent in this container)",
+)
+def test_session_timeouts_fire_on_watermark(spark, tmp_path):
+    """Event-time timers end-to-end: sessions close ONLY when the
+    watermark passes last-seen + gap. Three single-file batches: users
+    1/2 get events around t0; a far-future batch advances the
+    watermark past their 60 s inactivity deadlines; a final batch runs
+    with that watermark so the timers fire. User 3 (the far-future
+    events) stays open — no premature emit."""
+    import datetime as dt
+
+    from fhir_to_lakehouse_spark.streaming.stateful import session_timeouts
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    far = t0 + dt.timedelta(minutes=10)
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "user_id long, ts timestamp"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # batch 1: two users near t0
+    write_file("f1", [(1, t0), (1, t0 + dt.timedelta(seconds=10)), (2, t0)])
+    # batch 2: far-future events advance max event time
+    write_file("f2", [(3, far)])
+    # batch 3: one more event so a batch EXECUTES with the advanced
+    # watermark (watermark lags one batch behind max event time)
+    write_file("f3", [(3, far + dt.timedelta(seconds=1))])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "5 seconds")
+    )
+    q = (
+        session_timeouts(stream, gap_seconds=60)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_timeouts_e2e")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r.user_id: r
+        for r in spark.sql("SELECT * FROM session_timeouts_e2e").collect()
+    }
+    assert set(rows) == {1, 2}, rows  # user 3's session is still open
+    assert rows[1].n_events == 2
+    assert rows[1].session_start == t0
+    assert rows[1].session_end == t0 + dt.timedelta(seconds=10)
+    assert rows[2].n_events == 1
+    assert rows[2].session_start == rows[2].session_end == t0
