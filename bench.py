@@ -115,6 +115,12 @@ HEADLINE = [
     # exchange serving islands, spans, and deciles)
     "fhir_comorbidity_pairs",
     "fhir_medication_mpr",
+    # round 9: the Spark-4 SQL surface (iterative-union recursion;
+    # LATERAL decorrelated to broadcast join + WindowGroupLimit) and
+    # the XML wire-format decode twin (pure-codegen from_xml chain)
+    "recursive_cte_referral_depth",
+    "lateral_top_customers_per_nation",
+    "pipeline_xml_observation_decode",
 ]
 
 
