@@ -17,6 +17,7 @@ DuckDB twin (DuckDB speaks both dialect variants natively).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fhir_to_lakehouse_spark.plans.registry import query
 from fhir_to_lakehouse_spark.sources.tables import load_table
@@ -112,4 +113,78 @@ def lateral_top_customers_per_nation(
           LIMIT 2
         ) t
         """
+    )
+
+
+@query(
+    "scalar_try_family",
+    oracle="""
+    SELECT event_id,
+           value / NULLIF(CAST(event_id % 3 AS DOUBLE), 0.0) AS safe_ratio,
+           TRY_CAST(event_type AS INT)                       AS et_int,
+           TRY_CAST(CAST(event_id AS VARCHAR) AS INT)        AS id_int,
+           TRY_CAST(event_type AS DATE) IS NULL              AS bad_date
+    FROM events
+    """,
+)
+def scalar_try_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-handling scalars: try_divide (division by zero
+    -> NULL instead of an ANSI runtime error or a silent Inf) and
+    try_cast (unparseable input -> NULL). These are how a 100 TB job
+    survives the one malformed row in a trillion without either
+    aborting (ANSI mode) or poisoning aggregates with Inf/garbage
+    (legacy mode) — per-row try semantics, whole-stage codegen, no
+    Python. The oracle restates try_divide as NULLIF (DuckDB's double
+    division would yield Inf, exactly the silent-poison behavior the
+    try_ family exists to avoid)."""
+    from pyspark.sql.functions import try_divide
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        try_divide(
+            F.col("value"), (F.col("event_id") % 3).cast("double")
+        ).alias("safe_ratio"),
+        F.col("event_type").try_cast("int").alias("et_int"),
+        F.col("event_id").cast("string").try_cast("int").alias("id_int"),
+        F.col("event_type").try_cast("date").isNull().alias("bad_date"),
+    )
+
+
+@query(
+    "string_collation_join",
+    oracle="""
+    -- collated DISTINCT collapses the two casings to ONE dim row per
+    -- segment, so the join fans out exactly once per customer: the
+    -- equivalent relational statement is a per-segment count
+    SELECT lower(c_mktsegment)           AS segment,
+           CAST(COUNT(*) AS BIGINT)      AS n_customers
+    FROM customer
+    GROUP BY lower(c_mktsegment)
+    """,
+)
+def string_collation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: a mixed-case dimension (every other
+    customer's segment upper/lower-cased) joins the fact side on
+    UTF8_LCASE-collated equality — the collation IS the join
+    predicate, no lower() wrapping on either side, so the comparison
+    semantics live in the type where the optimizer can see them
+    (hash join on the collation-aware key) rather than in an
+    expression that blocks statistics. Output keys are lowercased
+    explicitly because a collated group key may surface any of the
+    equal casings. Collation semantics show up twice: the mixed-case
+    DISTINCT collapses to one dim row per segment (not one per
+    casing), and the join matches each customer exactly once — so the
+    oracle's equivalent statement is the plain per-segment count."""
+    cust = load_table(spark, sf_dir, "customer")
+    lcase = "string collate UTF8_LCASE"
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    dim = cust.select(mixed.cast(lcase).alias("seg_mixed")).distinct()
+    fact = cust.select(F.col("c_mktsegment").cast(lcase).alias("seg"))
+    return (
+        dim.join(fact, dim["seg_mixed"] == fact["seg"])
+        .groupBy(F.lower(F.col("seg_mixed").cast("string")).alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
     )
