@@ -477,3 +477,129 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("node").alias("canonical_id"),
     )
+
+
+_SPAN_W = 5  # duplicated-span window length in tokens
+
+
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, CAST(i AS INT) AS start,
+                 array_to_string(toks[i:i+{_SPAN_W - 1}], ' ') AS gram
+          FROM t, unnest(range(1, greatest(len(toks) - {_SPAN_W - 1}, 0) + 1))
+               AS r(i)),
+    dup AS (SELECT gram FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT doc_id, start + CAST(o AS INT) AS pos
+            FROM (SELECT g.doc_id, g.start FROM g JOIN dup USING (gram)),
+                 unnest(range(0, {_SPAN_W})) AS oo(o)),
+    tok AS (SELECT doc_id, unnest(toks) AS tok,
+                   CAST(generate_subscripts(toks, 1) AS INT) AS pos
+            FROM t),
+    agg AS (SELECT tok.doc_id,
+                   CAST(COUNT(cov.pos) AS INT) AS n_removed,
+                   COALESCE(string_agg(tok.tok, ' ' ORDER BY tok.pos)
+                            FILTER (cov.pos IS NULL), '') AS cleaned_text
+            FROM tok LEFT JOIN cov
+              ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+            GROUP BY tok.doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INT)                      AS n_tokens,
+           CAST(COALESCE(agg.n_removed, 0) AS INT)       AS n_removed,
+           ROUND(COALESCE(agg.n_removed, 0)
+                 / CAST(greatest(len(t.toks), 1) AS DOUBLE), 6)
+                                                         AS removed_frac,
+           COALESCE(agg.cleaned_text, '')                AS cleaned_text
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the fixed-window
+    approximation of exact-substring (suffix-array) training-data
+    dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): any run of _SPAN_W consecutive tokens
+    that appears verbatim in >= 2 distinct documents is cut from every
+    document, and the rewritten text is emitted alongside removal
+    stats. This is the REMOVAL twin of text_ngram_novelty (which only
+    scores the shared fraction), and the SLIDING-window counterpart of
+    dedup_repeated_chunks: that one cuts only chunk-ALIGNED duplicates
+    (a copied run straddling a 5-token chunk boundary survives it),
+    while this one tests every alignment, so any duplicated run of
+    >= _SPAN_W tokens is caught regardless of phase — the same
+    precision step C4's chunk dedup -> suffix-array span dedup takes,
+    at the cost of W x more gram rows in the frequency pass.
+    Within-document repetition is deliberately out of scope here
+    (text_repetition_quality covers it) — the groupBy counts DISTINCT
+    doc_ids, so a chorus repeated inside one song survives.
+
+    100 TB shape: one tokenizing scan -> positional 5-gram explode ->
+    (gram -> distinct-doc count) hash aggregate, map-side combinable,
+    shuffle key the gram text (uniform by construction — a hot gram is
+    by definition duplicated and exits the aggregate as one row). The
+    duplicated-gram set joins back against the SAME gram-keyed
+    exchange (Catalyst reuses it), and everything after the join is
+    keyed by doc_id: covered positions fold into a per-doc bitmap-ish
+    array and the rewrite is a pure array filter inside codegen — the
+    document body itself is never shuffled twice. At petabyte scale
+    you would join on xxhash64(gram) and keep the gram only for
+    verify; the string key here keeps the oracle reproducible."""
+    w = _SPAN_W
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    grams_arr = F.when(
+        F.size("toks") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, w)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    g = t.select(
+        "doc_id", F.posexplode(grams_arr).alias("p0", "gram")
+    ).select("doc_id", (F.col("p0") + 1).cast("int").alias("start"), "gram")
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    cov = (
+        g.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("starts"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "starts", lambda s: F.sequence(s, s + (w - 1))
+                    )
+                )
+            ).alias("covered"),
+        )
+    )
+    joined = t.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("covered", F.expr("CAST(array() AS array<int>)")).alias(
+            "covered"
+        ),
+    )
+    kept = F.filter(
+        "toks",
+        lambda tok, i: ~F.array_contains(
+            F.col("covered"), (i + 1).cast("int")
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size("covered").cast("int").alias("n_removed"),
+        F.round(
+            F.size("covered")
+            / F.greatest(F.size("toks"), F.lit(1)).cast("double"),
+            6,
+        ).alias("removed_frac"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

@@ -266,3 +266,177 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_p"),
         F.round(p - benford, 6).alias("deviation"),
     )
+
+
+@query(
+    "quality_psi_drift",
+    oracle="""
+    WITH p AS (SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS INT), 9)
+                        AS bin,
+                      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                        AS is_ref
+               FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    c AS (SELECT bin,
+                 CAST(SUM(is_ref) AS BIGINT)     AS ref_n,
+                 CAST(SUM(1 - is_ref) AS BIGINT) AS cur_n
+          FROM p GROUP BY bin),
+    tot AS (SELECT SUM(ref_n) AS nr, SUM(cur_n) AS nc FROM c)
+    SELECT c.bin,
+           c.ref_n,
+           c.cur_n,
+           ROUND(c.ref_n / CAST(tot.nr AS DOUBLE), 6) AS ref_frac,
+           ROUND(c.cur_n / CAST(tot.nc AS DOUBLE), 6) AS cur_frac,
+           ROUND((c.cur_n / CAST(tot.nc AS DOUBLE)
+                  - c.ref_n / CAST(tot.nr AS DOUBLE))
+                 * LN((c.cur_n / CAST(tot.nc AS DOUBLE))
+                      / (c.ref_n / CAST(tot.nr AS DOUBLE))), 6)
+               AS psi_term
+    FROM c, tot
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order-population slices
+    (finished vs open orders) over fixed 50k-wide price bins — the
+    standard model-monitoring drift gate: PSI = sum over bins of
+    (cur% - ref%) * ln(cur% / cur ref%); < 0.1 stable, > 0.25 action.
+    Emitted per bin (the sum is one more fold away) so the drifting
+    bins themselves are visible, which is what an operator actually
+    needs from the alert.
+
+    Bin edges are FIXED (not quantiles) deliberately: at 100 TB the
+    whole computation is then a single hash aggregate on a bounded key
+    (10 bins x 2 slices collapses map-side to 20 partial rows per
+    task) followed by arithmetic on a 10-row frame — no sort, no
+    second scan, no sampled quantile sketch whose bin edges drift
+    between runs. Both fractions are exact integer ratios, so the
+    only float op is the final ln, rounded at 6dp on both engines."""
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
+    p = orders.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+        ).alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_ref"),
+    )
+    c = p.groupBy("bin").agg(
+        F.sum("is_ref").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).alias("cur_n"),
+    )
+    tot = c.agg(
+        F.sum("ref_n").alias("nr"), F.sum("cur_n").alias("nc")
+    )
+    ref_frac = F.col("ref_n") / F.col("nr").cast("double")
+    cur_frac = F.col("cur_n") / F.col("nc").cast("double")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round(ref_frac, 6).alias("ref_frac"),
+        F.round(cur_frac, 6).alias("cur_frac"),
+        F.round((cur_frac - ref_frac) * F.log(cur_frac / ref_frac), 6).alias(
+            "psi_term"
+        ),
+    )
+
+
+@query(
+    "quality_ks_two_sample",
+    oracle="""
+    WITH p AS (SELECT o_totalprice AS v,
+                      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                        AS is_ref
+               FROM orders WHERE o_orderstatus IN ('F', 'O')),
+    c AS (SELECT v,
+                 SUM(is_ref)     AS r,
+                 SUM(1 - is_ref) AS q
+          FROM p GROUP BY v),
+    w AS (SELECT SUM(r) OVER (ORDER BY v) AS cr,
+                 SUM(q) OVER (ORDER BY v) AS cq
+          FROM c),
+    tot AS (SELECT SUM(r) AS nr, SUM(q) AS nq FROM c)
+    SELECT ROUND(MAX(ABS(w.cr / CAST(tot.nr AS DOUBLE)
+                         - w.cq / CAST(tot.nq AS DOUBLE))), 6) AS ks_stat,
+           CAST(MAX(tot.nr) AS BIGINT) AS n_ref,
+           CAST(MAX(tot.nq) AS BIGINT) AS n_cur
+    FROM w, tot
+    """,
+)
+def quality_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    finished- and open-order price distributions: D = max over x of
+    |F_ref(x) - F_cur(x)| over the pooled support. The classic
+    distribution-drift test where PSI's fixed bins are too coarse —
+    D is binning-free and sensitive to any CDF separation.
+
+    Distributed shape: (value -> per-slice counts) hash aggregate
+    first — the pooled support, not the row count, is what gets
+    ordered — then the running CDFs come from a DISTRIBUTED prefix sum
+    (the corpus_pack_token_shards pattern): support values are
+    range-bucketed, each bucket computes its local running totals in
+    parallel, the per-bucket totals (one row per bucket) are
+    prefix-summed on a single tiny partition, and the offsets are
+    broadcast back — no one-partition global window anywhere. The
+    max-abs-gap then folds map-side. Counts are exact integers; the
+    two divisions and the abs-max are the only float ops, rounded at
+    6dp on both engines. At 100 TB the ordered state is distinct
+    values only (bounded for fixed-precision features) and stays
+    bucket-parallel end to end; no driver collect anywhere."""
+    orders = fan_out_small_scan(load_table(spark, sf_dir, "orders"))
+    from pyspark.sql import Window
+
+    p = orders.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_ref"),
+    )
+    c = p.groupBy("v").agg(
+        F.sum("is_ref").alias("r"),
+        F.sum(1 - F.col("is_ref")).alias("q"),
+    ).withColumn(
+        # fixed-width range buckets over the known price domain; at
+        # scale these edges would come from an approx-quantile sketch
+        "bucket",
+        F.least(F.floor(F.col("v") / 50000).cast("int"), F.lit(9)),
+    )
+    local_w = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = c.select(
+        "bucket",
+        "v",
+        F.sum("r").over(local_w).alias("lcr"),
+        F.sum("q").over(local_w).alias("lcq"),
+    )
+    bucket_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    offsets = (
+        c.groupBy("bucket")
+        .agg(F.sum("r").alias("br"), F.sum("q").alias("bq"))
+        .select(
+            "bucket",
+            (F.sum("br").over(bucket_w) - F.col("br")).alias("or_"),
+            (F.sum("bq").over(bucket_w) - F.col("bq")).alias("oq_"),
+        )
+    )
+    w = local.join(F.broadcast(offsets), "bucket").select(
+        (F.col("or_") + F.col("lcr")).alias("cr"),
+        (F.col("oq_") + F.col("lcq")).alias("cq"),
+    )
+    tot = c.agg(F.sum("r").alias("nr"), F.sum("q").alias("nq"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cr") / F.col("nr").cast("double")
+                        - F.col("cq") / F.col("nq").cast("double")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.max("nr").cast("bigint").alias("n_ref"),
+            F.max("nq").cast("bigint").alias("n_cur"),
+        )
+    )
