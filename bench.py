@@ -121,6 +121,11 @@ HEADLINE = [
     "recursive_cte_referral_depth",
     "lateral_top_customers_per_nation",
     "pipeline_xml_observation_decode",
+    # round 9 continued: sliding-window duplicated-span removal — the
+    # heaviest new corpus operator (positional 5-gram explode is a
+    # W x token-count row amplification feeding one gram-keyed
+    # aggregate + rejoin)
+    "dedup_span_removal",
 ]
 
 
