@@ -534,17 +534,21 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (text_repetition_quality covers it) — the groupBy counts DISTINCT
     doc_ids, so a chorus repeated inside one song survives.
 
-    100 TB shape: one tokenizing scan -> positional 5-gram explode ->
-    (gram -> distinct-doc count) hash aggregate, map-side combinable,
-    shuffle key the gram text (uniform by construction — a hot gram is
-    by definition duplicated and exits the aggregate as one row). The
-    duplicated-gram set joins back against the SAME gram-keyed
-    exchange (Catalyst reuses it), and everything after the join is
-    keyed by doc_id: covered positions fold into a per-doc bitmap-ish
-    array and the rewrite is a pure array filter inside codegen — the
-    document body itself is never shuffled twice. At petabyte scale
-    you would join on xxhash64(gram) and keep the gram only for
-    verify; the string key here keeps the oracle reproducible."""
+    100 TB shape: deliberately MULTI-PASS over the corpus, like
+    dedup_repeated_chunks — pass 1 tokenizes and explodes positional
+    5-grams into one (gram -> distinct-doc count) hash aggregate
+    (map-side combinable; the key is uniform by construction — a hot
+    gram is by definition duplicated and exits the aggregate as one
+    row); pass 2 re-derives the gram stream and joins it to the
+    duplicated-gram set (broadcast when the set fits, AQE decides at
+    runtime; the shuffle join on the gram key is the fallback);
+    pass 3 re-reads only (doc_id, text) and applies the covered-
+    position array filter inside codegen. Each pass is an independent
+    column-pruned scan — the alternative (persisting the tokenized
+    corpus or carrying document bodies through the gram shuffle) costs
+    more at scale than re-scanning. At petabyte scale you would join
+    on xxhash64(gram) and keep the gram only for verify; the string
+    key here keeps the oracle reproducible."""
     w = _SPAN_W
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", TX.tokens("text").alias("toks"))

@@ -1101,61 +1101,3 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_control_obs"),
     )
 
-
-@query(
-    "events_cusum_changepoint",
-    oracle="""
-    WITH d AS (SELECT time_bucket(INTERVAL 1 DAY, ts) AS day,
-                      CAST(COUNT(*) AS BIGINT)        AS n
-               FROM events GROUP BY 1),
-    m AS (SELECT AVG(n) AS mu, CAST(COUNT(*) AS BIGINT) AS nd FROM d),
-    c AS (SELECT day,
-                 SUM(n - m.mu) OVER (ORDER BY day) AS cusum
-          FROM d, m)
-    SELECT c.day                    AS changepoint_day,
-           ROUND(ABS(c.cusum), 6)   AS max_abs_cusum,
-           m.nd                     AS n_days
-    FROM c, m
-    ORDER BY ABS(c.cusum) DESC, c.day
-    LIMIT 1
-    """,
-)
-def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoint detection over the daily event-count series —
-    the classic level-shift monitor that PSI/KS (quality_psi_drift,
-    quality_ks_two_sample) don't give you: WHERE in time the
-    distribution moved. CUSUM_t = sum_{i<=t} (n_i - mean(n)); the day
-    maximizing |CUSUM| is the changepoint estimate, and the magnitude
-    is the alert statistic (a flat series stays near 0, a level shift
-    grows linearly until the shift day).
-
-    100 TB shape: the only corpus-scale pass is the per-day count —
-    one map-side-combinable hash aggregate on a bounded key (a decade
-    of days is ~3.7k rows). Everything after runs on the day-level
-    frame, where a single-partition ordered prefix sum is the RIGHT
-    call (unlike quality_ks_two_sample's pooled support, the day
-    domain cannot outgrow one task); the argmax is a
-    TakeOrderedAndProject, not a global sort. Both engines accumulate
-    the prefix sum in identical day order, so the doubles agree
-    bit-for-bit before the defensive 6dp round."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    m = d.agg(
-        F.avg("n").alias("mu"), F.count(F.lit(1)).cast("long").alias("nd")
-    )
-    win = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    c = (
-        d.crossJoin(F.broadcast(m))
-        .withColumn("cusum", F.sum(F.col("n") - F.col("mu")).over(win))
-    )
-    return (
-        c.orderBy(F.abs("cusum").desc(), "day")
-        .limit(1)
-        .select(
-            F.col("day").alias("changepoint_day"),
-            F.round(F.abs("cusum"), 6).alias("max_abs_cusum"),
-            F.col("nd").alias("n_days"),
-        )
-    )
