@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "events_seasonal_decompose",  # 1-row grand-mean broadcast, 168-cell out
     "quality_benford_digits",     # 1-row total broadcast over 9 digit rows
     "revenue_gini_lorenz",        # 1-row gini/total broadcast over 10 deciles
+    "quality_psi_drift",          # 1-row slice-totals broadcast over 10 bins
+    "quality_ks_two_sample",      # 1-row slice-totals broadcast over support
 }
 
 _SKIP = {
@@ -149,6 +151,9 @@ def test_no_reinlined_tokenizer_in_explode_plans(spark, sf_dir):
         # quality-threshold predicate pushed below the projection IS
         # the filter's work; staging removed the rest (was 4)
         "corpus_clean_pipeline": 3,
+        # deliberately multi-pass (docstring): gram-df pass + gram
+        # re-derive pass + rewrite pass, one tokenize per scan branch
+        "dedup_span_removal": 3,
     }
     for name, max_evals in per_query_scans.items():
         df = QUERIES[name](spark, sf_dir)
