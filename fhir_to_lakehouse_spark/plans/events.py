@@ -1101,3 +1101,135 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_control_obs"),
     )
 
+
+
+# z-normalized query pattern for the subsequence search: a 1-day spike
+# ramp ([0,0,1,3,8,3,1,0] z-normalized, so sum(qz)=0 and sum(qz^2)=m).
+# The SAME double literals are inlined into the DuckDB oracle below, so
+# both engines score against bit-identical constants.
+_ZNORM_M = 8
+_ZNORM_QZ = [
+    -0.7844645405527362,
+    -0.7844645405527362,
+    -0.3922322702763681,
+    0.3922322702763681,
+    2.3533936216582085,
+    0.3922322702763681,
+    -0.3922322702763681,
+    -0.7844645405527362,
+]
+_QZ_VALUES = ", ".join(
+    f"({i}, {repr(v)})" for i, v in enumerate(_ZNORM_QZ)
+)
+
+
+@query(
+    "timeseries_znorm_subsequence_topk",
+    oracle=f"""
+    WITH d AS (SELECT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day,
+                      ROUND(SUM(value), 6) AS v
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, v,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INT) AS idx
+          FROM d),
+    qz(off, q) AS (VALUES {_QZ_VALUES}),
+    w AS (SELECT a.user_id, a.idx AS start, b.idx - a.idx AS off, b.v
+          FROM r a JOIN r b
+            ON a.user_id = b.user_id
+           AND b.idx BETWEEN a.idx AND a.idx + {_ZNORM_M - 1}),
+    s AS (SELECT w.user_id, w.start,
+                 COUNT(*)        AS n,
+                 AVG(w.v)        AS mu,
+                 SUM(w.v * w.v)  AS s2,
+                 SUM(w.v * qz.q) AS cq
+          FROM w JOIN qz ON w.off = qz.off
+          GROUP BY 1, 2
+          HAVING COUNT(*) = {_ZNORM_M}),
+    scored AS (SELECT user_id, CAST(start AS INT) AS start_idx,
+                      ROUND(SQRT(GREATEST(
+                        2 * {_ZNORM_M}
+                        - 2 * cq / SQRT(s2 / {_ZNORM_M} - mu * mu),
+                        0.0)), 6) AS znorm_dist
+               FROM s
+               WHERE s2 / {_ZNORM_M} - mu * mu > 1e-12)
+    SELECT user_id, start_idx, znorm_dist
+    FROM scored
+    ORDER BY znorm_dist, user_id, start_idx
+    LIMIT 20
+    """,
+)
+def timeseries_znorm_subsequence_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-normalized subsequence similarity search — the UCR-suite /
+    Matrix-Profile core primitive, re-expressed in pure Catalyst HOFs:
+    find the 20 length-8 windows of the per-user daily-value series
+    whose shape is closest (z-normalized euclidean distance) to a
+    fixed spike pattern. Shape search, not level search: each window
+    is normalized by its own mean/std, so a 10x-amplitude user matches
+    the same spike profile. Distances use the dot-product identity
+    dist^2 = 2m - 2*sum(w*qz)/sd (valid because sum(qz)=0 and
+    sum(qz^2)=m), so no normalized window is ever materialized.
+
+    100 TB shape: one shuffle total — the (user, day) aggregate —
+    after which each user's series folds to ONE row holding a bounded
+    array (series length is time-bounded: 10 years of days = 3.7k
+    doubles), and window generation + scoring run inside codegen via
+    slice/aggregate/zip_with with zero row amplification (contrast the
+    oracle's m-fold self-join, which is the tractable-at-sf0.01 spec,
+    not the plan). The global top-20 is a TakeOrderedAndProject:
+    per-partition partial top-k, no global sort. A row-level join
+    formulation would shuffle m copies of every point; the array form
+    ships each series once."""
+    m = _ZNORM_M
+    qz = F.array(*[F.lit(v) for v in _ZNORM_QZ])
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    ser = (
+        d.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "v"))).alias("pts"))
+        .select(
+            "user_id", F.transform("pts", lambda p: p["v"]).alias("vs")
+        )
+        .filter(F.size("vs") >= m)
+    )
+    win = ser.select(
+        "user_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("vs") - (m - 1)),
+                lambda s: F.slice("vs", s, m),
+            )
+        ).alias("p0", "w"),
+    ).select("user_id", (F.col("p0") + 1).cast("int").alias("start_idx"), "w")
+    tot = F.aggregate("w", F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(
+        F.transform("w", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    cq = F.aggregate(
+        F.zip_with("w", qz, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    mu = tot / m
+    var = s2 / m - mu * mu
+    scored = (
+        win.select(
+            "user_id",
+            "start_idx",
+            var.alias("var"),
+            (2 * m - 2 * cq / F.sqrt(var)).alias("d2"),
+        )
+        .filter(F.col("var") > 1e-12)
+        .select(
+            "user_id",
+            "start_idx",
+            F.round(F.sqrt(F.greatest("d2", F.lit(0.0))), 6).alias(
+                "znorm_dist"
+            ),
+        )
+    )
+    return scored.orderBy("znorm_dist", "user_id", "start_idx").limit(20)
