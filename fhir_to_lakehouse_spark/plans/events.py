@@ -1233,3 +1233,135 @@ def timeseries_znorm_subsequence_topk(
         )
     )
     return scored.orderBy("znorm_dist", "user_id", "start_idx").limit(20)
+
+
+@query(
+    "timeseries_sax_motifs",
+    oracle=f"""
+    WITH d AS (SELECT user_id, time_bucket(INTERVAL 1 DAY, ts) AS day,
+                      ROUND(SUM(value), 6) AS v
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, v,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INT) AS idx
+          FROM d),
+    w AS (SELECT a.user_id, a.idx AS start, b.idx - a.idx AS off, b.v
+          FROM r a JOIN r b
+            ON a.user_id = b.user_id
+           AND b.idx BETWEEN a.idx AND a.idx + {_ZNORM_M - 1}),
+    st AS (SELECT user_id, start, AVG(v) AS mu, SUM(v * v) AS s2
+           FROM w GROUP BY 1, 2
+           HAVING COUNT(*) = {_ZNORM_M}
+              AND SUM(v * v) / {_ZNORM_M} - AVG(v) * AVG(v) > 1e-12),
+    z AS (SELECT w.user_id, w.start, w.off,
+                 (w.v - st.mu)
+                   / SQRT(st.s2 / {_ZNORM_M} - st.mu * st.mu) AS z
+          FROM w JOIN st USING (user_id, start)),
+    paa AS (SELECT user_id, start,
+                   CAST(FLOOR(off / 2.0) AS INT) AS seg,
+                   SUM(z) / 2 AS p
+            FROM z GROUP BY 1, 2, 3),
+    sym AS (SELECT user_id, start, seg,
+                   CASE WHEN p < -0.6745 THEN 'a'
+                        WHEN p < 0.0     THEN 'b'
+                        WHEN p < 0.6745  THEN 'c'
+                        ELSE 'd' END AS s
+            FROM paa),
+    words AS (SELECT user_id, start,
+                     STRING_AGG(s, '' ORDER BY seg) AS sax_word
+              FROM sym GROUP BY 1, 2)
+    SELECT sax_word,
+           CAST(COUNT(*) AS BIGINT)               AS n_windows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(user_id)                            AS example_user
+    FROM words
+    GROUP BY sax_word
+    ORDER BY n_windows DESC, sax_word
+    LIMIT 10
+    """,
+)
+def timeseries_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery — the DISCOVERY twin of
+    timeseries_znorm_subsequence_topk's query SEARCH: every length-8
+    window of every user's daily series is z-normalized, compressed by
+    PAA to 4 segment means, discretized against the standard-normal
+    quartile breakpoints (-0.6745, 0, 0.6745 -> a/b/c/d), and the most
+    frequent 4-letter SAX words are the corpus's recurring shapes
+    (Lin et al.'s symbolic aggregate approximation, the standard
+    pre-filter for distributed motif mining). No query pattern needed;
+    the output says WHAT shapes recur and how broadly (window count,
+    distinct users, an example location).
+
+    Cross-engine float discipline: both engines derive per-element z
+    values from the SAME rounded daily sums and average each segment
+    as (z1+z2)/2, so a PAA mean only crosses a breakpoint together on
+    both sides (the breakpoints are irrational-valued literals no
+    exact sum lands on). 100 TB shape: identical to the znorm search —
+    one (user, day) shuffle, per-user bounded arrays, window/PAA/
+    symbol work all in codegen — plus one final hash aggregate on the
+    4-letter word (alphabet^segments = 256 keys, map-side collapsed),
+    and the top-10 is a TakeOrderedAndProject."""
+    m = _ZNORM_M
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    ser = (
+        d.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "v"))).alias("pts"))
+        .select(
+            "user_id", F.transform("pts", lambda p: p["v"]).alias("vs")
+        )
+        .filter(F.size("vs") >= m)
+    )
+    win = ser.select(
+        "user_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("vs") - (m - 1)),
+                lambda s: F.slice("vs", s, m),
+            )
+        ).alias("p0", "w"),
+    ).select("user_id", (F.col("p0") + 1).cast("int").alias("start"), "w")
+    tot = F.aggregate("w", F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(
+        F.transform("w", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    mu = tot / m
+    var = s2 / m - mu * mu
+    zw = win.filter(var > 1e-12).select(
+        "user_id",
+        "start",
+        F.transform(
+            "w", lambda x: (x - mu) / F.sqrt(var)
+        ).alias("z"),
+    )
+    # PAA segment means as (z1+z2)/2 — the exact op order the oracle's
+    # 2-row SUM(z)/2 produces
+    def _sym(p):
+        return (
+            F.when(p < -0.6745, F.lit("a"))
+            .when(p < 0.0, F.lit("b"))
+            .when(p < 0.6745, F.lit("c"))
+            .otherwise(F.lit("d"))
+        )
+
+    segs = [
+        (F.element_at("z", 2 * j + 1) + F.element_at("z", 2 * j + 2)) / 2
+        for j in range(m // 2)
+    ]
+    words = zw.select(
+        "user_id",
+        "start",
+        F.concat(*[_sym(p) for p in segs]).alias("sax_word"),
+    )
+    return (
+        words.groupBy("sax_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("user_id").alias("example_user"),
+        )
+        .orderBy(F.col("n_windows").desc(), "sax_word")
+        .limit(10)
+    )
