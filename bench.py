@@ -126,6 +126,10 @@ HEADLINE = [
     # W x token-count row amplification feeding one gram-keyed
     # aggregate + rejoin)
     "dedup_span_removal",
+    # round 9 continued: time-series shape search (UCR z-normalized
+    # subsequence top-k; per-user bounded arrays, window scoring in
+    # codegen, TakeOrdered top-k) — the new similarity-family member
+    "timeseries_znorm_subsequence_topk",
 ]
 
 

@@ -69,6 +69,11 @@ QUERIES_TO_RUN = [
     "text_trigram_perplexity",
     "events_interval_coalesce",
     "corpus_domain_quality_filter",
+    # round 9: sliding-window span dedup (gram aggregate on the
+    # duplicate-heavy corpus) and time-series shape search (10x users
+    # = 10x window rows, per-user series length unchanged)
+    "dedup_span_removal",
+    "timeseries_znorm_subsequence_topk",
 ]
 
 
