@@ -43,6 +43,13 @@ SENSITIVE = [
     "events_interval_join_bucketized",
     # typed reference resolution + W1 dedup through the bundle chain
     "pipeline_reference_join_typed",
+    # round 9: cross-doc gram df + per-doc covered-position rebuild;
+    # bucket-parallel prefix-sum CDFs; top-k over rounded distances
+    # with explicit tie-breaks; SAX words from float discretization
+    "dedup_span_removal",
+    "quality_ks_two_sample",
+    "timeseries_znorm_subsequence_topk",
+    "timeseries_sax_motifs",
 ]
 
 # (shuffle partitions, max scan partition bytes): one layout splits the
