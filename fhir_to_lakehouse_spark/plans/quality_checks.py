@@ -298,7 +298,7 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between two order-population slices
     (finished vs open orders) over fixed 50k-wide price bins — the
     standard model-monitoring drift gate: PSI = sum over bins of
-    (cur% - ref%) * ln(cur% / cur ref%); < 0.1 stable, > 0.25 action.
+    (cur% - ref%) * ln(cur% / ref%); < 0.1 stable, > 0.25 action.
     Emitted per bin (the sum is one more fold away) so the drifting
     bins themselves are visible, which is what an operator actually
     needs from the alert.
