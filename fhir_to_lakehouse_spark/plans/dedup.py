@@ -542,8 +542,10 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     row); pass 2 re-derives the gram stream and joins it to the
     duplicated-gram set (broadcast when the set fits, AQE decides at
     runtime; the shuffle join on the gram key is the fallback);
-    pass 3 re-reads only (doc_id, text) and applies the covered-
-    position array filter inside codegen. Each pass is an independent
+    pass 3 re-reads only (doc_id, text) and rebuilds the kept text by
+    an interval-merge fold over the sorted duplicated starts (see the
+    inline comment: O(tokens + starts) per doc, never tokens x
+    covered) inside codegen. Each pass is an independent
     column-pruned scan — the alternative (persisting the tokenized
     corpus or carrying document bodies through the gram shuffle) costs
     more at scale than re-scanning. At petabyte scale you would join
@@ -571,39 +573,63 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = (
         g.join(dup, "gram")
         .groupBy("doc_id")
-        .agg(F.collect_set("start").alias("starts"))
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.flatten(
-                    F.transform(
-                        "starts", lambda s: F.sequence(s, s + (w - 1))
-                    )
-                )
-            ).alias("covered"),
-        )
+        .agg(F.array_sort(F.collect_set("start")).alias("starts"))
     )
     joined = t.join(cov, "doc_id", "left").select(
         "doc_id",
         "toks",
-        F.coalesce("covered", F.expr("CAST(array() AS array<int>)")).alias(
-            "covered"
+        F.coalesce("starts", F.expr("CAST(array() AS array<int>)")).alias(
+            "starts"
         ),
     )
-    kept = F.filter(
-        "toks",
-        lambda tok, i: ~F.array_contains(
-            F.col("covered"), (i + 1).cast("int")
-        ),
+    # Rebuild the kept text by an INTERVAL-MERGE FOLD over the sorted
+    # duplicated starts (each covers [s, s+W-1]) instead of a per-token
+    # array_contains probe: the fold appends one token-array slice per
+    # GAP between covered runs and otherwise only advances a scalar
+    # cursor, so a document costs O(tokens + duplicated_starts) however
+    # pathological the duplication — a fully-duplicated 100k-token doc
+    # is one covered run (zero slices), where the membership-probe form
+    # was O(tokens x covered) = 10^10 comparisons for that same doc.
+    n = F.size("toks")
+    acc0 = F.struct(
+        F.expr("CAST(array() AS array<array<string>>)").alias("arrs"),
+        F.lit(1).alias("pos"),
     )
+
+    def _step(acc, s):
+        gap = F.when(
+            s > acc["pos"],
+            F.concat(
+                acc["arrs"],
+                F.array(F.slice(F.col("toks"), acc["pos"], s - acc["pos"])),
+            ),
+        ).otherwise(acc["arrs"])
+        return F.struct(
+            gap.alias("arrs"),
+            F.greatest(acc["pos"], s + w).alias("pos"),
+        )
+
+    def _finish(acc):
+        return F.flatten(
+            F.when(
+                acc["pos"] <= n,
+                F.concat(
+                    acc["arrs"],
+                    F.array(
+                        F.slice(F.col("toks"), acc["pos"], n - acc["pos"] + 1)
+                    ),
+                ),
+            ).otherwise(acc["arrs"])
+        )
+
+    kept = F.aggregate("starts", acc0, _step, _finish)
+    n_removed = (n - F.size(kept)).cast("int")
     return joined.select(
         "doc_id",
-        F.size("toks").cast("int").alias("n_tokens"),
-        F.size("covered").cast("int").alias("n_removed"),
+        n.cast("int").alias("n_tokens"),
+        n_removed.alias("n_removed"),
         F.round(
-            F.size("covered")
-            / F.greatest(F.size("toks"), F.lit(1)).cast("double"),
-            6,
+            n_removed / F.greatest(n, F.lit(1)).cast("double"), 6
         ).alias("removed_frac"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
