@@ -74,6 +74,49 @@ QUERIES_TO_RUN = [
     # = 10x window rows, per-user series length unchanged)
     "dedup_span_removal",
     "timeseries_znorm_subsequence_topk",
+    # round 9 cont.: full-headline coverage. The TPC-H facts now scale
+    # 10x with consistent key shifts (see synthesize()), so the
+    # relational headline queries get real 10x curves too: fixed dims
+    # mean every dim join is 10x denser per key, the global sorts/
+    # percentiles see 6M lineitems, pagerank's trade graph gets 10x
+    # edges, and the recursive referral CTE gains ~log2(10) levels.
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_local_supplier_volume",
+    "join_left_outer_order_counts",
+    "agg_distinct_parts_per_supplier",
+    "window_topk_orders_per_customer",
+    "percentile_exact_prices",
+    "asof_join_last_click_before_purchase",
+    "pipeline_latest_per_url",
+    "tfidf_top_terms",
+    "similarity_brute_topk",
+    "quality_linear_filter",
+    "dedup_semantic_ivf",
+    "text_bpe_pair_counts",
+    "similarity_hyperplane_lsh_topk",
+    "media_checksums",
+    "corpus_epoch_shuffle",
+    "quality_constraint_checks",
+    "graph_pagerank_trade",
+    "quality_ccnet_buckets",
+    "quality_gopher_filter",
+    "similarity_brute_topk_q500",
+    "similarity_matmul_topk_q500",
+    "events_funnel_conversion",
+    "text_heavy_hitters_exact",
+    "pipeline_invoice_decode",
+    "viewdef_observation_components",
+    "terminology_memberof",
+    "fhir_validation_summary",
+    "corpus_chunk_sliding",
+    "fhir_observation_lastn",
+    "search_hybrid_rrf",
+    "fhir_comorbidity_pairs",
+    "fhir_medication_mpr",
+    "recursive_cte_referral_depth",
+    "lateral_top_customers_per_nation",
+    "pipeline_xml_observation_decode",
 ]
 
 
@@ -128,16 +171,47 @@ def synthesize(spark) -> None:
     from fhir_to_lakehouse_spark.sources.tables import load_table
 
     os.makedirs(OUT, exist_ok=True)
-    # single-table workloads scale documents/embeddings/events 10x;
-    # the relational tables are linked copies (not consistently
-    # scalable without key rewrites) for load_table compatibility
-    for t in (
-        "region nation customer supplier part orders lineitem".split()
-    ):
+    # dimensions stay fixed-size (as they would at a real 10x: TPC-H
+    # scales facts, not nation/region; part/supplier growth is sublinear
+    # and keeping them fixed makes the fact-side join 10x DENSER per
+    # dim key — the harder case for broadcast/shuffle joins)
+    for t in "region nation part supplier".split():
         src = os.path.join(BASE, f"{t}.parquet")
         dst = os.path.join(OUT, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(src, dst)
+
+    # facts scale 10x with CONSISTENT key shifts so referential
+    # integrity holds: customer copy i shifts c_custkey by i*ncust;
+    # orders copy i shifts o_orderkey by i*nord and o_custkey by the
+    # same i*ncust (each order still points at a valid customer);
+    # lineitem copy i shifts l_orderkey by i*nord (l_partkey/l_suppkey
+    # unshifted -> 10x lineitems per part/supplier). Date/price columns
+    # untouched, so selectivity of every filter is scale-invariant.
+    cust = load_table(spark, BASE, "customer")
+    ords = load_table(spark, BASE, "orders")
+    li = load_table(spark, BASE, "lineitem")
+    ncust = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    nord = ords.agg(F.max("o_orderkey")).collect()[0][0] + 1
+
+    def _shifted(df, shifts: dict[str, int], i: int):
+        for col, base_n in shifts.items():
+            df = df.withColumn(col, F.col(col) + F.lit(i * base_n))
+        return df
+
+    for t, df, shifts in (
+        ("customer", cust, {"c_custkey": ncust}),
+        ("orders", ords, {"o_orderkey": nord, "o_custkey": ncust}),
+        ("lineitem", li, {"l_orderkey": nord}),
+    ):
+        dst = os.path.join(OUT, f"{t}.parquet")
+        if os.path.isfile(dst):  # older runs copied the flat file
+            os.remove(dst)
+        parts = [_shifted(df, shifts, i) for i in range(10)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(dst)
 
     docs = load_table(spark, BASE, "documents")
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
