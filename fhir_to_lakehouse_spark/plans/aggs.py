@@ -345,3 +345,199 @@ def agg_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_samp_qp"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
     )
+
+
+@query(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(l_quantity)                                       AS mu,
+             AVG(l_quantity * l_quantity)                          AS r2,
+             AVG(l_quantity * l_quantity * l_quantity)             AS r3,
+             AVG(l_quantity * l_quantity * l_quantity * l_quantity) AS r4
+      FROM lineitem
+      GROUP BY l_returnflag
+    ),
+    c AS (
+      SELECT l_returnflag, n, mu,
+             r2 - mu * mu                                   AS m2,
+             r3 - 3 * mu * r2 + 2 * mu * mu * mu            AS m3,
+             r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                - 3 * mu * mu * mu * mu                     AS m4
+      FROM m
+    )
+    SELECT l_returnflag, n,
+           ROUND(m3 / POWER(m2, 1.5), 6)  AS skew_qty,
+           ROUND(m4 / (m2 * m2) - 3, 6)   AS kurt_qty
+    FROM c
+    ORDER BY l_returnflag
+    """,
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth-moment shape statistics per return flag: population
+    skewness g1 = m3/m2^1.5 and excess kurtosis m4/m2^2 - 3 — exactly
+    the definitions Spark's builtin skewness()/kurtosis() implement.
+    The oracle restates them from raw moments, which is only
+    cross-engine-safe because l_quantity is a SMALL INTEGER measure:
+    x^4 <= 6.25e6, so every power and their partial sums stay exact in
+    doubles on both engines and the central-moment cancellation (r2 -
+    mu^2 etc.) sees bit-identical inputs. Stating the same oracle over
+    a wide-magnitude double column would NOT round-trip at 6dp.
+
+    Plan shape / 100 TB: single map-side-combinable aggregate — Spark's
+    CentralMomentAgg carries (n, mean, m2, m3, m4) per key and merges
+    partials associatively, so the shuffle moves 5 doubles per
+    (partition, flag), independent of row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "stats_chi_square_independence",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, user_id % 2 AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events
+      GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT ty.event_type, co.cohort, COALESCE(o.obs, 0) AS obs
+      FROM (SELECT DISTINCT event_type FROM o) ty
+      CROSS JOIN (SELECT DISTINCT cohort FROM o) co
+      LEFT JOIN o USING (event_type, cohort)
+    ),
+    t AS (
+      SELECT event_type, cohort, obs,
+             SUM(obs) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(obs) OVER (PARTITION BY cohort)     AS col_tot,
+             SUM(obs) OVER ()                        AS grand
+      FROM dense
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                       AS n_cells,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT cohort) - 1) AS BIGINT) AS dof,
+           ROUND(SUM(POWER(obs - row_tot * col_tot / grand, 2)
+                     / (row_tot * col_tot / grand)), 6)   AS chi2
+    FROM t
+    """,
+)
+def stats_chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square independence test on the event_type x cohort
+    contingency table (cohort = user_id parity, the same deterministic
+    A/B split events_ab_test_ztest uses): chi2 = sum (O-E)^2/E with
+    E = row_total * col_total / N, plus the table's degrees of freedom.
+    The sum runs over the DENSIFIED table (distinct types x distinct
+    cohorts, absent cells as zero counts): a sparse groupBy silently
+    drops empty cells, and an empty cell contributes its full expected
+    count to chi2 — skipping it understates the statistic exactly when
+    association is strongest. The cross-engine contract holds because
+    every input to the double math is an exact integer count.
+
+    Plan shape / 100 TB: one count aggregate over the corpus collapses
+    everything to |types| x 2 cells (map-side combine makes the shuffle
+    O(alphabet) per partition); the marginal windows and the chi2 fold
+    then run on that tiny table. This is the generic recipe for any
+    categorical independence screen at scale: aggregate first, test on
+    the contingency table, never row-level."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    # densify: empty cells must contribute (0 - E)^2 / E; both sides
+    # of the cross are alphabet-bounded (a broadcast of a handful of
+    # rows), never data-sized
+    dense = (
+        o.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(o.select("cohort").distinct()))
+        .join(o, ["event_type", "cohort"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0)))
+    )
+    t = dense.select(
+        "event_type",
+        "cohort",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("cohort")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("grand"),
+    )
+    # double product, not long*long: marginal products overflow int64
+    # around 10^12 events; doubles are exact below 2^53 so the oracle
+    # (whose HUGEINT product is always exact) still agrees at test SFs
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand")
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("cohort") - 1)
+        ).alias("dof"),
+        F.round(F.sum(F.pow(F.col("obs") - e, 2) / e), 6).alias("chi2"),
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
+    FROM r WHERE rk = 1
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent order priority
+    within each order status, ties broken by priority string order.
+    Built as count + rank-1 rather than the builtin mode() because both
+    Spark's and DuckDB's mode() leave tie-breaking undefined — the
+    count/row_number form pins the answer on every engine.
+
+    Plan shape / 100 TB: the count aggregate collapses the corpus to
+    |status| x |priority| rows map-side; the ranking window then runs
+    on that bounded table. WindowGroupLimit keeps the rank-1 filter a
+    top-1 per key, not a full sort, if the cell count were ever large."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_mode"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1365,3 +1365,117 @@ def timeseries_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_windows").desc(), "sax_word")
         .limit(10)
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    t AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(n_transitions / SUM(n_transitions)
+                   OVER (PARTITION BY from_type), 6) AS prob
+    FROM t
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next = to | current = from), estimated from every
+    consecutive event pair inside a user's stream (streams never chain
+    across users). The workhorse of clickstream/journey modeling;
+    row-normalized so each from_type's probabilities sum to 1.
+
+    Plan shape: one user_id exchange for the LEAD window, then a
+    groupBy on (from, to) whose key space is |event_type|^2 (~25),
+    so the partial (map-side) aggregate collapses each partition to a
+    handful of rows before the second, trivial shuffle; the final
+    row-normalization is a window over the tiny matrix itself.
+
+    100 TB shape: cost is the per-user sort inside the window — the
+    same exchange every sessionization query here pays — and the
+    transition-count state is bounded by the type alphabet squared,
+    independent of corpus size. prob divides two exact counts, so both
+    engines agree bit-for-bit before rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(norm), 6
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+@query(
+    "events_autocorrelation",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS v
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT CAST(UNNEST(generate_series(1, 7)) AS INT) AS lag)
+    SELECT l.lag                    AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CORR(a.v, b.v), 6) AS acf
+    FROM d a
+    JOIN lags l ON TRUE
+    JOIN d b ON b.day = a.day + l.lag
+    GROUP BY l.lag
+    ORDER BY lag
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1..7) of the global daily value
+    series — the ACF sweep behind seasonality detection (a weekly
+    rhythm shows as a lag-7 peak). Stated as a lag-join, not a
+    recursion: the daily series self-joins on day+k for each of the 7
+    lags and Pearson-correlates the aligned pairs.
+
+    Plan shape: the only data-sized work is the daily aggregate (one
+    shuffle with map-side partial sums); everything after runs on a
+    CALENDAR-bounded relation — at most |days in range| rows no matter
+    the corpus — crossed with a broadcast 7-row lag table and
+    self-joined on the day key.
+
+    100 TB shape: 100 TB of events still spans the same calendar, so
+    the post-aggregate series stays a few thousand rows; the ACF join
+    cost is invariant to corpus growth while the daily aggregate
+    parallelizes embarrassingly. The sums entering CORR are rounded to
+    6dp first on both engines, pinning the correlation inputs."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = d.alias("a").crossJoin(F.broadcast(lags))
+    pairs = a.join(
+        d.alias("b"), F.date_add(F.col("a.day"), F.col("lag")) == F.col("b.day")
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("a.v", "b.v"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )

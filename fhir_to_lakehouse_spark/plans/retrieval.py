@@ -250,20 +250,37 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     production hybrid search (Elasticsearch, Vespa, pgvector recipes)
     defaults to it.
 
-    Plan shape: the bounded query set (doc_id % 100 — at scale, the
-    incoming query batch) broadcasts against the corpus twice — once
-    over the tokenized scan, once over the embedding scan; each side
-    gets a per-query row_number window (bounded partitions), the two
-    rank frames join on (query, doc), and a final per-query window
-    takes the fused top-10.
+    Plan shape (union form): each modality generates its scored pairs
+    from its own scan against a broadcast of the bounded query set
+    (doc_id % 100 — at scale, the incoming query batch), exactly the
+    work the two-relation form did — but the two pair sets then UNION
+    into one relation instead of rank-joining. Both rank windows, the
+    fusion aggregate, and the final top-10 window all share the
+    query_id partitioning, so pair-sized data crosses the wire ONCE:
+    the windows re-sort in place, and the (query, doc) fusion groupBy
+    needs no exchange because hash-partitioning on query_id already
+    clusters every (query, doc) group. The rank-join form paid three
+    pair-sized exchanges for the same answer (and a full-outer
+    corpus-zip variant benchmarked worse still — it pushed tokenized
+    arrays through two extra shuffles and ran the corpus pipeline
+    twice; see SCALING.md round-9).
 
-    100 TB shape: both modality scans are embarrassingly parallel
-    with a broadcast probe side; the rank join shuffles (query, doc,
-    2 ints) rows only. At production scale each modality would be
-    served from its index (inverted postings / IVF buckets — both in
-    this library) and RRF would fuse their top-k lists (k*|queries|
-    rows), making the fusion itself a driver-trivial step; this entry
-    keeps the exhaustive form so the oracle can verify every rank."""
+    Rank semantics under modality-incomplete corpora (docs without
+    embeddings and vice versa): each modality ranks its FULL
+    population — a union row carries the OTHER modality's score as
+    null, desc_nulls_last parks those rows after every real rank in
+    the other window, and masked ranks + the fusion filter drop any
+    doc missing a modality, exactly the rows the old inner rank-join
+    dropped (pinned by tests/test_hybrid_rrf_incomplete.py).
+
+    100 TB shape: two embarrassingly-parallel scored scans with
+    broadcast probe sides; the only pair-sized movement is the single
+    query_id exchange of (query, doc, score) rows. At production
+    scale each modality would be served from its index (inverted
+    postings / IVF buckets — both in this library) and RRF would fuse
+    their top-k lists (k*|queries| rows), making the fusion
+    driver-trivial; this entry keeps the exhaustive form so the
+    oracle can verify every rank."""
     from fhir_to_lakehouse_spark.functions.similarity import as_double, dot
 
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
@@ -282,44 +299,62 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w_lex = Window.partitionBy("query_id").orderBy(
-        F.col("overlap").desc(), F.col("doc_id")
+    lexp = toks.join(
+        F.broadcast(q), F.col("doc_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        F.size(F.array_intersect("qt", "t")).alias("overlap"),
+        F.lit(None).cast("double").alias("dot"),
     )
-    lex = (
-        toks.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "doc_id",
-            F.size(F.array_intersect("qt", "t")).alias("overlap"),
-        )
-        .select(
-            "query_id",
-            "doc_id",
-            F.row_number().over(w_lex).alias("lex_rank"),
-        )
+    semp = vecs.join(
+        F.broadcast(qv), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.lit(None).cast("int").alias("overlap"),
+        dot(F.col("qx"), F.col("x")).alias("dot"),
+    )
+    pairs = lexp.unionByName(semp)
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("overlap").desc_nulls_last(), F.col("doc_id")
     )
     w_sem = Window.partitionBy("query_id").orderBy(
-        F.col("dot").desc(), F.col("doc_id")
+        F.col("dot").desc_nulls_last(), F.col("doc_id")
     )
-    sem = (
-        vecs.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("doc_id"),
-            dot(F.col("qx"), F.col("x")).alias("dot"),
-        )
-        .select(
-            "query_id",
-            "doc_id",
-            F.row_number().over(w_sem).alias("sem_rank"),
-        )
+    ranked = pairs.select(
+        "query_id",
+        "doc_id",
+        # masked ranks: a row only OWNS the rank of its own modality;
+        # in the other window it sorts after every real row (null
+        # score, desc_nulls_last) so it shifts nothing
+        F.when(
+            F.col("overlap").isNotNull(), F.row_number().over(w_lex)
+        ).alias("lex_rank"),
+        F.when(
+            F.col("dot").isNotNull(), F.row_number().over(w_sem)
+        ).alias("sem_rank"),
     )
     rrf = (
         F.lit(1.0) / (F.lit(60) + F.col("lex_rank"))
         + F.lit(1.0) / (F.lit(60) + F.col("sem_rank"))
     )
-    fused = lex.join(sem, ["query_id", "doc_id"]).select(
-        "query_id", "doc_id", "lex_rank", "sem_rank", rrf.alias("rrf")
+    fused = (
+        # fusion = the old inner rank-join: query_id partitioning
+        # already clusters (query, doc), so this aggregate is
+        # exchange-free; docs missing a modality leave a null rank
+        # and drop, exactly as the inner join dropped them
+        ranked.groupBy("query_id", "doc_id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("sem_rank").alias("sem_rank"),
+        )
+        .filter(
+            F.col("lex_rank").isNotNull() & F.col("sem_rank").isNotNull()
+        )
+        .select(
+            "query_id", "doc_id", "lex_rank", "sem_rank", rrf.alias("rrf")
+        )
     )
     w_fin = Window.partitionBy("query_id").orderBy(
         F.col("rrf").desc(), F.col("doc_id")

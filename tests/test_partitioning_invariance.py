@@ -50,6 +50,12 @@ SENSITIVE = [
     "quality_ks_two_sample",
     "timeseries_znorm_subsequence_topk",
     "timeseries_sax_motifs",
+    # round 9 cont.: LEAD pairing under re-split (per-user order must
+    # come from the window sort, never partition order); contingency
+    # marginals from exact counts; mode tie-breaks
+    "events_markov_transitions",
+    "stats_chi_square_independence",
+    "agg_mode_per_group",
 ]
 
 # (shuffle partitions, max scan partition bytes): one layout splits the
