@@ -130,6 +130,12 @@ HEADLINE = [
     # subsequence top-k; per-user bounded arrays, window scoring in
     # codegen, TakeOrdered top-k) — the new similarity-family member
     "timeseries_znorm_subsequence_topk",
+    # round 9 third pass: the sequence/statistics additions — Markov
+    # transition matrix (one user_id window exchange + alphabet-sized
+    # agg) and the densified chi-square independence screen (corpus
+    # collapses to the contingency table before any test math)
+    "events_markov_transitions",
+    "stats_chi_square_independence",
 ]
 
 
