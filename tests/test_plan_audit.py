@@ -54,6 +54,10 @@ BNLJ_ALLOWED = {
     "revenue_gini_lorenz",        # 1-row gini/total broadcast over 10 deciles
     "quality_psi_drift",          # 1-row slice-totals broadcast over 10 bins
     "quality_ks_two_sample",      # 1-row slice-totals broadcast over support
+    "events_autocorrelation",     # 7-row lag-table broadcast over the
+                                  # calendar-bounded daily series
+    "stats_chi_square_independence",  # |cohorts|-row broadcast densifying
+                                      # the alphabet-bounded contingency table
 }
 
 _SKIP = {
