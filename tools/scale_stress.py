@@ -165,12 +165,20 @@ def interval_join_bucket_stats(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
-def synthesize(spark) -> None:
+def synthesize(spark, fresh: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from fhir_to_lakehouse_spark.sources.tables import load_table
 
     os.makedirs(OUT, exist_ok=True)
+    # the synthesis is deterministic, so an existing sf1 dir is
+    # byte-equivalent to a fresh one: skip the ~2 min rebuild unless
+    # --fresh (or a missing table) says otherwise
+    expected = "region nation part supplier customer orders lineitem documents events embeddings".split()
+    if not fresh and all(
+        os.path.exists(os.path.join(OUT, f"{t}.parquet")) for t in expected
+    ):
+        return
     # dimensions stay fixed-size (as they would at a real 10x: TPC-H
     # scales facts, not nation/region; part/supplier growth is sublinear
     # and keeping them fixed makes the fact-side join 10x DENSER per
@@ -267,9 +275,21 @@ def main() -> int:
     from fhir_to_lakehouse_spark.plans import QUERIES
     from fhir_to_lakehouse_spark.session import get_spark
 
-    names = sys.argv[1:] or QUERIES_TO_RUN
+    args = sys.argv[1:]
+    fresh = "--fresh" in args
+    names = [a for a in args if not a.startswith("--")] or QUERIES_TO_RUN
     spark = get_spark("scale-stress")
-    synthesize(spark)
+    synthesize(spark, fresh=fresh)
+
+    # unrecorded JVM/JIT warmer: the first query of a sweep otherwise
+    # pays codegen-compiler cold start in ITS medians (the r9 full
+    # table's dedup_exact_groups artifact); one throwaway aggregate
+    # run warms the machinery all entries share
+    QUERIES[names[0]](spark, BASE).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
+    release_all_persistent_rdds(spark)
 
     results: dict[str, dict[str, float]] = {}
     for name in names:
