@@ -56,6 +56,10 @@ SENSITIVE = [
     "events_markov_transitions",
     "stats_chi_square_independence",
     "agg_mode_per_group",
+    # round 9 cont.: union-form fusion — masked ranks must come from
+    # the two window sorts' total orders, never from union/partition
+    # interleaving
+    "search_hybrid_rrf",
 ]
 
 # (shuffle partitions, max scan partition bytes): one layout splits the
