@@ -60,6 +60,13 @@ SENSITIVE = [
     # the two window sorts' total orders, never from union/partition
     # interleaving
     "search_hybrid_rrf",
+    # round 9 cont. (review finding): the FLOAT-merge members of the
+    # new statistics family — CentralMomentAgg partial merges and the
+    # daily SUM(value) feeding CORR are not float-associative, so a
+    # layout change exercises exactly the 6dp-rounding stability these
+    # queries' oracles rely on
+    "agg_skewness_kurtosis",
+    "events_autocorrelation",
 ]
 
 # (shuffle partitions, max scan partition bytes): one layout splits the

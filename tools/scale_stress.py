@@ -173,10 +173,17 @@ def synthesize(spark, fresh: bool = False) -> None:
     os.makedirs(OUT, exist_ok=True)
     # the synthesis is deterministic, so an existing sf1 dir is
     # byte-equivalent to a fresh one: skip the ~2 min rebuild unless
-    # --fresh (or a missing table) says otherwise
-    expected = "region nation part supplier customer orders lineitem documents events embeddings".split()
-    if not fresh and all(
-        os.path.exists(os.path.join(OUT, f"{t}.parquet")) for t in expected
+    # --fresh (or a missing table) says otherwise. The scaled tables
+    # must be Spark-written DIRECTORIES — a flat fact FILE is a
+    # leftover from the pre-fact-scaling tool (which shutil.copy'd 1x
+    # facts) and must trigger a rebuild, or every "sf1" relational
+    # curve would silently measure 1x data
+    dims = "region nation part supplier".split()
+    scaled = "customer orders lineitem documents events embeddings".split()
+    if (
+        not fresh
+        and all(os.path.exists(os.path.join(OUT, f"{t}.parquet")) for t in dims)
+        and all(os.path.isdir(os.path.join(OUT, f"{t}.parquet")) for t in scaled)
     ):
         return
     # dimensions stay fixed-size (as they would at a real 10x: TPC-H
@@ -196,76 +203,66 @@ def synthesize(spark, fresh: bool = False) -> None:
     # lineitem copy i shifts l_orderkey by i*nord (l_partkey/l_suppkey
     # unshifted -> 10x lineitems per part/supplier). Date/price columns
     # untouched, so selectivity of every filter is scale-invariant.
-    cust = load_table(spark, BASE, "customer")
-    ords = load_table(spark, BASE, "orders")
-    li = load_table(spark, BASE, "lineitem")
-    ncust = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
-    nord = ords.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    from functools import reduce
 
-    def _shifted(df, shifts: dict[str, int], i: int):
-        for col, base_n in shifts.items():
-            df = df.withColumn(col, F.col(col) + F.lit(i * base_n))
-        return df
+    def _next_key(df, col: str) -> int:
+        return df.agg(F.max(col)).collect()[0][0] + 1
 
-    for t, df, shifts in (
-        ("customer", cust, {"c_custkey": ncust}),
-        ("orders", ords, {"o_orderkey": nord, "o_custkey": ncust}),
-        ("lineitem", li, {"l_orderkey": nord}),
-    ):
-        dst = os.path.join(OUT, f"{t}.parquet")
-        if os.path.isfile(dst):  # older runs copied the flat file
+    def _write_10x(df, shifts: dict[str, int], table: str, mutate=None):
+        """Replicate df 10x, shifting each key column by copy_index *
+        its population size (so copies never collide and references
+        shifted by the SAME base stay consistent), optionally mutating
+        each copy's rows, then write to OUT."""
+        parts = []
+        for i in range(10):
+            c = df
+            for col, base_n in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * base_n))
+            if mutate is not None:
+                c = mutate(c, i)
+            parts.append(c)
+        out = reduce(lambda a, b: a.unionByName(b), parts)
+        dst = os.path.join(OUT, f"{table}.parquet")
+        if os.path.isfile(dst):  # pre-fact-scaling runs copied a flat file
             os.remove(dst)
-        parts = [_shifted(df, shifts, i) for i in range(10)]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
         out.repartition(32).write.mode("overwrite").parquet(dst)
 
+    cust = load_table(spark, BASE, "customer")
+    ords = load_table(spark, BASE, "orders")
+    ncust = _next_key(cust, "c_custkey")
+    nord = _next_key(ords, "o_orderkey")
+    _write_10x(cust, {"c_custkey": ncust}, "customer")
+    _write_10x(ords, {"o_orderkey": nord, "o_custkey": ncust}, "orders")
+    _write_10x(
+        load_table(spark, BASE, "lineitem"), {"l_orderkey": nord}, "lineitem"
+    )
+
     docs = load_table(spark, BASE, "documents")
-    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    parts = []
-    for i in range(10):
-        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
-        if i >= 5:  # near-dup copies: one appended token re-keys the
-            # fingerprint but leaves ~95% of shingles shared
-            c = c.withColumn(
-                "text", F.concat("text", F.lit(f" copytoken{i}"))
-            )
-        parts.append(c)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(OUT, "documents.parquet")
+    _write_10x(
+        docs,
+        {"doc_id": _next_key(docs, "doc_id")},
+        "documents",
+        # copies 5-9 are near-dups: one appended token re-keys the
+        # fingerprint but leaves ~95% of shingles shared
+        mutate=lambda c, i: c.withColumn(
+            "text", F.concat("text", F.lit(f" copytoken{i}"))
+        )
+        if i >= 5
+        else c,
     )
 
     ev = load_table(spark, BASE, "events")
-    m = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    um = ev.agg(F.max("user_id")).collect()[0][0] + 1
-    eparts = [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(i * m))
-        .withColumn("user_id", F.col("user_id") + F.lit(i * um))
-        for i in range(10)
-    ]
-    eout = eparts[0]
-    for p in eparts[1:]:
-        eout = eout.unionByName(p)
-    eout.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(OUT, "events.parquet")
+    _write_10x(
+        ev,
+        {
+            "event_id": _next_key(ev, "event_id"),
+            "user_id": _next_key(ev, "user_id"),
+        },
+        "events",
     )
 
     emb = load_table(spark, BASE, "embeddings")
-    vm = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    vparts = [
-        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vm))
-        for i in range(10)
-    ]
-    vout = vparts[0]
-    for p in vparts[1:]:
-        vout = vout.unionByName(p)
-    vout.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(OUT, "embeddings.parquet")
-    )
+    _write_10x(emb, {"vec_id": _next_key(emb, "vec_id")}, "embeddings")
 
 
 def main() -> int:
