@@ -190,3 +190,81 @@ def scd2_changelog(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="None",
     )
+
+
+TRANSITION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_LAST_EVENT_STATE = T.StructType(
+    [
+        T.StructField("last_type", T.StringType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("last_id", T.LongType()),
+    ]
+)
+
+
+class TransitionPairProcessor(StatefulProcessor):
+    """Emit one (from_type, to_type) row per CONSECUTIVE event pair
+    inside a user's stream — the streaming twin of the LEAD pairing in
+    plans/events.py::events_markov_transitions; a downstream
+    groupBy(from, to).count() maintains the live transition matrix.
+
+    State per key = the last event seen (type, ts, id) — three
+    scalars, bounded regardless of stream length, so 100 TB
+    clickstreams keep one tiny record per user in RocksDB. Pairs never
+    chain across users (the shuffle key) and never skip: each batch is
+    event-time-sorted (ties by event_id, same contract as the batch
+    LEAD window's ORDER BY ts, event_id), chained from the stored last
+    event, and the newest event becomes the next batch's predecessor."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._last = handle.getValueState("last", _LAST_EVENT_STATE)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        prev = self._last.get() if self._last.exists() else None
+        prev_type = prev[0] if prev else None
+        out: dict[str, list] = {c: [] for c in TRANSITION_OUTPUT.names}
+        for etype, ts in zip(batch["event_type"], batch["ts"]):
+            if prev_type is not None:
+                out["user_id"].append(key[0])
+                out["from_type"].append(prev_type)
+                out["to_type"].append(etype)
+                out["ts"].append(ts)
+            prev_type = etype
+        tail = batch.iloc[-1]
+        self._last.update(
+            (tail["event_type"], tail["ts"], int(tail["event_id"]))
+        )
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def transition_pairs(stream: DataFrame) -> DataFrame:
+    """Consecutive event-type pairs per user over an events stream
+    (``user_id``, ``event_type``, ``ts``, ``event_id`` columns).
+    TimeMode None: the last-event record lives until the key is next
+    seen — a user's pair chain must survive arbitrarily long gaps."""
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        TransitionPairProcessor(),
+        outputStructType=TRANSITION_OUTPUT,
+        outputMode="append",
+        timeMode="None",
+    )

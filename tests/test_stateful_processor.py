@@ -239,3 +239,91 @@ def test_session_timeouts_fire_on_watermark(spark, tmp_path):
     assert rows[1].session_end == t0 + dt.timedelta(seconds=10)
     assert rows[2].n_events == 1
     assert rows[2].session_start == rows[2].session_end == t0
+
+
+def test_transition_pair_processor_logic_without_state_server():
+    """Chaining across batches and intra-batch event-time ordering:
+    the pair stream must equal the batch LEAD pairing."""
+    from fhir_to_lakehouse_spark.streaming.stateful import (
+        TransitionPairProcessor,
+    )
+
+    p = TransitionPairProcessor()
+    p._last = _FakeValueState()
+    t = pd.Timestamp
+    # deliberately unsorted batch: processor must order by (ts, event_id)
+    batch1 = pd.DataFrame(
+        {
+            "event_type": ["b", "a", "c"],
+            "ts": [t("2024-01-02"), t("2024-01-01"), t("2024-01-03")],
+            "event_id": [2, 1, 3],
+        }
+    )
+    out1 = pd.concat(list(p.handleInputRows((7,), iter([batch1]), None)))
+    assert list(zip(out1["from_type"], out1["to_type"])) == [
+        ("a", "b"),
+        ("b", "c"),
+    ]
+    # next batch chains from the stored last event ('c'), no pair skipped
+    batch2 = pd.DataFrame(
+        {"event_type": ["a"], "ts": [t("2024-01-04")], "event_id": [4]}
+    )
+    out2 = pd.concat(list(p.handleInputRows((7,), iter([batch2]), None)))
+    assert list(zip(out2["from_type"], out2["to_type"])) == [("c", "a")]
+    # ts tie broken by event_id: id 5 precedes id 6
+    batch3 = pd.DataFrame(
+        {
+            "event_type": ["y", "x"],
+            "ts": [t("2024-01-05"), t("2024-01-05")],
+            "event_id": [6, 5],
+        }
+    )
+    out3 = pd.concat(list(p.handleInputRows((7,), iter([batch3]), None)))
+    assert list(zip(out3["from_type"], out3["to_type"])) == [
+        ("a", "x"),
+        ("x", "y"),
+    ]
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState protocol needs protobuf (absent in container)",
+)
+def test_transition_pairs_stream_matches_batch_lead(spark, sf_dir, tmp_path):
+    from fhir_to_lakehouse_spark.streaming.stateful import transition_pairs
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    ev_dir = str(tmp_path / "events")
+    ev.repartition(2).write.mode("overwrite").parquet(ev_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ev_dir)
+    )
+    q = (
+        transition_pairs(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("transitions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = (
+        spark.sql("SELECT * FROM transitions")
+        .groupBy("from_type", "to_type")
+        .count()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .count()
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
