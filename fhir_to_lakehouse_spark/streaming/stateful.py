@@ -159,10 +159,7 @@ def session_timeouts(stream: DataFrame, gap_seconds: int = 60) -> DataFrame:
     """Sessions closed by event-time inactivity over an events stream
     (``user_id``, ``ts`` columns; the stream must carry a watermark on
     ``ts`` — timers fire when the watermark passes last-seen + gap)."""
-    stream.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    _require_rocksdb(stream)
     return stream.groupBy("user_id").transformWithStateInPandas(
         SessionTimeoutProcessor(gap_seconds),
         outputStructType=SESSION_OUTPUT,
@@ -177,13 +174,7 @@ def scd2_changelog(stream: DataFrame) -> DataFrame:
     state store provider (set by session.py); TimeMode None = state
     lives until explicitly cleared, matching a dimension whose keys
     never expire."""
-    # transformWithState requires the RocksDB state store; runtime conf,
-    # read at query start (the default HDFS-backed provider lacks the
-    # column-family support the new API needs)
-    stream.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    _require_rocksdb(stream)
     return stream.groupBy("user_id").transformWithStateInPandas(
         Scd2ChangeProcessor(),
         outputStructType=SCD2_CHANGE_OUTPUT,
@@ -216,13 +207,20 @@ class TransitionPairProcessor(StatefulProcessor):
     plans/events.py::events_markov_transitions; a downstream
     groupBy(from, to).count() maintains the live transition matrix.
 
+    Cross-batch ordering contract: a key's events must arrive in
+    micro-batches whose event times never regress past the stored last
+    event (the guarantee a user-keyed Kafka topic gives via
+    per-partition ordering). Events that DO arrive later than the
+    stored frontier are dropped, not mis-chained — the same late-data
+    policy every watermarked operator applies — so the emitted pairs
+    are exactly the batch LEAD pairs over the accepted events. The
+    stored (last_ts, last_id) IS the frontier that enforces this;
+    within a batch, rows are sorted by (ts, event_id), the LEAD
+    window's ORDER BY.
+
     State per key = the last event seen (type, ts, id) — three
     scalars, bounded regardless of stream length, so 100 TB
-    clickstreams keep one tiny record per user in RocksDB. Pairs never
-    chain across users (the shuffle key) and never skip: each batch is
-    event-time-sorted (ties by event_id, same contract as the batch
-    LEAD window's ORDER BY ts, event_id), chained from the stored last
-    event, and the newest event becomes the next batch's predecessor."""
+    clickstreams keep one tiny record per user in RocksDB."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._last = handle.getValueState("last", _LAST_EVENT_STATE)
@@ -235,17 +233,22 @@ class TransitionPairProcessor(StatefulProcessor):
         prev = self._last.get() if self._last.exists() else None
         prev_type = prev[0] if prev else None
         out: dict[str, list] = {c: [] for c in TRANSITION_OUTPUT.names}
-        for etype, ts in zip(batch["event_type"], batch["ts"]):
+        last_ts, last_id = (prev[1], prev[2]) if prev else (None, None)
+        for etype, ts, eid in zip(
+            batch["event_type"], batch["ts"], batch["event_id"]
+        ):
+            if last_ts is not None and (ts, eid) <= (last_ts, last_id):
+                # late arrival behind the frontier: chaining it would
+                # invert the pair the batch LEAD would emit — drop it
+                continue
             if prev_type is not None:
                 out["user_id"].append(key[0])
                 out["from_type"].append(prev_type)
                 out["to_type"].append(etype)
                 out["ts"].append(ts)
-            prev_type = etype
-        tail = batch.iloc[-1]
-        self._last.update(
-            (tail["event_type"], tail["ts"], int(tail["event_id"]))
-        )
+            prev_type, last_ts, last_id = etype, ts, int(eid)
+        if last_ts is not None:
+            self._last.update((prev_type, last_ts, last_id))
         if out["user_id"]:
             yield pd.DataFrame(out)
 
@@ -253,15 +256,22 @@ class TransitionPairProcessor(StatefulProcessor):
         pass
 
 
+def _require_rocksdb(stream: DataFrame) -> None:
+    """transformWithState needs the RocksDB state store (the default
+    HDFS-backed provider lacks column families); runtime conf, read at
+    query start."""
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def transition_pairs(stream: DataFrame) -> DataFrame:
     """Consecutive event-type pairs per user over an events stream
     (``user_id``, ``event_type``, ``ts``, ``event_id`` columns).
     TimeMode None: the last-event record lives until the key is next
     seen — a user's pair chain must survive arbitrarily long gaps."""
-    stream.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    _require_rocksdb(stream)
     return stream.groupBy("user_id").transformWithStateInPandas(
         TransitionPairProcessor(),
         outputStructType=TRANSITION_OUTPUT,

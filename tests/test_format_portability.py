@@ -14,12 +14,20 @@ from fhir_to_lakehouse_spark.sources.tables import load_table
 
 
 def _agg(df):
+    # DECIMAL-cast money sums (the repo's oracle float rule): each
+    # format rewrite changes scan splits and thus double-sum merge
+    # order, so a double SUM rounded to 2dp could flip near a boundary
+    # while decimal partial sums are exact under any layout
     return (
         df.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("sum_price"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

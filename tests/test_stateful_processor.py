@@ -283,6 +283,24 @@ def test_transition_pair_processor_logic_without_state_server():
         ("a", "x"),
         ("x", "y"),
     ]
+    # late arrival BEHIND the stored frontier (ts before batch3's tail)
+    # is dropped, never mis-chained; in-order rows in the same batch
+    # still chain from the frontier ('y')
+    batch4 = pd.DataFrame(
+        {
+            "event_type": ["late", "z"],
+            "ts": [t("2024-01-02"), t("2024-01-06")],
+            "event_id": [99, 100],
+        }
+    )
+    out4 = pd.concat(list(p.handleInputRows((7,), iter([batch4]), None)))
+    assert list(zip(out4["from_type"], out4["to_type"])) == [("y", "z")]
+    # an all-late batch emits nothing and leaves the frontier intact
+    batch5 = pd.DataFrame(
+        {"event_type": ["old"], "ts": [t("2024-01-01")], "event_id": [0]}
+    )
+    assert list(p.handleInputRows((7,), iter([batch5]), None)) == []
+    assert p._last.get()[0] == "z"
 
 
 @pytest.mark.skipif(
@@ -296,10 +314,25 @@ def test_transition_pairs_stream_matches_batch_lead(spark, sf_dir, tmp_path):
         "user_id", "event_type", "ts", "event_id"
     )
     ev_dir = str(tmp_path / "events")
-    ev.repartition(2).write.mode("overwrite").parquet(ev_dir)
+    # split into micro-batches ALONG EVENT TIME (every key's batch-2
+    # events are later than its batch-1 events) so the processor's
+    # cross-batch ordering contract holds and LEAD equality is exact;
+    # a round-robin split would interleave each user's history across
+    # batches and the late rows would (correctly) be dropped. The
+    # early file is written FIRST: FileStreamSource feeds files oldest
+    # mod-time first under latestFirst=false.
+    mid = ev.selectExpr("percentile(unix_timestamp(ts), 0.5)").first()[0]
+    early = ev.filter(F.unix_timestamp("ts") <= mid)
+    late = ev.filter(F.unix_timestamp("ts") > mid)
+    early.coalesce(1).write.mode("overwrite").parquet(ev_dir)
+    import time as _time
+
+    _time.sleep(1.1)
+    late.coalesce(1).write.mode("append").parquet(ev_dir)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
         .parquet(ev_dir)
     )
     q = (
