@@ -478,24 +478,31 @@ def main() -> None:
     from fhir_to_lakehouse_spark.plans import QUERIES
     from fhir_to_lakehouse_spark.session import get_spark
 
-    # load-AWARE start (VERDICT r7 item 7): r7's official bench number
-    # doubled purely from ambient machine load. Before spinning up the
-    # session, wait (up to BENCH_QUIET_WAIT_S, default 300 s) for the
-    # 1-minute load average to drop below BENCH_QUIET_LOAD (default
-    # 1.5) — and record both the wait and the load actually observed,
-    # so a noisy number is adjudicable from the JSON alone.
+    # load-AWARE start (VERDICT r7 item 7, hardened r10 per VERDICT r9
+    # item 1): r9's official run passed a load1-only gate at 1.49 while
+    # load5≈9 (the driver's own pytest still draining) and three
+    # contention-sensitive queries posted 4-8x their quiet numbers.
+    # Gate on max(load1, load5) so a still-draining machine can't slip
+    # through on a momentary load1 dip; budget raised to 900 s because
+    # load5 decays with a ~5-minute time constant (9 -> 1.5 takes
+    # ~9 min). Record the waits and the loads actually observed so a
+    # noisy number is adjudicable from the JSON alone.
     quiet_thresh = float(os.environ.get("BENCH_QUIET_LOAD", "1.5"))
-    quiet_wait_budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "300"))
+    quiet_wait_budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "900"))
     waited_s = 0.0
     try:
         while (
-            os.getloadavg()[0] > quiet_thresh and waited_s < quiet_wait_budget
+            max(os.getloadavg()[0], os.getloadavg()[1]) > quiet_thresh
+            and waited_s < quiet_wait_budget
         ):
             time.sleep(10)
             waited_s += 10
-        start_load1 = round(os.getloadavg()[0], 2)
+        _l1, _l5, _l15 = os.getloadavg()
+        start_load1 = round(_l1, 2)
+        start_load5 = round(_l5, 2)
+        start_load15 = round(_l15, 2)
     except OSError:  # pragma: no cover
-        start_load1 = None
+        start_load1 = start_load5 = start_load15 = None
 
     spark = get_spark("bench")
 
@@ -630,6 +637,8 @@ def main() -> None:
         load1, load5, load15 = os.getloadavg()
         env_load = {
             "loadavg_1m_at_start": start_load1,
+            "loadavg_5m_at_start": start_load5,
+            "loadavg_15m_at_start": start_load15,
             "quiet_wait_s": round(waited_s, 1),
             "loadavg_1m": round(load1, 2),
             "loadavg_5m": round(load5, 2),

@@ -17,6 +17,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -493,27 +494,44 @@ def prefix_filter_pairs(
             F.sort_array(F.collect_list(id_col)).alias("ids"),
             F.first("oe").alias("oe"),
         )
-        # referenced by prefix generation, both verify sides, and both
-        # expansion joins; cache cost is one ordered element list per
-        # DISTINCT set. Lifecycle: functions/cache.py persist contract
-        # (released by the caller's persist_scope; one-shot runs
-        # clearCache between queries).
-        .transform(scoped_persist)
+        # referenced by within-pair generation, prefix generation, and
+        # both verify sides (4 scans); cache cost is one ordered
+        # element list per DISTINCT set, stored SERIALIZED
+        # (MEMORY_AND_DISK, the Spark-4 serialized level) rather than
+        # as deserialized JVM object graphs: the cached payload is
+        # millions of small String objects whose heap residency was
+        # the dominant GC driver under contention (VERDICT r9 item 2
+        # measured +16.7 s GC on a loaded machine with the
+        # deserialized default). Lifecycle: functions/cache.py persist
+        # contract (released by the caller's persist_scope; one-shot
+        # runs clearCache between queries).
+        .transform(
+            lambda d: scoped_persist(d, StorageLevel.MEMORY_AND_DISK)
+        )
     )
 
-    # (1) within-group pairs: identical sets, jaccard exactly 1
-    ga = groups.filter(F.size("ids") > 1).select(
-        "sfp", F.size("oe").alias("n"), F.explode("ids").alias("ia")
-    )
-    gb = groups.filter(F.size("ids") > 1).select(
-        "sfp", F.explode("ids").alias("ib")
+    # (1) within-group pairs: identical sets, jaccard exactly 1.
+    # Generated IN-ARRAY (all i<j combinations of the sorted ids list
+    # via nested transform+slice — pure codegen, no shuffle) instead of
+    # the previous sfp self-join: one fewer exchange, one fewer scan of
+    # the persisted relation, and no join stage to stall under
+    # contention (VERDICT r9 item 2: fuse the distinct-set consumers).
+    _ids = F.col("ids")
+    _pair_structs = F.flatten(
+        F.transform(
+            _ids,
+            lambda x, i: F.transform(
+                F.slice(_ids, i + F.lit(2), F.size(_ids)),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
+        )
     )
     within = (
-        ga.join(gb, "sfp")
-        .filter(F.col("ia") < F.col("ib"))
+        groups.filter(F.size("ids") > 1)
+        .select(F.size("oe").alias("n"), F.explode(_pair_structs).alias("pr"))
         .select(
-            F.col("ia").alias("doc_a"),
-            F.col("ib").alias("doc_b"),
+            F.col("pr.ia").alias("doc_a"),
+            F.col("pr.ib").alias("doc_b"),
             F.col("n").alias("n_common"),
             F.lit(1.0).alias("jaccard"),
         )
@@ -540,32 +558,30 @@ def prefix_filter_pairs(
         .select("fa", "fb")
         .distinct()
     )
-    sa = reps.select(F.col("sfp").alias("fa"), F.col("oe").alias("ea"))
-    sb = reps.select(F.col("sfp").alias("fb"), F.col("oe").alias("eb"))
+    # The verify sides carry `ids` alongside the element arrays so the
+    # duplicate-id expansion happens inline on the (rare) verified
+    # pairs — the previous two join-backs to `groups` were two more
+    # exchanges and two more cache scans for data already in hand.
+    sa = groups.select(
+        F.col("sfp").alias("fa"),
+        F.col("oe").alias("ea"),
+        F.col("ids").alias("ids_a"),
+    )
+    sb = groups.select(
+        F.col("sfp").alias("fb"),
+        F.col("oe").alias("eb"),
+        F.col("ids").alias("ids_b"),
+    )
     inter = F.size(F.array_intersect("ea", "eb"))
     union = F.size("ea") + F.size("eb") - inter
     jac = inter / union.cast("double")
-    verified = (
+    cross = (
         cand.join(sa, "fa")
         .join(sb, "fb")
-        .select("fa", "fb", inter.alias("n_common"), jac.alias("_j"))
+        .select("ids_a", "ids_b", inter.alias("n_common"), jac.alias("_j"))
         .filter(F.col("_j") >= threshold)
-    )
-    cross = (
-        verified.join(
-            groups.select(F.col("sfp").alias("fa"), F.col("ids").alias("ids_a")),
-            "fa",
-        )
-        .join(
-            groups.select(F.col("sfp").alias("fb"), F.col("ids").alias("ids_b")),
-            "fb",
-        )
-        .select(
-            F.explode("ids_a").alias("x"), "ids_b", "n_common", "_j"
-        )
-        .select(
-            "x", F.explode("ids_b").alias("y"), "n_common", "_j"
-        )
+        .select(F.explode("ids_a").alias("x"), "ids_b", "n_common", "_j")
+        .select("x", F.explode("ids_b").alias("y"), "n_common", "_j")
         .select(
             F.least("x", "y").alias("doc_a"),
             F.greatest("x", "y").alias("doc_b"),
