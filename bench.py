@@ -119,6 +119,10 @@ HEADLINE = [
     # LATERAL decorrelated to broadcast join + WindowGroupLimit) and
     # the XML wire-format decode twin (pure-codegen from_xml chain)
     "recursive_cte_referral_depth",
+    # round 10: pointer-doubling twin (VERDICT r9 item 5) — depth via
+    # ceil(log2(depth)) squaring rounds composed lazily into one job
+    # (ReuseExchange collapses each round's identical join inputs)
+    "referral_depth_doubling",
     "lateral_top_customers_per_nation",
     "pipeline_xml_observation_decode",
     # round 9 continued: sliding-window duplicated-span removal — the

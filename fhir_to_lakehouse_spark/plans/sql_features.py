@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fhir_to_lakehouse_spark.functions.cache import scoped_local_checkpoint
 from fhir_to_lakehouse_spark.plans.registry import query
 from fhir_to_lakehouse_spark.sources.tables import load_table
 
@@ -68,6 +69,83 @@ def recursive_cte_referral_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(c_custkey) AS max_key
         FROM chain GROUP BY depth
         """
+    )
+
+
+@query(
+    "referral_depth_doubling",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, chain.depth + 1
+      FROM customer c JOIN chain ON c.c_custkey // 2 = chain.c_custkey
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT)      AS n,
+           MIN(c_custkey)                AS min_key,
+           MAX(c_custkey)                AS max_key
+    FROM chain GROUP BY depth
+    """,
+)
+def referral_depth_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recursive_cte_referral_depth's pointer-doubling twin (VERDICT
+    r9 item 5): same hierarchy, same oracle, but depth arrives in
+    ceil(log2(max_depth)) squaring rounds instead of max_depth
+    sequential frontier joins. Each node starts with a pointer to its
+    parent carrying distance 1 (the root self-loops at distance 0);
+    each round composes the mapping with itself, so pointers jump to
+    their target's target and the covered distance doubles — the
+    links.py merge-chain pattern (operators/links.py:86-110) applied
+    to depth labelling.
+
+    Execution shape: the round count is COMPUTED up front from
+    max(c_custkey) (depth <= floor(log2(max_key)) in this key scheme),
+    so no per-round termination probes run; the initial mapping is
+    materialized ONCE (localCheckpoint) and the rounds compose LAZILY
+    off its in-memory blocks into a single chained job. The two sides
+    of each self-join hash on different keys (a.anc vs b.k), so
+    ReuseExchange does NOT collapse them and the lazy tree reads the
+    checkpointed blocks 2^r times — fine for r <= 4-5 because each
+    leaf is a block read of a dimension-sized relation, not a parquet
+    decode. Three jobs total (max() probe, checkpoint, chain) versus
+    the CTE's max_depth sequential per-level joins at the scheduler's
+    job floor. At 100 TB: depth <= 64 covers 2^64 keys with r = 6
+    rounds; past r ~ 5 switch to links.py's per-round checkpoint
+    (operators/links.py:104) to trade jobs for the 2^r shuffle
+    fan-out."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    max_key = cust.agg(F.max("c_custkey")).collect()[0][0] or 1
+    max_depth = max(1, int(max_key).bit_length() - 1)
+    rounds = max(1, (max_depth - 1).bit_length())
+    is_root = F.col("c_custkey") == 1
+    m = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.when(is_root, F.lit(1))
+        .otherwise(F.floor(F.col("c_custkey") / 2))
+        .cast(cust.schema["c_custkey"].dataType)
+        .alias("anc"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).alias("d"),
+    )
+    # scoped so a persist_scope caller reclaims the blocks; one-shot
+    # runs leave one dimension-sized RDD behind, same contract as the
+    # BPE symbol frame (functions/text.py:263)
+    m = scoped_local_checkpoint(m, eager=True)
+    for _ in range(rounds):
+        a, b = m.alias("a"), m.alias("b")
+        m = a.join(b, F.col("a.anc") == F.col("b.k")).select(
+            F.col("a.k").alias("k"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.d") + F.col("b.d")).alias("d"),
+        )
+    return (
+        m.filter(F.col("anc") == 1)
+        .groupBy(F.col("d").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
     )
 
 
