@@ -70,30 +70,100 @@ def median_order_value_per_status(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("approx_distinct_sketch")
+@query(
+    "approx_distinct_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(1 AS INT) AS within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approx distinct per group — engine-specific sketch,
-    rows-only check; accuracy vs exact asserted in pytest."""
+    """HyperLogLog approx distinct per group. The HLL++ register state
+    is engine-specific, so the registered output carries the exact
+    count plus a bounded-error VERDICT (|approx-exact|/exact <= 3*rsd,
+    as 1/0) instead of the raw estimate — the DuckDB oracle computes
+    the same exact count and asserts the verdict is 1, upgrading the
+    entry from rows-only to a value-checked error-bound gate (VERDICT
+    r9 item 6). The estimate itself stays pytest-asserted
+    (tests/test_sketches.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= 0.06
+            )
+            .cast("int")
+            .alias("within_3rsd"),
+        )
     )
 
 
-@query("approx_percentile_sketch")
+@query(
+    "approx_percentile_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS INT) AS p50_rank_ok,
+           CAST(1 AS INT) AS p90_rank_ok,
+           CAST(1 AS INT) AS p99_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx sketch — the 100 TB path for quantiles (bounded
-    memory, mergeable); rows-only, accuracy pytest-checked."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
-    # one sketch pass, quantiles unpacked to scalar columns at the
-    # boundary (registry convention: no ARRAY output columns)
-    return li.groupBy("l_returnflag").agg(
-        F.element_at(pcts, 1).alias("p50"),
-        F.element_at(pcts, 2).alias("p90"),
-        F.element_at(pcts, 3).alias("p99"),
+    """percentile_approx sketch — the 100 TB path for quantiles
+    (bounded memory, mergeable). The sketch values are engine-specific,
+    so the registered output is the RANK-ERROR GATE the sketch
+    guarantees (value's rank interval must cover q*n within
+    n/accuracy + 1), computed exactly by re-ranking each returned
+    value against its group: group size plus a 1/0 verdict per
+    quantile, which the DuckDB oracle reproduces exactly (VERDICT r9
+    item 6 upgrade from rows-only). The raw sketch values stay
+    pytest-asserted (tests/test_sketches.py)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
     )
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    sk = li.groupBy("l_returnflag").agg(
+        F.element_at(pcts, 1).alias("_v50"),
+        F.element_at(pcts, 2).alias("_v90"),
+        F.element_at(pcts, 3).alias("_v99"),
+    )
+    # 3-row sketch frame broadcast back onto the fact scan: one more
+    # pass computes each value's exact rank interval per group
+    j = li.join(F.broadcast(sk), "l_returnflag")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for q, c in [(0.5, "_v50"), (0.9, "_v90"), (0.99, "_v99")]:
+        aggs.append(
+            F.sum((F.col("l_extendedprice") < F.col(c)).cast("long")).alias(
+                f"_lo{c}"
+            )
+        )
+        aggs.append(
+            F.sum((F.col("l_extendedprice") <= F.col(c)).cast("long")).alias(
+                f"_hi{c}"
+            )
+        )
+    g = j.groupBy("l_returnflag").agg(*aggs)
+    err = F.col("n") / 10000 + 1
+    out = [F.col("l_returnflag"), F.col("n")]
+    for q, c in [(0.5, "_v50"), (0.9, "_v90"), (0.99, "_v99")]:
+        target = F.lit(q) * F.col("n")
+        ok = (F.col(f"_lo{c}") - err <= target) & (
+            target <= F.col(f"_hi{c}") + err
+        )
+        out.append(ok.cast("int").alias(f"p{int(q * 100)}_rank_ok"))
+    return g.select(*out)
 
 
 @query(
@@ -136,24 +206,49 @@ def topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_hll_union")
+@query(
+    "approx_distinct_hll_union",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT)   AS exact_customers,
+           CAST(COUNT(*) AS BIGINT)                    AS exact_total_rows,
+           CAST(1 AS INT)                              AS union_within_5pct
+    FROM customer
+    """,
+)
 def approx_distinct_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketches (rows-only: Datasketches HLL
-    binary layout is Spark-specific, no DuckDB twin): per-nation
-    customer sketches are built once, then UNIONED into a global
-    estimate WITHOUT touching the raw data again — the reaggregation
-    property that lets 100 TB pipelines keep pre-computed per-partition
-    sketches and answer rollups from kilobytes. Accuracy is
-    pytest-bounded in tests/test_extensions.py."""
+    """Mergeable distinct-count sketches: per-nation customer sketches
+    are built once, then UNIONED into a global estimate WITHOUT
+    touching the raw data again — the reaggregation property that lets
+    100 TB pipelines keep pre-computed per-partition sketches and
+    answer rollups from kilobytes. The Datasketches binary layout is
+    Spark-specific, so the registered output carries the exact global
+    counts plus a 1/0 error-bound verdict on the merged estimate
+    (within 5% of exact — the pytest bound in
+    tests/test_extensions.py), which the DuckDB oracle reproduces
+    exactly (VERDICT r9 item 6 upgrade from rows-only)."""
     cust = load_table(spark, sf_dir, "customer")
     per_nation = cust.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey").alias("sketch"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_custkey").alias("n_exact"),
     )
     return per_nation.agg(
         F.count(F.lit(1)).alias("n_nations"),
-        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-        .cast("long")
-        .alias("approx_total_customers"),
+        # custkeys never repeat across nations, so the exact global
+        # distinct is the sum of per-nation exacts (one pass)
+        F.sum("n_exact").alias("exact_customers"),
         F.sum("n_rows").alias("exact_total_rows"),
+        (
+            F.abs(
+                F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast(
+                    "double"
+                )
+                - F.sum("n_exact")
+            )
+            / F.sum("n_exact")
+            <= 0.05
+        )
+        .cast("int")
+        .alias("union_within_5pct"),
     )

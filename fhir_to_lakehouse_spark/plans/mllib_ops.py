@@ -33,12 +33,41 @@ def _token_vectors(spark: SparkSession, sf_dir: str, n_features: int = 1 << 14):
     return tf.transform(tok.transform(docs))
 
 
-@query("dedup_mllib_minhash_lsh")
+@query(
+    "dedup_mllib_minhash_lsh",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> ''
+             )) AS toks
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    s2 AS (SELECT doc_id, toks FROM s WHERE len(toks) > 0),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             1 - len(list_intersect(a.toks, b.toks))::DOUBLE /
+                 (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))) AS d
+      FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(d, 6) AS jaccard_dist FROM p WHERE d < 0.3
+    """,
+)
 def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHashLSH (pyspark.ml, seed=42) approxSimilarityJoin at Jaccard
-    distance <= 0.8 over binary HashingTF vectors. Rows-only check
-    (feature-hash buckets aren't SQL-reproducible); agreement with the
-    oracle-checked md5 MinHash is pytest-asserted."""
+    distance < 0.3 over binary HashingTF vectors.
+
+    Upgraded from rows-only to a FULL value oracle (VERDICT r9 item 6):
+    approxSimilarityJoin verifies candidates with the EXACT vector
+    Jaccard, the corpus vocabulary has zero murmur3 collisions in 2^14
+    buckets (so vector Jaccard == token-set Jaccard, which DuckDB
+    computes from first principles), and at 8 OR-ed hash tables the
+    candidate recall is exhaustive at every test SF (probed: 4 tables
+    missed 3 of 6697 sf0.1 pairs; 8 miss none — a miss prob per
+    J=0.7 pair of (1-J)^8 ~ 6.6e-5, and the seed makes it
+    deterministic, so green stays green). The oracle is the brute-force
+    all-pairs join the LSH must reproduce without being quadratic."""
     from pyspark.ml.feature import MinHashLSH
 
     # deterministic 4% sample: the synthetic corpus shares one tiny
@@ -48,7 +77,7 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _token_vectors(spark, sf_dir).filter(F.col("doc_id") % 25 == 0)
     # MinHashLSH requires at least one non-zero entry
     vecs = vecs.filter(F.size("tokens") > 0)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(vecs)
     pairs = model.approxSimilarityJoin(vecs, vecs, 0.3, distCol="jaccard_dist")
     return (
@@ -61,11 +90,40 @@ def dedup_mllib_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_mllib_tfidf")
+@query(
+    "text_mllib_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM toks GROUP BY t)
+    SELECT toks.doc_id,
+           ROUND(MAX(LN((nd.n_docs + 1) / (dfreq.df + 1))), 6)
+             AS max_tfidf_weight
+    FROM toks
+    JOIN dfreq ON toks.t = dfreq.t
+    CROSS JOIN nd
+    GROUP BY toks.doc_id
+    """,
+)
 def text_mllib_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HashingTF + IDF pipeline: per-doc top feature weight. Rows-only
-    (hash-bucketed features); the exact TF-IDF twin is the
-    oracle-checked tfidf_top_terms."""
+    """HashingTF + IDF pipeline: per-doc top feature weight.
+
+    Upgraded from rows-only to a FULL value oracle (VERDICT r9 item 6):
+    with binary TF, the top weight is exactly the IDF of the doc's
+    rarest token, ln((N+1)/(df+1)) — and the corpus vocabulary (31
+    words) has ZERO murmur3 collisions in the 2^14 feature space
+    (probed at every test SF), so the hash-bucketed df equals the
+    token-level df and DuckDB reproduces every value from first
+    principles. A collision would break the equality — which is
+    precisely what the gate should catch, since a collided bucket
+    IS a wrong df. The exact (non-hashed) TF-IDF twin remains
+    tfidf_top_terms."""
     from pyspark.ml.feature import IDF
     from pyspark.ml.functions import vector_to_array
 
@@ -91,61 +149,156 @@ def _embedding_vectors(spark: SparkSession, sf_dir: str):
     )
 
 
-@query("cluster_kmeans_mllib")
+@query(
+    "cluster_kmeans_mllib",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(8 AS INT)           AS k_used,
+           CAST(1 AS INT)           AS all_assigned,
+           CAST(1 AS INT)           AS inertia_lt_global
+    FROM embeddings
+    """,
+)
 def cluster_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus clustering (the cluster-balanced-sampling / SemDeDup-cell
     primitive at training-data scale): seeded MLlib KMeans (k=8) over
-    the embedding column, returning per-cluster sizes and centroid
-    norms. Rows-only check (Lloyd's iterations from a seeded k-means||
-    init aren't SQL-reproducible); quality is pytest-asserted
-    (tests/test_mllib_agreement.py: full coverage partition, k cluster
-    ids, within-cluster variance < global variance).
+    the embedding column. Lloyd's iterations from a seeded k-means||
+    init aren't SQL-reproducible, so the registered output is the
+    invariant suite a correct clustering must satisfy — exact point
+    count, all 8 clusters used, every point assigned, and
+    within-cluster SSE strictly below the single-cluster SSE (k-means
+    cannot do worse than no clustering) — each as an exact/1-0 column
+    the DuckDB oracle reproduces (VERDICT r9 item 6 upgrade from
+    rows-only). Per-cluster sizes and variance stay pytest-asserted
+    (tests/test_mllib_agreement.py).
 
     Scale shape: each Lloyd iteration is one broadcast of k centroids
     + one map-side assignment + one partial-aggregated centroid
     update — the same join/agg loop as functions/graph.py::pagerank,
     run inside MLlib's optimized implementation."""
     from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import vector_to_array
 
     vecs = _embedding_vectors(spark, sf_dir)
     km = KMeans(k=8, seed=42, maxIter=20, featuresCol="features")
     model = km.fit(vecs)
-    pred = model.transform(vecs)
-    return (
-        pred.groupBy(F.col("prediction").alias("cluster_id"))
-        .agg(F.count("*").alias("n"))
+    pred = model.transform(vecs).select(
+        "prediction", vector_to_array("features").alias("a")
+    )
+    # within-cluster SSE vs single-cluster SSE, both exact one-pass
+    # aggregates: SSE around a mean = sum||x||^2 - n*||mean||^2
+    dims = range(len(model.clusterCenters()[0]))
+    sq = F.aggregate(
+        F.transform("a", lambda v: v * v), F.lit(0.0), lambda s, v: s + v
+    )
+    per_dim_sums = [F.sum(F.col("a")[i]).alias(f"_s{i}") for i in dims]
+    by_cluster = pred.groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sq).alias("ss"),
+        *per_dim_sums,
+    )
+    mean_norm2 = sum(
+        (F.col(f"_s{i}") / F.col("n")) ** 2 for i in dims
+    )
+    tot = by_cluster.select(
+        "n",
+        "ss",
+        (F.col("ss") - F.col("n") * mean_norm2).alias("sse"),
+        F.col("prediction").isNotNull().cast("long").alias("assigned"),
+        *[F.col(f"_s{i}") for i in dims],
+    ).agg(
+        F.sum("n").alias("n_points"),
+        F.count(F.lit(1)).alias("k_used"),
+        F.min("assigned").alias("_all_assigned"),
+        F.sum("sse").alias("_within"),
+        F.sum("ss").alias("_ss_tot"),
+        *[F.sum(F.col(f"_s{i}")).alias(f"_g{i}") for i in dims],
+    )
+    global_mean_norm2 = sum(
+        (F.col(f"_g{i}") / F.col("n_points")) ** 2 for i in dims
+    )
+    return tot.select(
+        F.col("n_points"),
+        F.col("k_used").cast("int").alias("k_used"),
+        F.col("_all_assigned").cast("int").alias("all_assigned"),
+        (
+            F.col("_within")
+            < F.col("_ss_tot") - F.col("n_points") * global_mean_norm2
+        )
+        .cast("int")
+        .alias("inertia_lt_global"),
     )
 
 
-@query("embedding_pca_mllib")
+@query(
+    "embedding_pca_mllib",
+    oracle="""
+    SELECT CAST(t.i AS INT) AS component,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM embeddings)  AS n,
+           CAST(1 AS INT)     AS unit_norm,
+           CAST(1 AS INT)     AS var_nonincreasing
+    FROM range(8) t(i)
+    """,
+)
 def embedding_pca_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA dimensionality reduction (seeded-free, deterministic up to
+    """PCA dimensionality reduction (seed-free, deterministic up to
     component sign): project the embedding column onto its top-8
-    principal components and report per-component projected variance.
-    Rows-only check (eigendecomposition isn't SQL-reproducible);
-    pytest asserts the variance ordering, orthonormal loadings, and
-    that explained variance sums below 1.
+    principal components. The eigendecomposition isn't
+    SQL-reproducible, so the registered output is the invariant suite
+    a correct PCA must satisfy per component — exact projection count,
+    unit-norm loading column, and non-increasing projected variance
+    down the component order — each as an exact/1-0 column the DuckDB
+    oracle reproduces (VERDICT r9 item 6 upgrade from rows-only). The
+    raw variance values stay pytest-asserted
+    (tests/test_mllib_agreement.py).
 
     Scale shape: PCA over d=64 is a d x d Gramian aggregated
     distributedly (one pass, map-side combinable) + a driver-side
     eigendecomposition of the tiny 64x64 matrix — exactly how
     covariance-based PCA should split work at 100 TB."""
     from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
 
     vecs = _embedding_vectors(spark, sf_dir)
     model = PCA(k=8, inputCol="features", outputCol="pc").fit(vecs)
     proj = model.transform(vecs)
-    # per-component variance of the projected coordinates: vector -> array
-    from pyspark.ml.functions import vector_to_array
-
+    # loading-column norms from the local d x k matrix (64x8 doubles,
+    # driver-side by construction — the same place MLlib ran the eigen
+    # solve); folded in as a map literal keyed by component
+    pc = model.pc.toArray()  # d x k
+    norms = [float((pc[:, c] ** 2).sum()) ** 0.5 for c in range(pc.shape[1])]
+    norm_map = F.create_map(
+        *[
+            lit
+            for c, nv in enumerate(norms)
+            for lit in (F.lit(c), F.lit(nv))
+        ]
+    )
     arr = proj.select(vector_to_array("pc").alias("a"))
-    return (
+    per_comp = (
         arr.select(F.posexplode("a").alias("component", "v"))
         .groupBy("component")
-        .agg(
-            F.round(F.var_samp("v"), 4).alias("projected_variance"),
-            F.count("*").alias("n"),
+        .agg(F.var_samp("v").alias("_var"), F.count("*").alias("n"))
+    )
+    w = Window.orderBy("component")
+    return per_comp.select(
+        "component",
+        "n",
+        (
+            F.abs(F.element_at(norm_map, F.col("component")) - 1.0) < 1e-9
         )
+        .cast("int")
+        .alias("unit_norm"),
+        (
+            F.col("_var")
+            <= F.coalesce(F.lag("_var").over(w), F.lit(float("inf")))
+            * (1 + 1e-12)
+            + 1e-12
+        )
+        .cast("int")
+        .alias("var_nonincreasing"),
     )
 
 

@@ -175,4 +175,16 @@ def test_hll_union_estimate_within_bounds(spark, sf_dir):
         .distinct()
         .count()
     )
-    assert abs(row["approx_total_customers"] - exact) / exact < 0.05
+    assert row["exact_customers"] == exact
+    assert row["union_within_5pct"] == 1
+    # independent re-derivation of the merged estimate (the registry
+    # output now carries the verdict; the raw estimate is re-built here
+    # so the bound is still asserted on values)
+    cust = load_table(spark, sf_dir, "customer")
+    est = (
+        cust.groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()["est"]
+    )
+    assert abs(est - exact) / exact < 0.05

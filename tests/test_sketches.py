@@ -17,15 +17,28 @@ from fhir_to_lakehouse_spark.sources.tables import load_table
 
 def test_approx_distinct_sketch_within_rsd(spark, sf_dir):
     """HLL++ at rsd=0.02 must land within 3 sigma (6%) of the exact
-    distinct count for every group — the query emits both columns, so
-    the check needs no recomputation."""
+    distinct count for every group. The registry output now carries the
+    verdict column (its raw estimate moved out so the DuckDB oracle
+    can value-check the row); this test recomputes the estimate
+    INDEPENDENTLY from the table so the bound is still asserted on raw
+    values, not on the query's own verdict alone."""
     rows = QUERIES["approx_distinct_sketch"](spark, sf_dir).collect()
     assert rows
-    for r in rows:
-        assert (
-            abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
-            < 0.06
+    assert all(r["within_3rsd"] == 1 for r in rows)
+    li = load_table(spark, sf_dir, "lineitem")
+    indep = {
+        r["l_returnflag"]: (r["approx"], r["exact"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_orderkey").alias("exact"),
         )
+        .collect()
+    }
+    for r in rows:
+        approx, exact = indep[r["l_returnflag"]]
+        assert r["exact_orders"] == exact
+        assert abs(approx - exact) / exact < 0.06
 
 
 def test_approx_percentile_sketch_rank_error_bounded(spark, sf_dir):
@@ -39,12 +52,25 @@ def test_approx_percentile_sketch_rank_error_bounded(spark, sf_dir):
     )
     got = QUERIES["approx_percentile_sketch"](spark, sf_dir).collect()
     assert got
+    # the registry output is now the rank gate itself (oracle-checkable)
+    for r in got:
+        for c in ("p50_rank_ok", "p90_rank_ok", "p99_rank_ok"):
+            assert r[c] == 1, (r["l_returnflag"], c)
+    # independent re-derivation: recompute the sketch values directly
+    # from the table and rank-check them here, so the bound is asserted
+    # on raw values, not on the query's own verdict alone
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    sk = {
+        r["l_returnflag"]: (r["vs"][0], r["vs"][1], r["vs"][2])
+        for r in li.groupBy("l_returnflag").agg(pcts.alias("vs")).collect()
+    }
     for r in got:
         flag = r["l_returnflag"]
         grp = li.filter(F.col("l_returnflag") == flag)
         n = grp.count()
+        assert n == r["n"]
         err = n / 10000 + 1
-        for q, val in zip([0.5, 0.9, 0.99], [r["p50"], r["p90"], r["p99"]]):
+        for q, val in zip([0.5, 0.9, 0.99], sk[flag]):
             rank_lo = grp.filter(F.col("l_extendedprice") < val).count()
             rank_hi = grp.filter(F.col("l_extendedprice") <= val).count()
             target = q * n
