@@ -476,7 +476,11 @@ def stats_chi_square_independence(
     )
     # double product, not long*long: marginal products overflow int64
     # around 10^12 events; doubles are exact below 2^53 so the oracle
-    # (whose HUGEINT product is always exact) still agrees at test SFs
+    # still agrees at test SFs. (DuckDB's BIGINT*BIGINT does NOT
+    # promote to HUGEINT — it ERRORS past ~9.2e18 rather than losing
+    # precision, so at hypothetical >1e12-event scale the oracle would
+    # fail loudly, not drift; the Spark side's double product is the
+    # one that keeps working.)
     e = (
         F.col("row_tot").cast("double")
         * F.col("col_tot").cast("double")

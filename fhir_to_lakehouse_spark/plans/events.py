@@ -1430,7 +1430,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_autocorrelation",
     oracle="""
     WITH d AS (
-      SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS v
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
       FROM events GROUP BY 1
     ),
     lags AS (SELECT CAST(UNNEST(generate_series(1, 7)) AS INT) AS lag)
@@ -1460,12 +1461,20 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: 100 TB of events still spans the same calendar, so
     the post-aggregate series stays a few thousand rows; the ACF join
     cost is invariant to corpus growth while the daily aggregate
-    parallelizes embarrassingly. The sums entering CORR are rounded to
-    6dp first on both engines, pinning the correlation inputs."""
+    parallelizes embarrassingly. The daily sums entering CORR
+    accumulate in DECIMAL on both engines (the repo's money-sum rule,
+    per-value 2dp cast then exact integer arithmetic), so the inputs
+    are order-independent and bit-identical across engines — a rounded
+    double SUM would still be order-dependent under the rounding
+    (ADVICE r9)."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("v")
+    )
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     a = d.alias("a").crossJoin(F.broadcast(lags))
     pairs = a.join(

@@ -220,7 +220,16 @@ class TransitionPairProcessor(StatefulProcessor):
 
     State per key = the last event seen (type, ts, id) — three
     scalars, bounded regardless of stream length, so 100 TB
-    clickstreams keep one tiny record per user in RocksDB."""
+    clickstreams keep one tiny record per user in RocksDB.
+
+    Frontier drops are OBSERVABLE (ADVICE r9): pass a Spark
+    accumulator as ``dropped_acc`` and every late row discarded behind
+    a key's frontier adds to it — a misconfigured non-key-partitioned
+    source then shows up as a climbing counter in the Spark UI instead
+    of silently vanishing transitions."""
+
+    def __init__(self, dropped_acc: Any = None) -> None:
+        self._dropped_acc = dropped_acc
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._last = handle.getValueState("last", _LAST_EVENT_STATE)
@@ -234,12 +243,15 @@ class TransitionPairProcessor(StatefulProcessor):
         prev_type = prev[0] if prev else None
         out: dict[str, list] = {c: [] for c in TRANSITION_OUTPUT.names}
         last_ts, last_id = (prev[1], prev[2]) if prev else (None, None)
+        n_dropped = 0
         for etype, ts, eid in zip(
             batch["event_type"], batch["ts"], batch["event_id"]
         ):
             if last_ts is not None and (ts, eid) <= (last_ts, last_id):
                 # late arrival behind the frontier: chaining it would
                 # invert the pair the batch LEAD would emit — drop it
+                # (counted, so the loss is operationally visible)
+                n_dropped += 1
                 continue
             if prev_type is not None:
                 out["user_id"].append(key[0])
@@ -247,6 +259,8 @@ class TransitionPairProcessor(StatefulProcessor):
                 out["to_type"].append(etype)
                 out["ts"].append(ts)
             prev_type, last_ts, last_id = etype, ts, int(eid)
+        if n_dropped and self._dropped_acc is not None:
+            self._dropped_acc.add(n_dropped)
         if last_ts is not None:
             self._last.update((prev_type, last_ts, last_id))
         if out["user_id"]:
@@ -266,14 +280,19 @@ def _require_rocksdb(stream: DataFrame) -> None:
     )
 
 
-def transition_pairs(stream: DataFrame) -> DataFrame:
+def transition_pairs(stream: DataFrame, dropped_acc: Any = None) -> DataFrame:
     """Consecutive event-type pairs per user over an events stream
     (``user_id``, ``event_type``, ``ts``, ``event_id`` columns).
     TimeMode None: the last-event record lives until the key is next
-    seen — a user's pair chain must survive arbitrarily long gaps."""
+    seen — a user's pair chain must survive arbitrarily long gaps.
+
+    ``dropped_acc``: optional Spark accumulator
+    (``sc.accumulator(0)``) incremented for every late row dropped
+    behind a key's frontier — wire it in production so out-of-order
+    ingestion is a visible counter, not silent loss (ADVICE r9)."""
     _require_rocksdb(stream)
     return stream.groupBy("user_id").transformWithStateInPandas(
-        TransitionPairProcessor(),
+        TransitionPairProcessor(dropped_acc),
         outputStructType=TRANSITION_OUTPUT,
         outputMode="append",
         timeMode="None",

@@ -248,7 +248,14 @@ def test_transition_pair_processor_logic_without_state_server():
         TransitionPairProcessor,
     )
 
-    p = TransitionPairProcessor()
+    class _FakeAcc:
+        value = 0
+
+        def add(self, n):
+            self.value += n
+
+    acc = _FakeAcc()
+    p = TransitionPairProcessor(dropped_acc=acc)
     p._last = _FakeValueState()
     t = pd.Timestamp
     # deliberately unsorted batch: processor must order by (ts, event_id)
@@ -295,12 +302,15 @@ def test_transition_pair_processor_logic_without_state_server():
     )
     out4 = pd.concat(list(p.handleInputRows((7,), iter([batch4]), None)))
     assert list(zip(out4["from_type"], out4["to_type"])) == [("y", "z")]
+    # the frontier drop is counted, not silent (ADVICE r9)
+    assert acc.value == 1
     # an all-late batch emits nothing and leaves the frontier intact
     batch5 = pd.DataFrame(
         {"event_type": ["old"], "ts": [t("2024-01-01")], "event_id": [0]}
     )
     assert list(p.handleInputRows((7,), iter([batch5]), None)) == []
     assert p._last.get()[0] == "z"
+    assert acc.value == 2
 
 
 @pytest.mark.skipif(

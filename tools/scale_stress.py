@@ -180,10 +180,18 @@ def synthesize(spark, fresh: bool = False) -> None:
     # curve would silently measure 1x data
     dims = "region nation part supplier".split()
     scaled = "customer orders lineitem documents events embeddings".split()
+    # a directory alone isn't proof of a complete write: a run killed
+    # mid-write leaves a partial directory without Spark's _SUCCESS
+    # marker, and skipping on it would make every later curve silently
+    # measure truncated data (ADVICE r9)
     if (
         not fresh
         and all(os.path.exists(os.path.join(OUT, f"{t}.parquet")) for t in dims)
-        and all(os.path.isdir(os.path.join(OUT, f"{t}.parquet")) for t in scaled)
+        and all(
+            os.path.isdir(os.path.join(OUT, f"{t}.parquet"))
+            and os.path.exists(os.path.join(OUT, f"{t}.parquet", "_SUCCESS"))
+            for t in scaled
+        )
     ):
         return
     # dimensions stay fixed-size (as they would at a real 10x: TPC-H
