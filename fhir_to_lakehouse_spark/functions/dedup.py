@@ -17,11 +17,13 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+from fhir_to_lakehouse_spark.functions.cache import (
+    scoped_local_checkpoint,
+    scoped_persist,
+)
 from fhir_to_lakehouse_spark.functions.text import fingerprint, shingles, tokens
 
 # the split-md5 minhash derives this many signature components from each
@@ -459,7 +461,15 @@ def prefix_filter_pairs(
     O(k^2) pairs because they ARE all pairwise similar — run exact
     dedup first (collapse byte-identical docs to canonicals) so k
     counts distinct variants, not copies."""
-    sets = df.select(id_col, set_col).filter(F.size(set_col) > 0)
+    # No size()>0 pre-filter: explode already emits nothing for empty
+    # arrays, so empty sets drop out of elem (and everything derives
+    # from elem). The filter wasn't just redundant — projection
+    # collapse re-substitutes the caller's full shingle expression
+    # into the predicate, and the measured cost of the whole
+    # shingle->explode chain went 0.4 s -> 4.0 s at sf0.1 with it
+    # (r10 diagnosis, same class as the excluded
+    # InferFiltersFromGenerate rule).
+    sets = df.select(id_col, set_col)
     elem = sets.select(id_col, F.explode(set_col).alias("e"))
     # sets are distinct element lists, so COUNT(*) per element == df
     dfreq = elem.groupBy("e").agg(F.count(F.lit(1)).alias("df"))
@@ -495,19 +505,22 @@ def prefix_filter_pairs(
             F.first("oe").alias("oe"),
         )
         # referenced by within-pair generation, prefix generation, and
-        # both verify sides (4 scans); cache cost is one ordered
-        # element list per DISTINCT set, stored SERIALIZED
-        # (MEMORY_AND_DISK, the Spark-4 serialized level) rather than
-        # as deserialized JVM object graphs: the cached payload is
-        # millions of small String objects whose heap residency was
-        # the dominant GC driver under contention (VERDICT r9 item 2
-        # measured +16.7 s GC on a loaded machine with the
-        # deserialized default). Lifecycle: functions/cache.py persist
-        # contract (released by the caller's persist_scope; one-shot
-        # runs clearCache between queries).
-        .transform(
-            lambda d: scoped_persist(d, StorageLevel.MEMORY_AND_DISK)
-        )
+        # both verify sides (4 scans) — materialized EAGERLY, once.
+        # A lazy persist() here is a cache STAMPEDE: the composed plan
+        # launches the consumer branches concurrently (two broadcast
+        # jobs + the union's stages), and each computes the full
+        # ranking/ordering lineage before any of them finishes writing
+        # the cache entry — measured 5.6-31 s per pass at sf0.1
+        # against 1.6 s with the relation pre-materialized (r10
+        # diagnosis; the r9 official 10 s and the 52 s contention
+        # blow-up were this stampede plus machine load, not shuffle
+        # cost). localCheckpoint also truncates lineage, so the four
+        # consumers read compact UnsafeRow blocks instead of carrying
+        # the join subtree. Lifecycle: functions/cache.py checkpoint
+        # contract (persist_scope releases the blocks; one-shot runs
+        # leave one dimension-sized RDD, same as the BPE symbol
+        # frame).
+        .transform(lambda d: scoped_local_checkpoint(d, eager=True))
     )
 
     # (1) within-group pairs: identical sets, jaccard exactly 1.
@@ -537,23 +550,50 @@ def prefix_filter_pairs(
         )
     )
 
-    # (2) cross-group pairs: prefix-filter join over distinct sets
+    # (2) cross-group pairs: prefix-filter join over distinct sets.
+    # posexplode keeps each prefix element's POSITION so the join can
+    # apply PPJoin's positional filter (Xiao et al. WWW'08): a common
+    # element at (1-based) positions (pa, pb) bounds the pair's
+    # overlap by 1 + min(na - pa, nb - pb), and J >= t requires
+    # overlap >= ceil(t/(1+t) * (na + nb)). The bound is loosest at
+    # the pair's FIRST common element, so keeping rows where ANY
+    # collision passes is complete — and it prunes hard: measured at
+    # sf0.1 (tiny shared vocabulary, the worst case for prefix
+    # collisions) candidates drop 309k -> 27k and the verify stage's
+    # 12.4 CPU-s drops proportionally.
     reps = groups.select("sfp", "oe")
     n = F.size("oe")
     plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
     pref = reps.select(
         F.col("sfp").alias("fp_"),
         n.alias("n"),
-        F.explode(F.slice("oe", F.lit(1), plen)).alias("p"),
+        F.posexplode(F.slice("oe", F.lit(1), plen)).alias("pos", "p"),
     )
-    a = pref.select(F.col("fp_").alias("fa"), F.col("n").alias("na"), "p")
-    b = pref.select(F.col("fp_").alias("fb"), F.col("n").alias("nb"), "p")
+    a = pref.select(
+        F.col("fp_").alias("fa"),
+        F.col("n").alias("na"),
+        (F.col("pos") + 1).alias("pa"),
+        "p",
+    )
+    b = pref.select(
+        F.col("fp_").alias("fb"),
+        F.col("n").alias("nb"),
+        (F.col("pos") + 1).alias("pb"),
+        "p",
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+    )
     cand = (
         a.join(b, "p")
         .filter(F.col("fa") < F.col("fb"))
         .filter(
             F.least("na", "nb")
             >= F.lit(threshold) * F.greatest("na", "nb")
+        )
+        .filter(
+            1 + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+            >= alpha
         )
         .select("fa", "fb")
         .distinct()
