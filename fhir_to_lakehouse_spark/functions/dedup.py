@@ -242,10 +242,13 @@ def candidate_pairs_blocked(
         *block_cols,
         shingle_hashes_from_tokens(F.col("_toks"), shingle_k).alias("sh"),
     )
-    # both sides of the self-join read `base`; persist so shingling
-    # runs once (at warehouse scale this is a staged signatures table).
+    # both sides of the self-join read `base`, and self-join sides run
+    # CONCURRENTLY — a lazy persist is a cache stampede (each side
+    # recomputes the shingling before either finishes writing the
+    # entry; see prefix_filter_pairs, r10 diagnosis). Materialize once,
+    # eagerly (at warehouse scale this is a staged signatures table).
     # Released by the caller's persist_scope (functions/cache.py).
-    base = scoped_persist(base)
+    base = scoped_local_checkpoint(base, eager=True)
     # per-block sizes: one map-side-combinable count over the block key,
     # broadcast back (the distinct-block frame is tiny by construction)
     counts = base.groupBy(*block_cols).agg(
@@ -395,11 +398,13 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "id", "sig", F.explode(band_keys(F.col("sig"), bands, rows)).alias("bk")
     )
-    # the LSH self-join consumes `banded` on both sides; without a
-    # materialization Spark computes the (md5-heavy) signature pipeline
-    # twice. At warehouse scale signatures would be written to a table;
-    # in-session we persist the tiny (id, sig, bk) frame instead.
-    banded = scoped_persist(banded)
+    # the LSH self-join consumes `banded` on both sides, and the two
+    # sides' map stages run CONCURRENTLY — a lazy persist is a cache
+    # stampede (both compute the md5-heavy signature pipeline before
+    # either finishes writing the entry; see prefix_filter_pairs, r10
+    # diagnosis). Materialize once, eagerly. At warehouse scale
+    # signatures would be written to a table.
+    banded = scoped_local_checkpoint(banded, eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
