@@ -568,7 +568,17 @@ def prefix_filter_pairs(
     # 12.4 CPU-s drops proportionally.
     reps = groups.select("sfp", "oe")
     n = F.size("oe")
-    plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    # Boundary-safe ceilings (ADVICE r10): both threshold ratios below
+    # can be EXACTLY integral as rationals while the double product
+    # rounds a hair above the integer (0.9/1.9*133 = 63.000…01 -> ceil
+    # 64 vs exact 63; 0.07*100 = 7.000…01 -> ceil 8 vs exact 7). An
+    # overshot ceil is unsafe in both places — it SHORTENS the prefix
+    # (missed collisions) and RAISES the overlap bound (pruning a pair
+    # with Jaccard exactly == threshold that verify's >= would keep).
+    # Subtracting 1e-9 before ceil makes the integral case land on the
+    # integer; a razor-thin non-integral case can undershoot by 1,
+    # which only weakens pruning — verification stays exact.
+    plen = (n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1).cast("int")
     pref = reps.select(
         F.col("sfp").alias("fp_"),
         n.alias("n"),
@@ -587,7 +597,8 @@ def prefix_filter_pairs(
         "p",
     )
     alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+        F.lit(threshold) * (F.col("na") + F.col("nb")) / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
     )
     cand = (
         a.join(b, "p")

@@ -330,6 +330,62 @@ def test_prefix_filter_pairs_duplicate_heavy(spark, copies, t):
     assert got == _model_prefix_pairs(doc_sets, t)
 
 
+def test_prefix_filter_positional_bound_exact_threshold(spark):
+    """Pin the ADVICE-r10 float-ceil boundary: threshold 0.9, na+nb=133
+    makes the exact overlap requirement ceil(9/19*133) = 63, but the
+    double product 0.9/1.9*133 = 63.000000000000001 so a naive F.ceil
+    gives 64 and the positional filter prunes a pair whose Jaccard is
+    EXACTLY the threshold before verification ever sees it.
+
+    Construction: |a| = 66, |b| = 67, 63 shared elements (J = 63/70 =
+    0.9 exactly), 3 elements unique to a and 4 unique to b. Unique
+    elements have df=1 so the df-ascending canonical order puts them
+    first: the first common element sits at positions (pa, pb) = (4, 5),
+    giving positional bound 1 + min(66-4, 67-5) = 63 — passing iff
+    alpha is the exact 63. Prefix lengths are 7/7 so the collision is
+    in-prefix. With the overshot alpha=64 this pair silently vanishes;
+    with the boundary-safe ceil it must be returned (and the later
+    collisions at (5,6)/(6,7) correctly fail the bound, so THIS row is
+    the only survivor — the test exercises the boundary, not slack)."""
+    common = [f"c{i:02d}" for i in range(63)]
+    a = {"ua0", "ua1", "ua2"} | set(common)
+    b = {"ub0", "ub1", "ub2", "ub3"} | set(common)
+    doc_sets = [a, b]
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(doc_sets)],
+        "doc_id long, sh array<string>",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+        for r in DD.prefix_filter_pairs(
+            df, set_col="sh", id_col="doc_id", threshold=0.9
+        ).collect()
+    }
+    assert got == {(0, 1, 63, 0.9)}
+    assert _model_prefix_pairs(doc_sets, 0.9) == {(0, 1, 63)}
+
+
+def test_prefix_filter_exact_threshold_small_ratio(spark):
+    """Second ADVICE-r10 overshoot instance: t=0.2, na+nb=18 — double
+    0.2/1.2*18 = 3.0000000000000004 -> naive ceil 4 vs exact 3. Two
+    9-element sets sharing exactly 3 elements have J = 3/15 = 0.2,
+    exactly at threshold; they must be returned."""
+    common = ["c0", "c1", "c2"]
+    a = {"a0", "a1", "a2", "a3", "a4", "a5"} | set(common)
+    b = {"b0", "b1", "b2", "b3", "b4", "b5"} | set(common)
+    df = spark.createDataFrame(
+        [(0, sorted(a)), (1, sorted(b))],
+        "doc_id long, sh array<string>",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in DD.prefix_filter_pairs(
+            df, set_col="sh", id_col="doc_id", threshold=0.2
+        ).collect()
+    }
+    assert got == _model_prefix_pairs([a, b], 0.2) == {(0, 1, 3)}
+
+
 # --- view-path splitter (quote-aware) ------------------------------------
 
 _seg_chars = st.text(
