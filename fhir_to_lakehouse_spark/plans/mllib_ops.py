@@ -20,17 +20,32 @@ from fhir_to_lakehouse_spark.sources.tables import (
 )
 
 
-def _token_vectors(spark: SparkSession, sf_dir: str, n_features: int = 1 << 14):
-    from pyspark.ml.feature import HashingTF, Tokenizer
+def _vectorize_docs(docs: DataFrame, n_features: int = 1 << 14) -> DataFrame:
+    """(doc_id, text) -> (doc_id, text, tokens, features).
 
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.lower(F.col("text")).alias("text")
-    )
-    tok = Tokenizer(inputCol="text", outputCol="tokens")
+    RegexTokenizer on \\s+, not Tokenizer (ADVICE r10): Tokenizer
+    splits on single \\s, so consecutive whitespace emits "" tokens
+    that HashingTF hashes into a real feature — the DuckDB oracles
+    filter t <> '', so the equality held only because the current
+    corpus has no doubled whitespace. \\s+ with the default
+    minTokenLength=1 drops empties STRUCTURALLY, matching the
+    oracle's filter for any corpus (pinned by
+    tests/test_mllib_agreement.py::test_vectorizer_drops_empty_tokens).
+    """
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    tok = RegexTokenizer(inputCol="text", outputCol="tokens", pattern="\\s+")
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=n_features, binary=True
     )
     return tf.transform(tok.transform(docs))
+
+
+def _token_vectors(spark: SparkSession, sf_dir: str, n_features: int = 1 << 14):
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    return _vectorize_docs(docs, n_features)
 
 
 @query(
@@ -153,9 +168,9 @@ def _embedding_vectors(spark: SparkSession, sf_dir: str):
     "cluster_kmeans_mllib",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
-           CAST(8 AS INT)           AS k_used,
+           CAST(1 AS INT)           AS k_used_in_range,
            CAST(1 AS INT)           AS all_assigned,
-           CAST(1 AS INT)           AS inertia_lt_global
+           CAST(1 AS INT)           AS inertia_le_global
     FROM embeddings
     """,
 )
@@ -165,12 +180,17 @@ def cluster_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding column. Lloyd's iterations from a seeded k-means||
     init aren't SQL-reproducible, so the registered output is the
     invariant suite a correct clustering must satisfy — exact point
-    count, all 8 clusters used, every point assigned, and
-    within-cluster SSE strictly below the single-cluster SSE (k-means
-    cannot do worse than no clustering) — each as an exact/1-0 column
-    the DuckDB oracle reproduces (VERDICT r9 item 6 upgrade from
-    rows-only). Per-cluster sizes and variance stay pytest-asserted
-    (tests/test_mllib_agreement.py).
+    count, 1 <= k_used <= min(8, distinct points), every point
+    assigned, and within-cluster SSE <= the single-cluster SSE within
+    float epsilon (k-means cannot do worse than no clustering) — each
+    as an exact/1-0 column the DuckDB oracle reproduces. The bounds
+    are data-derivable, not pinned (ADVICE r10): a seeded run that
+    leaves a cluster empty, or a degenerate corpus of identical
+    embeddings, is in-spec MLlib behavior and must not redden the
+    gate. The sharper pinned-seed facts (k_used == 8 at the test SFs,
+    strictly lower inertia) are regression-asserted in
+    tests/test_mllib_agreement.py where a seed/scale change is
+    adjudicable, instead of inside the driver oracle where it is not.
 
     Scale shape: each Lloyd iteration is one broadcast of k centroids
     + one map-side assignment + one partial-aggregated centroid
@@ -182,6 +202,17 @@ def cluster_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _embedding_vectors(spark, sf_dir)
     km = KMeans(k=8, seed=42, maxIter=20, featuresCol="features")
     model = km.fit(vecs)
+    # data-derivable ceiling for k_used: k-means can't use more
+    # clusters than there are distinct points (one hash-agg over the
+    # raw arrays; at scale this is the same single exchange as any
+    # distinct-count and is map-side combinable)
+    n_distinct = (
+        fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+        .select("embedding")
+        .distinct()
+        .count()
+    )
+    k_cap = min(8, n_distinct)
     pred = model.transform(vecs).select(
         "prediction", vector_to_array("features").alias("a")
     )
@@ -217,16 +248,18 @@ def cluster_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_mean_norm2 = sum(
         (F.col(f"_g{i}") / F.col("n_points")) ** 2 for i in dims
     )
+    gsse = F.col("_ss_tot") - F.col("n_points") * global_mean_norm2
     return tot.select(
         F.col("n_points"),
-        F.col("k_used").cast("int").alias("k_used"),
-        F.col("_all_assigned").cast("int").alias("all_assigned"),
-        (
-            F.col("_within")
-            < F.col("_ss_tot") - F.col("n_points") * global_mean_norm2
-        )
+        ((F.col("k_used") >= 1) & (F.col("k_used") <= F.lit(k_cap)))
         .cast("int")
-        .alias("inertia_lt_global"),
+        .alias("k_used_in_range"),
+        F.col("_all_assigned").cast("int").alias("all_assigned"),
+        # <= with absolute+relative epsilon: identical embeddings give
+        # within == global == 0 up to summation-order float noise
+        (F.col("_within") <= gsse + F.lit(1e-6) + F.lit(1e-9) * F.abs(gsse))
+        .cast("int")
+        .alias("inertia_le_global"),
     )
 
 

@@ -30,6 +30,26 @@ def buckets(spark, sf_dir):
     return _bucket_sets(spark, sf_dir)
 
 
+def test_vectorizer_drops_empty_tokens(spark):
+    """ADVICE r10: consecutive whitespace must not become a "" token
+    (Tokenizer's split on single \\s did; HashingTF then hashed it
+    into a real feature the DuckDB oracles' t <> '' filter excludes).
+    Pinned structurally: doubled/mixed whitespace tokenizes to exactly
+    the non-empty words, so the hashed vector of "a  b" equals that of
+    "a b"."""
+    from fhir_to_lakehouse_spark.plans.mllib_ops import _vectorize_docs
+
+    docs = spark.createDataFrame(
+        [(0, "alpha  beta"), (1, "alpha beta"), (2, " alpha\t\tbeta \n")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in _vectorize_docs(docs).collect()}
+    assert rows[0]["tokens"] == ["alpha", "beta"]
+    assert rows[2]["tokens"] == ["alpha", "beta"]
+    f0, f1, f2 = (set(rows[i]["features"].indices.tolist()) for i in range(3))
+    assert f0 == f1 == f2 and len(f0) == 2
+
+
 def _jaccard_dist(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
@@ -130,9 +150,9 @@ def test_kmeans_partitions_corpus_and_reduces_variance(spark, sf_dir):
     assert len(out) == 1
     row = out[0]
     assert row.n_points == n_total
-    assert row.k_used == 8
+    assert row.k_used_in_range == 1
     assert row.all_assigned == 1
-    assert row.inertia_lt_global == 1
+    assert row.inertia_le_global == 1
 
     vecs = _embedding_vectors(spark, sf_dir)
     model = KMeans(k=8, seed=42, maxIter=20, featuresCol="features").fit(vecs)
@@ -141,6 +161,12 @@ def test_kmeans_partitions_corpus_and_reduces_variance(spark, sf_dir):
         [r.features.toArray() for r in pred.select("features").collect()]
     )
     labels = np.array([r.prediction for r in pred.select("prediction").collect()])
+    # pinned-seed regression facts, deliberately SHARPER than the
+    # driver oracle's data-derivable bounds (ADVICE r10): at the test
+    # SFs the seeded run fills all 8 clusters and beats the
+    # single-cluster baseline STRICTLY — adjudicable here, where a
+    # seed/scale change is visible, not in the driver gate
+    assert len(set(labels.tolist())) == 8
     centers = np.array(model.clusterCenters())
     within = float(np.mean(np.sum((X - centers[labels]) ** 2, axis=1)))
     global_var = float(np.mean(np.sum((X - X.mean(axis=0)) ** 2, axis=1)))

@@ -12,26 +12,24 @@ from __future__ import annotations
 
 from fhir_to_lakehouse_spark.plans import QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
-
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_doubling_matches_recursive_cte(spark):
-    cte = _rows(QUERIES["recursive_cte_referral_depth"](spark, SF_DIR))
-    dbl = _rows(QUERIES["referral_depth_doubling"](spark, SF_DIR))
+def test_doubling_matches_recursive_cte(spark, sf_dir):
+    cte = _rows(QUERIES["recursive_cte_referral_depth"](spark, sf_dir))
+    dbl = _rows(QUERIES["referral_depth_doubling"](spark, sf_dir))
     assert dbl == cte
     # depth 0 is exactly the root
     root = [r for r in dbl if r[0] == 0]
     assert root == [(0, 1, 1, 1)]
 
 
-def test_doubling_depth_is_floor_log2(spark):
+def test_doubling_depth_is_floor_log2(spark, sf_dir):
     # in the custkey DIV 2 key scheme, depth(k) == floor(log2(k)):
     # every level's key range must be [2^d, 2^(d+1)-1] (clipped at max)
-    rows = QUERIES["referral_depth_doubling"](spark, SF_DIR).collect()
+    rows = QUERIES["referral_depth_doubling"](spark, sf_dir).collect()
     max_key = max(r["max_key"] for r in rows)
     for r in rows:
         d = r["depth"]
