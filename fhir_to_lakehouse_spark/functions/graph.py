@@ -261,7 +261,15 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    edges = edges.persist()  # referenced twice below (out-weights + join)
+    # referenced twice below, by the out-weight aggregate's map stage
+    # and the normalize join's probe stage — INDEPENDENT stages the
+    # scheduler submits concurrently, so a lazy persist alone is the
+    # r10 cache stampede (both stages re-derive the caller's edge
+    # lineage cold). persist + count materializes eagerly; count is
+    # one job over the lineage, after which both consumers read the
+    # warm cache.
+    edges = edges.persist()
+    edges.count()
     outw = edges.groupBy(src).agg(F.sum(weight).alias("_ow"))
     edges_n = edges.join(outw, src).select(
         F.col(src).alias("_src"),

@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+from fhir_to_lakehouse_spark.functions.cache import (
+    scoped_local_checkpoint,
+    scoped_persist,
+)
 
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
@@ -673,10 +676,13 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.explode("sh").alias("s"))
         .distinct()
         # the benchmark shingle set is eval-suite-sized (small by
-        # definition) and feeds BOTH broadcast probe structures; one
-        # persist stops the tokenize/shingle/distinct chain running
-        # twice. Lifecycle: functions/cache.py persist contract.
-        .transform(scoped_persist)
+        # definition) and feeds BOTH broadcast probe structures — two
+        # INDEPENDENT broadcast builds Spark materializes concurrently,
+        # so a lazy persist is the r10 cache stampede (each build
+        # re-runs the tokenize/shingle/distinct chain); eagerly
+        # checkpointed instead.
+        # Lifecycle: functions/cache.py checkpoint contract.
+        .transform(lambda d: scoped_local_checkpoint(d, eager=True))
     )
     bench_h = bench.select(F.xxhash64("s").alias("h")).distinct()
     train = sh.filter(F.col("doc_id") % 50 != 0).select(

@@ -143,12 +143,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_xxhash")
-def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production MinHash: xxhash64 signatures (JVM-fast, no md5 string
-    churn). Same LSH shape as dedup_minhash_lsh; rows-only check (no
-    xxhash64 in DuckDB), equivalence covered in pytest."""
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+def xxhash_lsh_est_pairs(docs: DataFrame) -> DataFrame:
+    """The raw production xxhash64 MinHash+LSH pipeline: banding
+    self-join candidates with their signature-agreement estimates at
+    est >= 0.25. Unregistered (xxhash64 has no DuckDB twin, so the
+    pair set is hash-dependent); tests/test_sketches.py pins it
+    against the oracle-checked md5 twin. The REGISTERED
+    dedup_minhash_xxhash entry audits this machinery with
+    DuckDB-reproducible invariants instead."""
     # staged: the convenience shingles() form embedded the tokenizer
     # in all 16 signature components — 96 regex evaluations per row
     # (plan-audit sweep); tokens and shingles in their own projections
@@ -198,6 +200,87 @@ def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("est_sim") >= 0.25)
+    )
+
+
+@query(
+    "dedup_minhash_xxhash",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.sh, b.sh)) AS i,
+                 len(a.sh) AS na, len(b.sh) AS nb
+          FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(i / CAST(na + nb - i AS DOUBLE), 6) AS jaccard,
+           CAST(1 AS INT) AS lsh_recalled,
+           CAST(1 AS INT) AS est_within_bound
+    FROM p
+    WHERE i / CAST(na + nb - i AS DOUBLE) >= 0.9
+    """,
+)
+def dedup_minhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash (xxhash64 signatures, 16 hashes, 4 bands x 4
+    rows), promoted from rows-only to a FULL value oracle (VERDICT r10
+    item 2, the r10 sketch recipe: exact invariant columns + 1/0
+    verdicts). xxhash64 isn't reproducible in DuckDB, so the entry
+    emits what IS: every near-dup pair at exact shingle Jaccard >= 0.9
+    (computed by the oracle-checked prefix-filter join; DuckDB
+    recomputes it brute-force from the sets) plus two signature-audit
+    verdicts the oracle pins at 1 — `lsh_recalled` (some band of the
+    two xxhash signatures agrees exactly, i.e. the banding self-join
+    WOULD emit this pair; evaluated in-row on the joined signatures,
+    no quadratic join) and `est_within_bound` (the 16-hash agreement
+    estimate is within 0.25 of the true Jaccard). Both are probed
+    corpus facts at the test SFs: 4-band recall at J >= 0.9 is
+    1-(1-J^4)^4 >= 0.986 per pair and xxhash64 is seedless-
+    deterministic, so green stays green (same adjudication as
+    dedup_mllib_minhash_lsh's recall note). A signature or banding
+    regression flips a verdict to 0 and reddens the gate.
+
+    Scale: the exact side is the subquadratic PPJoin; the signature
+    side is two keyed equi-joins onto pairs already found — the
+    banding SELF-JOIN (demonstrated, oracle-checked, by
+    dedup_minhash_lsh) is not re-run here."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", TX.tokens("text").alias("_toks")).select(
+        "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("_sh")
+    )
+    exact = DD.prefix_filter_pairs(
+        sh, set_col="_sh", id_col="doc_id", threshold=0.9
+    )
+    sigs = sh.select("doc_id", DD.sig_xxhash(F.col("_sh"), 16).alias("sig"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e
+        )
+    )
+    est = agree / F.lit(16.0)
+    recalled = F.lit(False)
+    for band in range(4):
+        recalled = recalled | (
+            F.slice("sig_a", band * 4 + 1, 4) == F.slice("sig_b", band * 4 + 1, 4)
+        )
+    return (
+        exact.select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            "jaccard",
+        )
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            recalled.cast("int").alias("lsh_recalled"),
+            (F.abs(est - F.col("jaccard")) <= 0.25)
+            .cast("int")
+            .alias("est_within_bound"),
+        )
     )
 
 
@@ -301,29 +384,61 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(1 AS INT) AS order_invariant,
+           CAST(1 AS INT) AS doubling_invariant
+    FROM documents
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 per document + near-dup pairs at Hamming distance <= 8
-    within (lang) blocks. xxhash64-based -> rows-only check; the
-    truth-table behavior (identical text -> distance 0) is pytest-covered."""
+    """Production SimHash64 (xxhash64 token hashes, majority vote per
+    bit), promoted from rows-only to a FULL value oracle (VERDICT r10
+    item 2). The xxhash signature has no DuckDB twin, and both pair
+    designs fail honestly — probed this round: a hamming bound over
+    exact-Jaccard >= 0.9 near-dup pairs would need hamming <= 31
+    (max over 3 SFs; SimHash weights tokens by MULTIPLICITY, and this
+    shared-vocabulary corpus has high set-Jaccard pairs with very
+    different counts), i.e. vacuous on 64 bits; and identical-multiset
+    pairs, whose hamming is structurally 0, don't exist in the corpus
+    (0 rows at every SF — a vacuous gate of the opposite kind). The
+    entry therefore pins per-document invariants that are STRUCTURAL,
+    non-empty, and corpus-independent (ADVICE-r10 hardening
+    principle): SimHash is a pure function of the token multiset, so
+    for every document (1) `order_invariant`: the signature of the
+    REVERSED token sequence equals the original, and (2)
+    `doubling_invariant`: the signature of the multiset CONCATENATED
+    WITH ITSELF equals the original — every per-bit vote sum scales
+    by 2, preserving signs and ties. Both are exactly 1 for a correct
+    implementation on any corpus at any scale; an order-sensitivity,
+    accumulation, bit-order, or tie-break regression flips them.
+    `n_tokens` is the exact data column DuckDB recomputes. The
+    probabilistic near-dup pair behavior stays oracle-checked
+    bit-for-bit by the md5 twin `dedup_simhash_md5` and
+    pytest-covered for the xxhash path (tests/test_extensions.py).
+
+    Scale: three signature evaluations riding one corpus scan — pure
+    codegen, no shuffle, no join."""
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    sh = DD.with_simhash(
-        docs.select(F.col("doc_id").alias("id"), "lang", "text"),
-        TX.tokens("text"),
-        "sh",
-    ).drop("text")
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            DD.hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 8)
+    base = docs.select("doc_id", TX.tokens("text").alias("_tk"))
+    # each signature stages its vote vector in its own projection
+    # (with_simhash contract: the 64-way bit fold must read a
+    # materialized column reference, never the aggregate tree itself)
+    staged = DD.with_simhash(base, F.col("_tk"), "_sh1")
+    staged = DD.with_simhash(staged, F.reverse(F.col("_tk")), "_sh2")
+    staged = DD.with_simhash(
+        staged, F.concat(F.col("_tk"), F.col("_tk")), "_sh3"
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("n_tokens"),
+        (F.col("_sh1") == F.col("_sh2")).cast("int").alias("order_invariant"),
+        (DD.hamming64(F.col("_sh1"), F.col("_sh3")) == 0)
+        .cast("int")
+        .alias("doubling_invariant"),
     )
 
 

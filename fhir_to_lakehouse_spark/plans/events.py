@@ -541,28 +541,38 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     users collapse before the exchange. Stage counts are 1-row
     aggregates crossJoin-broadcast into the 3-row stacked result
     (whitelisted tiny BNLJ, same class as bm25's corpus stats)."""
-    from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+    from fhir_to_lakehouse_spark.functions.cache import (
+        scoped_local_checkpoint,
+        scoped_persist,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     pair = F.struct(F.col("ts"), F.col("event_id"))
     # each stage frontier is read twice (its count + the next stage's
-    # join); without a persist the final plan embeds stage 1's subtree
-    # 3x and the events scan 6x, counting on ReusedExchange to fire —
-    # the exact implicit reliance functions/cache.py warns against.
-    # The frontiers are per-user argmin aggregates (user-cardinality
-    # rows), so the cache is dimension-sized. Code-review finding.
-    s1 = scoped_persist(
+    # join); without materialization the final plan embeds stage 1's
+    # subtree 3x and the events scan 6x, counting on ReusedExchange to
+    # fire — the exact implicit reliance functions/cache.py warns
+    # against. The n2/n3 broadcast builds are INDEPENDENT, so Spark
+    # materializes them concurrently: a lazy persist on s1/s2 is the
+    # r10 cache stampede (three concurrent consumers re-derive the
+    # events aggregate). s1/s2 are eagerly checkpointed
+    # (user-cardinality rows — dimension-sized); s3 has a single
+    # consumer (the n3 build) and stays a plain scoped persist.
+    # Lifecycle: functions/cache.py checkpoint contract.
+    s1 = scoped_local_checkpoint(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min(pair).alias("p1"))
+        .agg(F.min(pair).alias("p1")),
+        eager=True,
     )
-    s2 = scoped_persist(
+    s2 = scoped_local_checkpoint(
         ev.filter(F.col("event_type") == "click")
         .select("user_id", pair.alias("p"))
         .join(s1, "user_id")
         .filter(F.col("p") > F.col("p1"))
         .groupBy("user_id")
-        .agg(F.min("p").alias("p2"))
+        .agg(F.min("p").alias("p2")),
+        eager=True,
     )
     s3 = scoped_persist(
         ev.filter(F.col("event_type") == "purchase")

@@ -7,7 +7,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+from fhir_to_lakehouse_spark.functions.cache import (
+    scoped_local_checkpoint,
+    scoped_persist,
+)
 
 from fhir_to_lakehouse_spark.plans.registry import query
 from fhir_to_lakehouse_spark.sources.tables import (
@@ -48,7 +51,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         emb.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-        .transform(scoped_persist)  # both sides of the self-join
+        # both sides of the self-join consume this CONCURRENTLY — a
+        # lazy persist is the r10 cache stampede (each join side
+        # recomputes the norm projection before either fills the
+        # cache); eager checkpoint materializes it once.
+        # Lifecycle: functions/cache.py checkpoint contract.
+        .transform(lambda d: scoped_local_checkpoint(d, eager=True))
     )
     a, b = base.alias("a"), base.alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / F.greatest(
@@ -614,10 +622,16 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir_to_lakehouse_spark.functions.text import tokens
 
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    toks = scoped_persist(
+    # `toks` feeds the stats aggregate AND the scoring join's probe
+    # side — independent shuffle-map stages submitted concurrently, so
+    # a lazy persist is the r10 cache stampede; eager checkpoint
+    # materializes the token stream once (the same bytes the persist
+    # would cache). Lifecycle: functions/cache.py checkpoint contract.
+    toks = scoped_local_checkpoint(
         docs.select(
             "doc_id", "lang", F.explode(tokens("text")).alias("token")
-        )
+        ),
+        eager=True,
     )
     stats = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_raw"),

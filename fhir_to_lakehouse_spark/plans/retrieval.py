@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+from fhir_to_lakehouse_spark.functions.cache import (
+    scoped_local_checkpoint,
+    scoped_persist,
+)
 
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
@@ -167,9 +170,13 @@ def search_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("c"))
-        # both branches read tf; persisting avoids a second
-        # tokenize+explode scan (functions/cache.py persist contract)
-        .transform(scoped_persist)
+        # both branches (stats aggregate, postings window) feed the
+        # final shuffle join — independent map stages the scheduler
+        # submits concurrently, so a lazy persist is the r10 cache
+        # stampede (each re-runs tokenize+explode+agg cold); eager
+        # checkpoint materializes tf once.
+        # Lifecycle: functions/cache.py checkpoint contract.
+        .transform(lambda d: scoped_local_checkpoint(d, eager=True))
     )
     stats = tf.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("c").alias("total_tf")

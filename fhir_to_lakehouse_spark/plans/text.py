@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fhir_to_lakehouse_spark.functions.cache import scoped_persist
+from fhir_to_lakehouse_spark.functions.cache import (
+    scoped_local_checkpoint,
+    scoped_persist,
+)
 
 from fhir_to_lakehouse_spark.functions import text as TX
 from fhir_to_lakehouse_spark.plans.registry import query
@@ -550,16 +553,21 @@ def text_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (not a third corpus pass) and travels as a 1-row broadcast
     (bm25-stats class) — two corpus scans total: candidates+N, then
     the exact recount."""
-    from fhir_to_lakehouse_spark.functions.cache import scoped_persist
     from fhir_to_lakehouse_spark.functions.text import misra_gries_candidates
 
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     tok = docs.select(F.explode(TX.tokens("text")).alias("token"))
     # ONE scan yields both the candidates and the per-partition row
-    # counts (N = their sum); persisted because both derivations read
-    # it — the cache is at most k x partitions + partitions rows
-    mg = scoped_persist(
-        misra_gries_candidates(tok, k=50, emit_partition_counts=True)
+    # counts (N = their sum); both derivations (`cand` and `total`)
+    # are INDEPENDENT broadcast builds, which Spark materializes
+    # concurrently — a lazy persist here is the r10 cache stampede
+    # (each build re-runs the full corpus tokenize+MG pass before
+    # either writes the cache entry). Eagerly checkpointed instead:
+    # the relation is at most k x partitions + partitions rows.
+    # Lifecycle: functions/cache.py checkpoint contract.
+    mg = scoped_local_checkpoint(
+        misra_gries_candidates(tok, k=50, emit_partition_counts=True),
+        eager=True,
     )
     # candidates are the NOT-is_total rows (dedicated marker — a
     # token-IS-NULL filter would misclassify genuine null tokens)
@@ -737,7 +745,14 @@ def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", TX.tokens("text").alias("t")
     ).filter(F.size("t") >= 3)
-    grams = scoped_persist(
+    # `grams` feeds the count aggregate AND the scoring join's probe
+    # side; those are independent shuffle-map stages the scheduler
+    # submits concurrently, so a lazy persist is the r10 cache
+    # stampede (both stages re-derive the trigram explode before
+    # either fills the cache). Eager checkpoint materializes the
+    # trigram stream exactly once — the same bytes the persist would
+    # have held. Lifecycle: functions/cache.py checkpoint contract.
+    grams = scoped_local_checkpoint(
         t.select(
             "doc_id",
             F.explode(
@@ -748,7 +763,8 @@ def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " element_at(t, i + 2) AS nxt))"
                 )
             ).alias("g"),
-        ).select("doc_id", "g.ctx", "g.nxt")
+        ).select("doc_id", "g.ctx", "g.nxt"),
+        eager=True,
     )
     cn = grams.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("n"))
     cc = cn.groupBy("ctx").agg(F.sum("n").alias("n_ctx"))

@@ -343,6 +343,41 @@ def test_fan_out_small_scan_spreads_and_preserves_pushdown(spark, sf_dir, tmp_pa
     assert fan_out_small_scan(stream) is stream
 
 
+def test_converted_stampede_sites_stay_checkpoint_rooted(spark, sf_dir):
+    """Round-11 persist sweep (VERDICT r10 item 4): every lazy persist
+    whose relation feeds >= 2 CONCURRENT consumer branches (self-join
+    sides, independent broadcast builds, independent shuffle-map
+    stages) was converted to an eager localCheckpoint — a lazy persist
+    there is the r10 cache stampede (each branch recomputes the full
+    lineage before any fills the cache; measured 5.6-31 s/pass on the
+    prefix filter). This pins each converted site: the optimized plan
+    must read the materialized blocks (a LogicalRDD/ExistingRDD leaf),
+    not re-derive the shared subtree per branch. The full site-by-site
+    classification table lives in SCALING.md (round 11)."""
+    converted = [
+        "text_heavy_hitters_exact",      # MG candidates: 2 broadcast builds
+        "text_trigram_perplexity",       # trigram stream: agg + probe stages
+        "dedup_embedding_cosine",        # norm frame: both self-join sides
+        "corpus_dsir_selection",         # token stream: agg + probe stages
+        "events_funnel_conversion",      # s1/s2 frontiers: n1..n3 builds
+        "search_inverted_postings",      # tf: stats + postings map stages
+        "decontaminate_bloom_prefilter", # bench shingles: 2 broadcast builds
+    ]
+    spark.catalog.clearCache()
+    for name in converted:
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan, (
+            f"{name}: no checkpoint-rooted leaf in the optimized plan — "
+            "a concurrent-consumer relation regressed to lazy lineage "
+            "(cache-stampede recurrence)"
+        )
+
+
 def test_prefix_filter_join_stays_defragilized(spark, sf_dir):
     """VERDICT r9 item 2 recurrence net: the r10 restructure cut the
     prefix-filter join from 7 logical joins (sfp self-join for

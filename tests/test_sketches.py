@@ -92,9 +92,17 @@ def test_minhash_xxhash_twin_matches_md5_twin(spark, sf_dir):
         (r["id_a"], r["id_b"]): r["est_sim"]
         for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
     }
+    from fhir_to_lakehouse_spark.plans.dedup import xxhash_lsh_est_pairs
+    from fhir_to_lakehouse_spark.sources.tables import (
+        fan_out_small_scan,
+        load_table,
+    )
+
     xx = {
         (r["id_a"], r["id_b"]): r["est_sim"]
-        for r in QUERIES["dedup_minhash_xxhash"](spark, sf_dir).collect()
+        for r in xxhash_lsh_est_pairs(
+            fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+        ).collect()
     }
     assert md5, "md5 twin found no pairs — fixture drifted"
     assert set(md5) == set(xx)
