@@ -622,18 +622,24 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir_to_lakehouse_spark.functions.text import tokens
 
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    # `toks` feeds the stats aggregate AND the scoring join's probe
-    # side — independent shuffle-map stages submitted concurrently, so
-    # a lazy persist is the r10 cache stampede; eager checkpoint
-    # materializes the token stream once (the same bytes the persist
-    # would cache). Lifecycle: functions/cache.py checkpoint contract.
-    toks = scoped_local_checkpoint(
-        docs.select(
+    # The token stream feeds the stats aggregate AND the scoring
+    # join's probe side — independent shuffle-map stages submitted
+    # concurrently, so a lazy persist here is the r10 cache stampede.
+    # But the relation is corpus x tokens sized and one explode away
+    # from the scan, so MATERIALIZING it (persist or checkpoint) costs
+    # more than deriving it twice: measured at the 10x synthetic,
+    # recompute 2.5-3.1 s vs eager checkpoint 2.9-3.3 s steady-state
+    # (SCALING.md round-11 study 4), and at 100 TB the write
+    # amplification of a token-stream materialization is the wrong
+    # plan outright. Each consumer builds its OWN stream expression —
+    # two cheap codegen scans, no shared subtree, no stampede.
+    def _toks() -> DataFrame:
+        return docs.select(
             "doc_id", "lang", F.explode(tokens("text")).alias("token")
-        ),
-        eager=True,
-    )
-    stats = toks.groupBy("token").agg(
+        )
+
+    toks = _toks()
+    stats = _toks().groupBy("token").agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("n_tgt"),
     )

@@ -745,15 +745,19 @@ def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", TX.tokens("text").alias("t")
     ).filter(F.size("t") >= 3)
-    # `grams` feeds the count aggregate AND the scoring join's probe
-    # side; those are independent shuffle-map stages the scheduler
-    # submits concurrently, so a lazy persist is the r10 cache
-    # stampede (both stages re-derive the trigram explode before
-    # either fills the cache). Eager checkpoint materializes the
-    # trigram stream exactly once — the same bytes the persist would
-    # have held. Lifecycle: functions/cache.py checkpoint contract.
-    grams = scoped_local_checkpoint(
-        t.select(
+    # The trigram stream feeds the count aggregate AND the scoring
+    # join's probe side — independent shuffle-map stages submitted
+    # concurrently, so a lazy persist here is the r10 cache stampede.
+    # But like corpus_dsir_selection's token stream, the relation is
+    # corpus-sized and one explode away from the scan: materializing
+    # it (persist or checkpoint) costs more than deriving it twice
+    # (measured at the 10x synthetic: recompute ~3.9 s vs eager
+    # checkpoint ~4.7 s steady-state, SCALING.md round-11 study 4),
+    # and at 100 TB a trigram-stream materialization is pure write
+    # amplification. Each consumer builds its own stream — two cheap
+    # codegen scans, no shared subtree, no stampede.
+    def _grams() -> DataFrame:
+        return t.select(
             "doc_id",
             F.explode(
                 F.expr(
@@ -763,10 +767,10 @@ def text_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " element_at(t, i + 2) AS nxt))"
                 )
             ).alias("g"),
-        ).select("doc_id", "g.ctx", "g.nxt"),
-        eager=True,
-    )
-    cn = grams.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("n"))
+        ).select("doc_id", "g.ctx", "g.nxt")
+
+    grams = _grams()
+    cn = _grams().groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("n"))
     cc = cn.groupBy("ctx").agg(F.sum("n").alias("n_ctx"))
     vocab = (
         docs.select(F.explode(TX.tokens("text")).alias("token"))

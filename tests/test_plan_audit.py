@@ -354,11 +354,15 @@ def test_converted_stampede_sites_stay_checkpoint_rooted(spark, sf_dir):
     must read the materialized blocks (a LogicalRDD/ExistingRDD leaf),
     not re-derive the shared subtree per branch. The full site-by-site
     classification table lives in SCALING.md (round 11)."""
+    # NOT here: text_trigram_perplexity and corpus_dsir_selection —
+    # their shared relations are corpus-sized streams one explode away
+    # from the scan, where ANY materialization (lazy persist or eager
+    # checkpoint) costs more than deriving the stream once per
+    # consumer; they resolve the stampede by having NO shared subtree
+    # (SCALING.md round-11 study 4).
     converted = [
         "text_heavy_hitters_exact",      # MG candidates: 2 broadcast builds
-        "text_trigram_perplexity",       # trigram stream: agg + probe stages
         "dedup_embedding_cosine",        # norm frame: both self-join sides
-        "corpus_dsir_selection",         # token stream: agg + probe stages
         "events_funnel_conversion",      # s1/s2 frontiers: n1..n3 builds
         "search_inverted_postings",      # tf: stats + postings map stages
         "decontaminate_bloom_prefilter", # bench shingles: 2 broadcast builds
