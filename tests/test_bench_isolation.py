@@ -38,8 +38,25 @@ def test_bench_emits_json_despite_query_failure(spark, monkeypatch, capsys):
     bench.main()
 
     line = capsys.readouterr().out.strip().splitlines()[-1]
-    out = json.loads(line)  # must parse — the round-2 failure mode
+    # must parse STRICTLY — the round-2 failure mode, plus the r11
+    # hazard: a NaN from a JMX counter leaking into the JSON would
+    # emit Python's non-standard `NaN` literal, which a strict parser
+    # (and possibly the driver) rejects. parse_constant fires only on
+    # NaN/Infinity tokens.
+    def _no_nan(tok):
+        raise AssertionError(f"non-standard JSON constant in bench output: {tok}")
+
+    out = json.loads(line, parse_constant=_no_nan)
     assert out["unit"] == "sec"
+    # per-entry adjudicability block (r11): every timed entry carries
+    # its machine/JVM attribution; queries stays {name: number}
+    qe = out["query_env"]
+    assert "q1_pricing_summary" in qe
+    for key in ("busy_pre", "settle_s", "gc_delta_s", "heap_pre_mb"):
+        assert key in qe["q1_pricing_summary"]
+    assert all(
+        isinstance(v, (int, float)) for v in out["queries"].values()
+    )
     assert "events_sessionize" in out["errors"]
     assert "injected failure" in out["errors"]["events_sessionize"]
     # everything before AND after the broken entry still got timed
