@@ -628,11 +628,18 @@ def main() -> None:
         return (rt.totalMemory() - rt.freeMemory()) / 1e6
 
     def _tree_cpu_s():
-        """Cumulative utime+stime (seconds) of THIS process and every
-        live descendant — the Spark JVM and any pyspark worker
-        daemons — from /proc. None on non-Linux. A worker that exits
-        mid-entry takes its jiffies with it (undercounting "ours"
-        slightly); workers are long-lived in practice."""
+        """Cumulative CPU seconds of THIS process and every descendant
+        — the Spark JVM and any pyspark worker daemons — from /proc.
+        None on non-Linux. Counts utime+stime of live processes PLUS
+        cutime+cstime (reaped-children totals): streaming entries
+        spawn short-lived python workers per microbatch, and a worker
+        that exits mid-window would otherwise appear in neither
+        snapshot — its 30-55 CPU-s showed up as phantom "foreign" load
+        and spuriously tripped the contamination retry on every
+        stateful-pandas entry. At reap its total moves into the
+        parent's cutime, so live-utime + reaped-cutime never double
+        counts and the delta across a window is exact for workers that
+        die inside it."""
         try:
             me = os.getpid()
             info: dict[int, tuple[int, int]] = {}
@@ -643,7 +650,8 @@ def main() -> None:
                     with open(f"/proc/{p}/stat") as fh:
                         _, tail = fh.read().rsplit(") ", 1)
                     f = tail.split()
-                    info[int(p)] = (int(f[1]), int(f[11]) + int(f[12]))
+                    cpu = int(f[11]) + int(f[12]) + int(f[13]) + int(f[14])
+                    info[int(p)] = (int(f[1]), cpu)
                 except (OSError, ValueError, IndexError):
                     continue
             kids: dict[int, list[int]] = {}
