@@ -1,8 +1,12 @@
 """Deduplication queries over the documents table (north-star extension).
 
-Exact, blocked n-gram Jaccard, and MinHash+LSH are oracle-checked; the
-xxhash64 production variants (faster, but not reproducible outside the
-JVM) are rows-only and covered by pytest equivalence tests instead.
+Every entry is oracle-checked. The xxhash64 production variants
+(faster, but not reproducible outside the JVM) carry DuckDB oracles
+over what IS reproducible — exact PPJoin-verified pair sets plus
+signature-audit verdicts for MinHash, per-document structural
+invariants for SimHash (see the docstrings) — with the raw
+hash-dependent pipelines additionally pinned to their md5 twins by
+pytest equivalence tests.
 """
 
 from __future__ import annotations
