@@ -689,11 +689,18 @@ def main() -> None:
                 if self.s0 < 0
                 else max(0.0, (_steal_jiffies() - self.s0) / 100.0)
             )
-            if self.j0 < 0 or self.ours0 is None:  # pragma: no cover
+            # snapshot BOTH ends before arithmetic: a transient /proc
+            # read failure at exit (ours1 None) must degrade to
+            # None-attribution, not raise inside __exit__ and turn a
+            # measurable pass into a per-entry error (ADVICE r11)
+            ours1 = _tree_cpu_s()
+            if (
+                self.j0 < 0 or self.ours0 is None or ours1 is None
+            ):  # pragma: no cover
                 self.ours_s = self.other_s = None
                 return
             total_s = (_busy_jiffies() - self.j0) / 100.0
-            self.ours_s = max(0.0, _tree_cpu_s() - self.ours0)
+            self.ours_s = max(0.0, ours1 - self.ours0)
             self.other_s = max(0.0, total_s - self.ours_s)
 
     # per-entry adjudicability (VERDICT r10 item 1): every entry
@@ -707,8 +714,9 @@ def main() -> None:
 
     n_cpus = os.cpu_count() or 1
 
-    def run_steady(name: str) -> float:
-        """Warm-up pass, then the median of `reps` CLEAN timed passes.
+    def _measure(name: str) -> tuple[float, dict, bool]:
+        """One settle + warmup + median-of-`reps`-clean-passes
+        measurement; returns (median, env_record, contaminated).
 
         Every pass carries its own CPU attribution; a pass during
         which EXTERNAL processes burned more than a quarter of the
@@ -718,8 +726,21 @@ def main() -> None:
         with 36.8 foreign CPU-s while its clean passes were 1.4 s).
         Contaminated passes are set aside (recorded, never silently
         dropped) and up to 2 replacement passes run; if the machine
-        stays busy the contaminated passes are used anyway and the
-        JSON shows why the number is dirty."""
+        stays busy the contaminated passes are used anyway, flagged
+        `dirty_median` so a dirty-fallback record is distinguishable
+        from a clean one without cross-referencing the two lists.
+
+        `contaminated` is the ENTRY-level verdict (VERDICT r11 item
+        4): per-pass rejection can miss an entry whose every pass
+        stays under the 25%-of-machine bar yet whose aggregate
+        steal+foreign CPU across the timed passes rivals its own
+        (r11: text_heavy_hitters_exact carried 32.6 steal CPU-s with
+        zero rejected passes and posted 1.7x its quiet median). When
+        the timed passes' total foreign CPU exceeds 35% of the
+        entry's own timed CPU (and >10 CPU-s absolute, so the
+        always-on ~1-core background agent never trips a sub-second
+        entry), the entry is re-measured once like the streaming
+        retry."""
         settled_s, busy = _settle(settle_cap, settle_busy)
         gc0, comp0 = _jvm_counters()
         heap0 = _heap_used_mb()
@@ -728,22 +749,29 @@ def main() -> None:
         except OSError:  # pragma: no cover
             load1_pre = None
 
-        def timed_pass() -> tuple[float, float | None, float | None]:
+        def timed_pass() -> tuple[float, object, object, object]:
             with _CpuAttribution() as cpu:
                 t = run_once(name)
-            return t, cpu.other_s, cpu.steal_s
+            return t, cpu.ours_s, cpu.other_s, cpu.steal_s
 
         ours0 = _tree_cpu_s()
         steal_total = 0.0
-        first, _, fsteal = timed_pass()
+        other_total = 0.0
+        first, _, fother, fsteal = timed_pass()
         steal_total += fsteal or 0.0
+        other_total += fother or 0.0
         clean: list[float] = []
         dirty: list[tuple[float, float]] = []
+        timed_ours = 0.0  # own / foreign CPU during the TIMED passes
+        timed_foreign = 0.0  # only — the warmup is not the number
         attempts = 0
         while not cold and len(clean) < reps and attempts < reps + 2:
             attempts += 1
-            t, other, steal = timed_pass()
+            t, ours, other, steal = timed_pass()
             steal_total += steal or 0.0
+            other_total += other or 0.0
+            timed_ours += ours or 0.0
+            timed_foreign += (other or 0.0) + (steal or 0.0)
             # a pass is contaminated when EITHER guest-visible foreign
             # processes or hypervisor steal burned >25% of the machine
             # for its duration — both mean the pass measured the
@@ -757,7 +785,7 @@ def main() -> None:
         times = clean if clean else [t for t, _ in dirty]
         ours1 = _tree_cpu_s()
         gc1, comp1 = _jvm_counters()
-        query_env[name] = {
+        rec = {
             "load1_pre": load1_pre,
             "busy_pre": round(busy, 3),
             "settle_s": round(settled_s, 1),
@@ -774,13 +802,37 @@ def main() -> None:
             "cpu_ours_s": None
             if ours0 is None or ours1 is None
             else round(ours1 - ours0, 2),
+            "cpu_other_s": round(other_total, 2),
             "steal_s": round(steal_total, 2),
         }
+        if not clean and dirty:
+            rec["dirty_median"] = True
+        contaminated = (
+            not cold
+            and timed_foreign > 10.0
+            and timed_foreign > 0.35 * max(timed_ours, 1e-9)
+        )
+        if contaminated:
+            rec["contaminated"] = True
         if debug:
-            print(f"# {name}: {query_env[name]}", flush=True)
-        if cold:
-            return first
-        return sorted(times)[len(times) // 2]
+            print(f"# {name}: {rec}", flush=True)
+        median = first if cold else sorted(times)[len(times) // 2]
+        return median, rec, contaminated
+
+    def run_steady(name: str) -> float:
+        median, rec, contaminated = _measure(name)
+        if contaminated:
+            # one full re-measure (settle + warmup + passes), mirroring
+            # the streaming retry: report the second number, keep the
+            # first attempt's complete record for adjudication. If the
+            # machine is STILL dirty the rerun keeps its own
+            # `contaminated` flag and the JSON shows why.
+            median2, rec2, _ = _measure(name)
+            rec2["first_attempt"] = rec
+            query_env[name] = rec2
+            return median2
+        query_env[name] = rec
+        return median
 
     # per-query error isolation: one broken query must never zero the
     # round's perf signal — record {"error": ...} and keep timing the rest
@@ -864,12 +916,16 @@ def main() -> None:
             # the number measured the competitor, not the code: settle
             # and rerun once, report the clean pass, and keep the
             # contaminated one in the JSON for adjudication.
-            contam = 0.25 * (os.cpu_count() or 1) * elapsed
+            contam = 0.25 * n_cpus * elapsed
             foreign = max(cpu.other_s or 0.0, cpu.steal_s or 0.0)
             if foreign > contam:
+                # record the two contamination sources separately: a
+                # steal-triggered retry mislabeled as foreign-process
+                # CPU undermines adjudicability (ADVICE r11)
                 retried = {
                     "first_run_s": round(elapsed, 4),
-                    "first_cpu_other_s": round(foreign, 2),
+                    "first_cpu_other_s": round(cpu.other_s or 0.0, 2),
+                    "first_steal_s": round(cpu.steal_s or 0.0, 2),
                 }
                 _settle(stream_settle_cap, settle_busy)
                 with _CpuAttribution() as cpu:
@@ -918,18 +974,76 @@ def main() -> None:
         }
     except OSError:  # pragma: no cover — non-POSIX fallback
         env_load = {}
-    out = {
+    total = round(
+        sum(v for v in timings.values() if isinstance(v, (int, float))), 4
+    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver records only the LAST 2000 chars of stdout and
+    # json-parses that tail (BENCH_r07 parsed at a 1968-char line;
+    # r09-r11 did not at longer ones). r11's defect: `query_env` was
+    # the last key, so the tail contained ONLY diagnostics and zero
+    # timings (VERDICT r11 item 1). Key order is therefore load-
+    # bearing: the big diagnostics blocks go FIRST and the line ENDS
+    # with `"sf":...,"queries":{...}}` at the highest precision whose
+    # suffix fits a 1985-char budget (64 full-precision entries need
+    # ~2100 chars — impossible — so the full run degrades to 1
+    # decimal in the tail; full 4-decimal timings stay available in
+    # `queries_full` earlier in the same line AND in BENCH_DIAG.json).
+    def _suffix(prec: int) -> str:
+        q = {
+            k: (round(v, prec) if isinstance(v, (int, float)) else v)
+            for k, v in timings.items()
+        }
+        return ',"sf":%s,"queries":%s}' % (
+            json.dumps(sf_val),
+            json.dumps(q, separators=(",", ":")),
+        )
+
+    suffix = _suffix(1)
+    for prec in (4, 3, 2):
+        cand = _suffix(prec)
+        if len(cand) <= 1985:
+            suffix = cand
+            break
+
+    head = {
         "metric": "headline_queries_total",
-        "value": round(sum(v for v in timings.values() if isinstance(v, (int, float))), 4),
+        "value": total,
         "unit": "sec",
+        "queries_full": timings,
+        "query_env": query_env,
+        "env": env_load,
+    }
+    if errors:
+        head["errors"] = errors
+    line = json.dumps(head, separators=(",", ":"))[:-1] + suffix
+    print(line)
+
+    # full-fidelity diagnostics also land in-repo so the committed
+    # record never depends on the tail-capture contract at all
+    diag = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "errors": errors,
         "env": env_load,
         "query_env": query_env,
     }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    diag_path = os.environ.get(
+        "BENCH_DIAG_PATH",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DIAG.json"
+        ),
+    )
+    try:
+        with open(diag_path, "w") as fh:
+            json.dump(diag, fh, indent=1)
+            fh.write("\n")
+    except OSError:  # pragma: no cover — read-only checkout
+        pass
 
 
 if __name__ == "__main__":

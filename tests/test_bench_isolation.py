@@ -15,7 +15,9 @@ import os
 import pytest
 
 
-def test_bench_emits_json_despite_query_failure(spark, monkeypatch, capsys):
+def test_bench_emits_json_despite_query_failure(
+    spark, monkeypatch, capsys, tmp_path
+):
     import bench
     from fhir_to_lakehouse_spark.plans import QUERIES
 
@@ -27,6 +29,7 @@ def test_bench_emits_json_despite_query_failure(spark, monkeypatch, capsys):
 
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("BENCH_COLD", "1")  # single pass: keep the test fast
+    monkeypatch.setenv("BENCH_DIAG_PATH", str(tmp_path / "BENCH_DIAG.json"))
     monkeypatch.setattr(
         "fhir_to_lakehouse_spark.plans.QUERIES", broken, raising=True
     )
@@ -58,11 +61,40 @@ def test_bench_emits_json_despite_query_failure(spark, monkeypatch, capsys):
         isinstance(v, (int, float)) for v in out["queries"].values()
     )
     assert "events_sessionize" in out["errors"]
+
+    # tail-capture contract (VERDICT r11 item 1): the driver records
+    # only the last 2000 chars of stdout, so the line must END with a
+    # complete `,"sf":...,"queries":{...}}` suffix that fits inside
+    # that window — r11's record ended with diagnostics and carried
+    # zero timings. Aggregates (queries_full, query_env, env) must sit
+    # EARLIER in the line.
+    suffix_at = line.rindex(',"sf":')
+    assert len(line) - suffix_at <= 1985, "tail suffix exceeds capture window"
+    tail_doc = json.loads("{" + line[suffix_at + 1 :])
+    assert set(tail_doc) == {"sf", "queries"}
+    assert tail_doc["queries"].keys() == out["queries_full"].keys()
+    assert list(out)[-1] == "queries", "timings must be the LAST json key"
+
+    # full-fidelity record also lands on disk, independent of stdout
+    diag = json.loads((tmp_path / "BENCH_DIAG.json").read_text())
+    assert diag["queries"].keys() == out["queries_full"].keys()
+    assert "events_sessionize" in diag["errors"]
+    assert "q1_pricing_summary" in diag["query_env"]
     assert "injected failure" in out["errors"]["events_sessionize"]
     # everything before AND after the broken entry still got timed
     assert out["queries"]["q1_pricing_summary"] > 0
     assert out["queries"]["etl_pipeline_batch"] > 0
+    # `queries` (the tail dict) may be precision-degraded to fit the
+    # capture window; the total must match the FULL-precision timings
     assert out["value"] == pytest.approx(
-        sum(v for v in out["queries"].values() if isinstance(v, (int, float))),
+        sum(
+            v
+            for v in out["queries_full"].values()
+            if isinstance(v, (int, float))
+        ),
         abs=0.01,
     )
+    # and the tail dict must agree with full precision to its own
+    # rounding (no entry silently replaced or zeroed)
+    for k, v in out["queries"].items():
+        assert v == pytest.approx(out["queries_full"][k], abs=0.51)
