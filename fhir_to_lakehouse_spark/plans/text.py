@@ -179,6 +179,85 @@ def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_fuse(s: str, l: str, r: str) -> str:
+    """DuckDB list-lambda twin of functions/text.py::_fuse_adjacent —
+    one BPE merge pass fusing every adjacent (l, r) occurrence
+    non-overlapping LEFT-TO-RIGHT.
+
+    The engine's sequential fold has a closed form: a position i is a
+    MERGE CANDIDATE iff (s[i], s[i+1]) == (l, r), and within each
+    maximal run of consecutive candidate positions the fold picks
+    every SECOND one starting at the run head (a fresh merge l||r can
+    never re-match as the left side because l||r == l would need an
+    empty r). So picked(i) := candidate(i) AND (i - run_start(i)) is
+    even, where run_start derives from the nearest non-candidate
+    position below i — all expressible as nested list lambdas, no
+    recursion. Truth-tabled against the engine fold in
+    tests/test_text_functions.py (runs, overlaps, multi-char symbols).
+    """
+    cand = lambda i: f"({s}[{i}] = {l} AND {s}[{i}+1] = {r})"  # noqa: E731
+    picked = (
+        lambda i: f"""({i} < len({s}) AND {cand(i)}
+           AND ({i} - coalesce(list_max(list_filter(range(0, {i}),
+                 j -> j = 0 OR NOT ({s}[j] = {l} AND {s}[j+1] = {r}))), 0)) % 2 = 1)"""
+    )  # noqa: E731
+    return f"""
+list_filter(
+  list_transform(range(1, len({s}) + 1), i ->
+    CASE
+      WHEN {picked("i")} THEN {s}[i] || {s}[i+1]
+      WHEN i > 1 AND {picked("(i-1)")} THEN NULL
+      ELSE {s}[i]
+    END),
+  x -> x IS NOT NULL)"""
+
+
+# Shared recursive-CTE twin of functions/text.py::learn_bpe_merges
+# (8 greedy merge rounds over the corpus vocabulary). DuckDB evaluates
+# the recursive term against the WORKING TABLE (previous round only),
+# so each round is: one scalar-subquery argmax over the pair counts of
+# the current symbol state (ties n DESC, l ASC, r ASC — binary
+# collation on both engines) + one per-word fuse. The UNION of all
+# rounds keeps each round's learned rule on its rows, which is where
+# the learn oracle reads them back from.
+_DUCK_BPE_CTE = f"""
+WITH RECURSIVE vocab AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+  GROUP BY word
+),
+bpe AS (
+  SELECT 0 AS it, word,
+         list_filter(string_split(word, ''), x -> x <> '') AS sym,
+         freq, CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+         CAST(NULL AS BIGINT) AS n
+  FROM vocab
+  UNION ALL
+  SELECT b.it + 1, b.word,
+         {_duck_fuse('b.sym', '(b.best).l', '(b.best).r')} AS sym,
+         b.freq, (b.best).l, (b.best).r, (b.best).n
+  FROM (
+    SELECT s.*, (
+      SELECT {{'l': t.pl, 'r': t.pr, 'n': t.n}}
+      FROM (
+        SELECT (p).l AS pl, (p).r AS pr, CAST(SUM(f) AS BIGINT) AS n
+        FROM (
+          SELECT unnest(list_transform(range(1, len(sym)),
+                   i -> {{'l': sym[i], 'r': sym[i+1]}})) AS p, freq AS f
+          FROM bpe
+        )
+        GROUP BY 1, 2
+      ) t
+      ORDER BY t.n DESC, t.pl ASC, t.pr ASC
+      LIMIT 1
+    ) AS best
+    FROM bpe s
+  ) b
+  WHERE b.it < 8 AND b.best IS NOT NULL
+)
+"""
+
+
 @query(
     "text_bpe_pair_counts",
     oracle=f"""
@@ -495,16 +574,28 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_learn_merges")  # rows-only: iterative argmax, no SQL oracle
+@query(
+    "text_bpe_learn_merges",
+    oracle=_DUCK_BPE_CTE
+    + """
+    SELECT DISTINCT CAST(it AS INT) AS merge_rank, l AS "left",
+           r AS "right", n AS pair_count
+    FROM bpe WHERE it >= 1 ORDER BY merge_rank
+    """,
+)
 def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full iterative BPE training (8 merge rules) over the corpus
     vocabulary — the tokenizer-training op itself, extending the
-    single-step text_bpe_pair_counts. Iterative greedy argmax is not
-    SQL-expressible, so this entry is rows-only for the driver;
-    tests/test_text_functions.py value-locks the ENTIRE merge sequence
-    against an independent pure-Python reference implementation of
-    Sennrich-style BPE on the same word counts (exact rule-by-rule
-    equality including tie-breaks and pair counts).
+    single-step text_bpe_pair_counts. Long rows-only (iterative greedy
+    argmax), promoted to a full value oracle in round 12: DuckDB's
+    recursive CTE may aggregate over the working table, so each round
+    is a scalar-subquery argmax over the previous round's pair counts,
+    and the sequential merge fold has a closed form (_duck_fuse).
+    tests/test_text_functions.py additionally value-locks the ENTIRE
+    merge sequence against an independent pure-Python reference
+    implementation of Sennrich-style BPE on the same word counts
+    (exact rule-by-rule equality including tie-breaks and pair
+    counts).
 
     Scale shape: see functions/text.py::learn_bpe_merges — state is
     the vocabulary, each round is one map-side-combinable aggregate +
@@ -651,7 +742,23 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("text_bpe_encode_stats")  # rows-only: rules are learned iteratively
+@query(
+    "text_bpe_encode_stats",
+    oracle=_DUCK_BPE_CTE
+    + f""",
+    enc AS (
+      SELECT word, len(sym) AS n_syms, length(word) AS n_chars
+      FROM bpe WHERE it = (SELECT MAX(it) FROM bpe)
+    ),
+    tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_word_chars
+    FROM tok JOIN enc USING (word)
+    GROUP BY doc_id
+    """,
+)
 def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION at corpus scale — the round-7
     completion of the BPE story (pair counts -> merge learning ->
@@ -662,11 +769,15 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whitespace words, BPE symbols, characters — the compression the
     tokenizer achieves).
 
-    Rows-only for the driver (the merge rules come from an iterative
-    argmax; no SQL oracle) — tests/test_text_functions.py::
-    test_bpe_encode_stats_match_reference_tokenizer value-locks the
-    per-document symbol counts AND the exact per-word symbol sequences
-    against an independent pure-Python Sennrich-style encoder.
+    Promoted from rows-only to a full value oracle in round 12: the
+    shared recursive-CTE twin (_DUCK_BPE_CTE) re-learns the rules in
+    DuckDB, and its final-round symbol state IS the encoded
+    vocabulary (replaying rules 1..8 on chars(word) performs the
+    identical fuse sequence the learner performed). tests/
+    test_text_functions.py::test_bpe_encode_stats_match_reference_tokenizer
+    additionally value-locks the per-document symbol counts AND the
+    exact per-word symbol sequences against an independent
+    pure-Python Sennrich-style encoder.
 
     100 TB shape: encoding cost is per DISTINCT word (the vocab frame,
     ~50k rows for a production tokenizer), not per corpus token; the

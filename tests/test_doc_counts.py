@@ -46,10 +46,8 @@ def test_doc_count_headers_match_registry():
         )
 
 
-def test_rows_only_set_is_the_declared_bpe_pair():
-    # the docs name the two rows-only entries explicitly; if the set
-    # changes (promotion or regression) the prose must change with it
-    assert sorted(set(QUERIES) - set(ORACLES)) == [
-        "text_bpe_encode_stats",
-        "text_bpe_learn_merges",
-    ]
+def test_rows_only_set_is_empty():
+    # round 12 promoted the last two rows-only entries (the BPE pair);
+    # a new rows-only entry (or an oracle regression) must be a
+    # deliberate, documented decision — this gate makes it loud
+    assert sorted(set(QUERIES) - set(ORACLES)) == []

@@ -383,3 +383,48 @@ def test_bpe_encode_stats_match_reference_tokenizer(spark):
         assert r["n_words"] == len(toks)
         assert r["n_bpe_tokens"] == want_syms, (doc_id, r, want_syms)
         assert r["n_word_chars"] == sum(len(w) for w in toks)
+
+
+# --- DuckDB oracle twin of the merge fold (round 12 promotion) --------
+
+
+def test_duck_fuse_truth_table_matches_engine_fold(spark):
+    """plans/text.py::_duck_fuse (the closed-form alternation used by
+    the promoted BPE oracles) must agree with the engine's sequential
+    fold functions/text.py::_fuse_adjacent on every fuse shape:
+    overlapping runs (odd/even lengths), interleaved matches,
+    multi-char symbols whose concatenation could false-match, and
+    no-op cases."""
+    import duckdb
+
+    from fhir_to_lakehouse_spark.functions.text import _fuse_adjacent
+    from fhir_to_lakehouse_spark.plans.text import _duck_fuse
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["a", "b", "b", "a", "b"], "a", "b"),
+        (["b", "a", "a", "a", "b"], "a", "a"),
+        (["ab", "c"], "b", "c"),  # suffix/prefix must NOT match
+        (["ab", "a", "b"], "a", "b"),
+        (["x"], "a", "b"),
+        (["a", "b"], "b", "a"),  # reversed rule: no merge
+        (["es", "t", "es", "t"], "es", "t"),  # multi-char symbols
+        (["e", "r", "e", "r", "e"], "e", "r"),
+    ]
+    con = duckdb.connect()
+    for syms, left, right in cases:
+        engine = (
+            spark.createDataFrame([(syms,)], "sym array<string>")
+            .select(_fuse_adjacent(F.col("sym"), left, right).alias("f"))
+            .collect()[0]["f"]
+        )
+        duck = con.execute(
+            f"SELECT {_duck_fuse('s', 'l', 'r')} "
+            "FROM (SELECT ? AS s, ? AS l, ? AS r)",
+            [syms, left, right],
+        ).fetchone()[0]
+        assert duck == engine, (syms, left, right, duck, engine)
