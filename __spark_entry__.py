@@ -36,9 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; keys
-    missing here (xxhash64-based dedup, IVF ANN, stub feature decode)
-    get the driver's weaker rows-only check by design."""
+    """DuckDB-equivalent SQL for EVERY registered query — since round
+    12 the oracle map covers the full registry (279/279; the iterative
+    BPE pair runs as a recursive-CTE twin, see plans/text.py)."""
     from fhir_to_lakehouse_spark.plans import ORACLES
 
     return dict(ORACLES)
