@@ -807,10 +807,16 @@ def main() -> None:
         }
         if not clean and dirty:
             rec["dirty_median"] = True
+        # timed_ours > 0 guard: if tree attribution was unavailable
+        # for every pass (transient /proc failures), own CPU is
+        # UNMEASURED, not zero — a ratio against ~0 would flag any
+        # entry with >10 CPU-s of steal as contaminated and double
+        # its wall time for nothing (round-12 review finding)
         contaminated = (
             not cold
             and timed_foreign > 10.0
-            and timed_foreign > 0.35 * max(timed_ours, 1e-9)
+            and timed_ours > 0.0
+            and timed_foreign > 0.35 * timed_ours
         )
         if contaminated:
             rec["contaminated"] = True
@@ -990,22 +996,50 @@ def main() -> None:
     # ~2100 chars — impossible — so the full run degrades to 1
     # decimal in the tail; full 4-decimal timings stay available in
     # `queries_full` earlier in the same line AND in BENCH_DIAG.json).
-    def _suffix(prec: int) -> str:
-        q = {
-            k: (round(v, prec) if isinstance(v, (int, float)) else v)
-            for k, v in timings.items()
-        }
-        return ',"sf":%s,"queries":%s}' % (
+    # Quiet-gate provenance travels with the timings when it fits:
+    # w = quiet_wait_s, l1 = 1-min loadavg at run end, c = n_cpus
+    # (terse keys buy ~24 chars; full env stays in the `env` block
+    # earlier in the line and in BENCH_DIAG.json). Env-bearing
+    # candidates outrank higher timing precision because VERDICT r11's
+    # done-criterion names "timings dict + env" for the tail.
+    extras = ""
+    if env_load:
+        extras = ',"w":%d,"l1":%s,"c":%d' % (
+            round(env_load.get("quiet_wait_s") or 0),
+            json.dumps(env_load.get("loadavg_1m")),
+            env_load.get("n_cpus") or 0,
+        )
+
+    def _suffix(prec: int, with_env: bool) -> str:
+        if prec <= 0:
+            q = {
+                k: (int(round(v)) if isinstance(v, (int, float)) else v)
+                for k, v in timings.items()
+            }
+        else:
+            q = {
+                k: (round(v, prec) if isinstance(v, (int, float)) else v)
+                for k, v in timings.items()
+            }
+        return '%s,"sf":%s,"queries":%s}' % (
+            extras if with_env else "",
             json.dumps(sf_val),
             json.dumps(q, separators=(",", ":")),
         )
 
-    suffix = _suffix(1)
-    for prec in (4, 3, 2):
-        cand = _suffix(prec)
-        if len(cand) <= 1985:
-            suffix = cand
-            break
+    # prec-0 rung = guaranteed floor: even a much larger registry fits
+    # integer-second timings, so the r11 "zero driver-visible timings"
+    # failure mode cannot silently return as entries are added
+    suffix = _suffix(0, False)
+    for with_env in (True, False):
+        for prec in (4, 3, 2, 1, 0):
+            cand = _suffix(prec, with_env)
+            if len(cand) <= 1985:
+                suffix = cand
+                break
+        else:
+            continue
+        break
 
     head = {
         "metric": "headline_queries_total",

@@ -69,9 +69,19 @@ def test_bench_emits_json_despite_query_failure(
     # zero timings. Aggregates (queries_full, query_env, env) must sit
     # EARLIER in the line.
     suffix_at = line.rindex(',"sf":')
-    assert len(line) - suffix_at <= 1985, "tail suffix exceeds capture window"
-    tail_doc = json.loads("{" + line[suffix_at + 1 :])
-    assert set(tail_doc) == {"sf", "queries"}
+    # the suffix may start with the terse quiet-gate scalars
+    # (`,"w":…,"l1":…,"c":…`) immediately before `,"sf":`
+    w_at = line.rfind(',"w":', max(0, suffix_at - 40), suffix_at)
+    start = w_at if w_at != -1 else suffix_at
+    assert len(line) - start <= 1985, "tail suffix exceeds capture window"
+    tail_doc = json.loads("{" + line[start + 1 :])
+    assert {"sf", "queries"} <= set(tail_doc) <= {
+        "sf",
+        "queries",
+        "w",
+        "l1",
+        "c",
+    }
     assert tail_doc["queries"].keys() == out["queries_full"].keys()
     assert list(out)[-1] == "queries", "timings must be the LAST json key"
 
