@@ -534,6 +534,65 @@ def bench_stream_incremental_dedup(spark, sf_dir: str) -> float:
         shutil.rmtree(src_dir, ignore_errors=True)
 
 
+def choose_tail_suffix(
+    timings: dict, sf_val, env_load: dict, budget: int = 1985
+) -> str:
+    """The load-bearing end of the bench JSON line.
+
+    The driver records only the LAST 2000 chars of stdout and
+    json-parses that tail (BENCH_r07 parsed at a 1968-char line;
+    r09-r11 did not at longer ones); r11's defect was `query_env`
+    landing after the timings, so the captured tail carried zero
+    query times (VERDICT r11 item 1). The line must therefore END
+    with `[,"w":…,"l1":…,"c":…],"sf":…,"queries":{…}}`, chosen as
+    the best (env, precision) candidate whose suffix fits `budget`:
+
+    - env-bearing candidates outrank higher timing precision (the
+      r11 done-criterion names "timings dict + env"); the terse keys
+      are w = quiet_wait_s, l1 = end 1-min loadavg, c = n_cpus;
+    - precision degrades 4 -> 3 -> 2 -> 1 -> 0 decimals; the prec-0
+      integer rung is the guaranteed floor, so the registry growing
+      past the window can never silently drop the timings again;
+    - full 4-decimal timings and the complete env stay in
+      `queries_full`/`env` earlier in the line AND in
+      BENCH_DIAG.json, so nothing is lost — only the tail copy is
+      precision-degraded.
+
+    Pure function (unit-tested in tests/test_bench_isolation.py)."""
+    extras = ""
+    if env_load:
+        extras = ',"w":%d,"l1":%s,"c":%d' % (
+            round(env_load.get("quiet_wait_s") or 0),
+            json.dumps(env_load.get("loadavg_1m")),
+            env_load.get("n_cpus") or 0,
+        )
+
+    def _suffix(prec: int, with_env: bool) -> str:
+        if prec <= 0:
+            q = {
+                k: (int(round(v)) if isinstance(v, (int, float)) else v)
+                for k, v in timings.items()
+            }
+        else:
+            q = {
+                k: (round(v, prec) if isinstance(v, (int, float)) else v)
+                for k, v in timings.items()
+            }
+        return '%s,"sf":%s,"queries":%s}' % (
+            extras if with_env else "",
+            json.dumps(sf_val),
+            json.dumps(q, separators=(",", ":")),
+        )
+
+    best = _suffix(0, False)
+    for with_env in (True, False):
+        for prec in (4, 3, 2, 1, 0):
+            cand = _suffix(prec, with_env)
+            if len(cand) <= budget:
+                return cand
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cold = os.environ.get("BENCH_COLD") == "1"
@@ -1002,44 +1061,7 @@ def main() -> None:
     # earlier in the line and in BENCH_DIAG.json). Env-bearing
     # candidates outrank higher timing precision because VERDICT r11's
     # done-criterion names "timings dict + env" for the tail.
-    extras = ""
-    if env_load:
-        extras = ',"w":%d,"l1":%s,"c":%d' % (
-            round(env_load.get("quiet_wait_s") or 0),
-            json.dumps(env_load.get("loadavg_1m")),
-            env_load.get("n_cpus") or 0,
-        )
-
-    def _suffix(prec: int, with_env: bool) -> str:
-        if prec <= 0:
-            q = {
-                k: (int(round(v)) if isinstance(v, (int, float)) else v)
-                for k, v in timings.items()
-            }
-        else:
-            q = {
-                k: (round(v, prec) if isinstance(v, (int, float)) else v)
-                for k, v in timings.items()
-            }
-        return '%s,"sf":%s,"queries":%s}' % (
-            extras if with_env else "",
-            json.dumps(sf_val),
-            json.dumps(q, separators=(",", ":")),
-        )
-
-    # prec-0 rung = guaranteed floor: even a much larger registry fits
-    # integer-second timings, so the r11 "zero driver-visible timings"
-    # failure mode cannot silently return as entries are added
-    suffix = _suffix(0, False)
-    for with_env in (True, False):
-        for prec in (4, 3, 2, 1, 0):
-            cand = _suffix(prec, with_env)
-            if len(cand) <= 1985:
-                suffix = cand
-                break
-        else:
-            continue
-        break
+    suffix = choose_tail_suffix(timings, sf_val, env_load)
 
     head = {
         "metric": "headline_queries_total",

@@ -108,3 +108,42 @@ def test_bench_emits_json_despite_query_failure(
     # rounding (no entry silently replaced or zeroed)
     for k, v in out["queries"].items():
         assert v == pytest.approx(out["queries_full"][k], abs=0.51)
+
+
+def test_choose_tail_suffix_ladder_is_total_and_prioritized():
+    """Pure-function coverage of the tail ladder (no Spark needed):
+    env-bearing candidates outrank precision, precision degrades
+    4->0, and the prec-0 rung makes the function total — an oversized
+    registry can degrade the tail copy but never drop it."""
+    from bench import choose_tail_suffix
+
+    env = {"quiet_wait_s": 330.0, "loadavg_1m": 8.79, "n_cpus": 32}
+
+    # small registry: full precision + env scalars
+    small = {"q1": 1.2345, "q2": 0.5}
+    s = choose_tail_suffix(small, 0.1, env)
+    assert s.startswith(',"w":330,"l1":8.79,"c":32,"sf":0.1')
+    assert '"q1":1.2345' in s and '"q2":0.5' in s
+
+    # 64-entry registry at the real registry's shape (names avg ~23
+    # chars, values mostly < 10 s): must fit the default budget by
+    # degrading precision (not entries) while keeping the env scalars
+    big = {f"entry_name_padding_{i:03d}": 1.2345 for i in range(64)}
+    s = choose_tail_suffix(big, 0.1, env)
+    assert len(s) <= 1985
+    assert s.startswith(',"w":330')
+    assert s.count('"entry_name_padding_') == 64
+    assert '"entry_name_padding_000":1.2345' not in s, "should have degraded"
+
+    # pathological registry: env dropped first, then precision, but
+    # the suffix ALWAYS contains every entry (prec-0 floor is total)
+    huge = {f"very_long_query_entry_name_padding_{i:03d}": 12.345 for i in range(220)}
+    s = choose_tail_suffix(huge, 0.1, env)
+    assert s.count('"very_long_query_entry_name_padding_') == 220
+    doc = json.loads("{" + s[1:])
+    assert len(doc["queries"]) == 220
+    assert all(isinstance(v, int) for v in doc["queries"].values())
+
+    # no env block at all (non-POSIX fallback): still valid JSON tail
+    s = choose_tail_suffix(small, 0.01, {})
+    assert s.startswith(',"sf":0.01')
