@@ -155,50 +155,62 @@ def fhir_comorbidity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnosis codes, how many patients carry BOTH — the adjacency
     matrix behind comorbidity-network papers and Charlson-style risk
     scores. Per-patient distinct codes first (so repeat diagnoses
-    don't inflate pairs), then a self-join restricted to code_a <
-    code_b within the same patient.
+    don't inflate pairs), then every ordered pair code_a < code_b
+    generated IN-ROW from the patient's own (capped, sorted) code set.
 
-    Plan shape: distinct (patient, code) -> per-patient code-count
-    guard -> self-join on patient_id -> grouped count into at most
-    C(20,2)=190 rows. Spark reuses the shuffle of the distinct for
-    both join sides (same exchange).
+    Plan shape (r12 rewrite): encode -> groupBy(patient).collect_set
+    (partial/map-side combinable; the set dedups codes, so the old
+    separate distinct's (patient, code) exchange is gone) ->
+    sort_array + slice(64) -> in-row pair generation (a higher-order
+    transform over the <=64-element array, exploded) -> grouped count
+    into at most C(20,2)=190 rows. Two hash exchanges total, ONE
+    encode evaluation. The r11 shape was a self-join of two copies of
+    the capped-distinct subtree: the planner broadcast one side
+    instead of reusing the exchange, so the whole scan->to_json->
+    from_json->distinct->WindowGroupLimit chain ran TWICE, and the
+    join-inferred IsNotNull(patient_id) was substituted through the
+    encode projection, evaluating the from_json chain a further time
+    per row inside the pushed filter — four encode evaluations where
+    one suffices (plans/r12/fhir_comorbidity_pairs_{before,after}.txt).
 
-    100 TB shape: the join key is patient id, so the expansion is
-    quadratic ONLY in per-patient distinct codes — tens, by clinical
-    reality, but a data-shape assumption is not a guard, so the
-    pipeline caps each patient at the first 64 codes (row_number over
-    a deterministic code order, planned as WindowGroupLimit on the
-    SAME patient-keyed exchange the join needs — no extra shuffle).
-    A pathological record with 10^5 codes now contributes C(64,2)
-    pairs, not 10^10. The oracle restates the identical cap. The
-    final aggregate is |code-pairs| rows: map-side combinable to a
-    few hundred."""
-    from pyspark.sql import Window
-
+    100 TB shape: pair expansion is quadratic ONLY in per-patient
+    distinct codes, capped at 64 by slice() — a pathological record
+    with 10^5 codes contributes C(64,2) pairs, not 10^10, and the
+    explode amplifies an already patient-aggregated relation, never
+    the condition stream. Per-patient aggregation state is the
+    distinct-code set (vocabulary-bounded — same bound the old window
+    sort buffer had, minus the join). The null-patient guard rides
+    the pair projection (explode of a when() null yields no rows), so
+    no filter re-plants the encode expression below the aggregate.
+    The oracle restates the identical cap via row_number <= 64 over
+    the sorted distinct codes — the same first-64-sorted set."""
     cond = _conditions(spark, sf_dir)
     pc = cond.select(
         F.col("subject.reference").alias("patient_id"),
         F.element_at("code.coding", 1).getField("code").alias("code"),
-    ).distinct()
-    guard = Window.partitionBy("patient_id").orderBy("code")
-    pc = (
-        pc.withColumn("rn", F.row_number().over(guard))
-        .filter(F.col("rn") <= 64)
-        .drop("rn")
     )
-    a = pc.alias("a")
-    b = pc.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.patient_id") == F.col("b.patient_id"))
-            & (F.col("a.code") < F.col("b.code")),
-        )
-        .groupBy(
-            F.col("a.code").alias("code_a"), F.col("b.code").alias("code_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_patients"))
+    codes = pc.groupBy("patient_id").agg(
+        F.slice(F.sort_array(F.collect_set("code")), 1, 64).alias("codes")
     )
+    # all ordered pairs (a, b) with a < b from the sorted set, in-row:
+    # element i (0-based) pairs with every later element. Guarding
+    # with when(patient_id IS NOT NULL) reproduces the old join's
+    # null-key drop without a Filter node the optimizer could push
+    # below the encode projection (explode(null) emits nothing).
+    pair_expr = F.expr(
+        "flatten(transform(codes, (a, i) -> "
+        "transform(slice(codes, i + 2, size(codes)), "
+        "b -> struct(a AS code_a, b AS code_b))))"
+    )
+    pairs = codes.select(
+        F.explode(
+            F.when(F.col("patient_id").isNotNull(), pair_expr)
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.code_a").alias("code_a"),
+        F.col("p.code_b").alias("code_b"),
+    ).agg(F.count(F.lit(1)).alias("n_patients"))
 
 
 @query(
