@@ -156,7 +156,12 @@ def compartment_members(
         )
     else:
         cohort = patient_ids.toDF("patient_id")
-    return out.join(F.broadcast(cohort.distinct()), "patient_id", "left_semi")
+    # No .distinct() on the build side (r12): a left-semi join is
+    # duplicate-invariant, and the broadcast hash relation dedups keys
+    # as it builds — the distinct only added an exchange + aggregate
+    # pair ahead of every broadcast (one PER SLICE under
+    # patient_everything's union).
+    return out.join(F.broadcast(cohort), "patient_id", "left_semi")
 
 
 def patient_everything(
@@ -166,7 +171,21 @@ def patient_everything(
     """``$everything`` across a warehouse: union the compartment
     slices of every (resource_type -> encoded frame) entry. Each
     table is read once regardless of cohort size; per-type slices
-    stay independent Spark jobs under one union plan."""
+    stay independent Spark jobs under one union plan.
+
+    A DataFrame cohort is materialized ONCE (eager localCheckpoint)
+    before the per-slice loop: without it, every slice re-plans and
+    re-executes the whole cohort subtree (its scan, filters and
+    aggregates) just to rebuild an identical broadcast — measured as
+    three extra customer-table scans in
+    plans/r12/compartment_patient_everything_before.txt. The cohort
+    is broadcast-sized by contract, so the checkpoint is a tiny
+    single-stage job and every slice's BroadcastExchange reads the
+    materialized blocks."""
+    if isinstance(patient_ids, DataFrame):
+        patient_ids = patient_ids.toDF("patient_id").localCheckpoint(
+            eager=True
+        )
     slices = [
         compartment_members(df, rtype, patient_ids)
         for rtype, df in sorted(tables.items())
