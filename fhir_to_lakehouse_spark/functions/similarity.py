@@ -107,6 +107,92 @@ class CentroidCollectError(ValueError):
     avoid."""
 
 
+def _collect_centroids(
+    centroids: DataFrame,
+    vec_col: str,
+    max_centroids: int,
+    caller: str,
+) -> list[tuple[int, list[float]]]:
+    """Bounded driver-side centroid collect shared by ivf_assign and
+    ivf_probes: at most ``max_centroids + 1`` rows ever move (the +1
+    detects overflow without a count job); raw double vectors, no
+    normalization (callers differ)."""
+    rows = (
+        centroids.select("cell", as_double(F.col(vec_col)).alias("cv"))
+        .limit(max_centroids + 1)
+        .collect()
+    )
+    if len(rows) > max_centroids:
+        raise CentroidCollectError(
+            f"{caller} collected more than max_centroids="
+            f"{max_centroids} centroid rows; an IVF coarse quantizer "
+            "is k ~ sqrt(N) cells (hundreds). Pass a real centroid "
+            "set, or raise max_centroids deliberately if you mean it."
+        )
+    return [(int(r["cell"]), [float(x) for x in r["cv"]]) for r in rows]
+
+
+def ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    max_centroids: int = MAX_COLLECTED_CENTROIDS,
+) -> DataFrame:
+    """The n_probe nearest centroid cells per query, IN-ROW: output
+    ``(query_id, qv, q_nrm, cell)``, one row per probed cell, ordered
+    exactly like the former window formulation (cosine DESC, cell ASC
+    on ties).
+
+    Shuffle-free by the same argument as :func:`ivf_assign`: the
+    centroid set is bounded and collected driver-side (enforced), each
+    query row sorts a |cells|-element struct array in-row and explodes
+    its first ``n_probe`` entries. The previous formulation
+    cross-joined queries × centroids and ranked with
+    ``row_number() OVER (PARTITION BY query_id)`` — an exchange, two
+    sorts and a window for a per-row top-n over a bounded candidate
+    list. Scores are the full cosine against centroid literals (same
+    expression shape the window version evaluated), so the probe
+    choice is bit-identical."""
+    import math
+
+    cen = _collect_centroids(
+        centroids, vec_col, max_centroids, caller="ivf_probes"
+    )
+    cen.sort()
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("q_nrm", l2_norm(F.col("qv")))
+    cvn = {cell: math.sqrt(sum(x * x for x in cv)) for cell, cv in cen}
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -(
+                            dot(F.col("qv"), F.lit(cv))
+                            / F.greatest(
+                                F.col("q_nrm") * F.lit(cvn[cell]),
+                                F.lit(1e-12),
+                            )
+                        )
+                    ).alias("neg_sim"),
+                    F.lit(cell).cast("long").alias("cell"),
+                )
+                for cell, cv in cen
+            ]
+        )
+    )
+    return q.select(
+        "query_id",
+        "qv",
+        "q_nrm",
+        F.explode(F.slice(ranked, 1, n_probe)).alias("__p"),
+    ).select("query_id", "qv", "q_nrm", F.col("__p.cell").alias("cell"))
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -140,24 +226,11 @@ def ivf_assign(
     import math
 
     cen = []
-    rows = (
-        centroids.select("cell", as_double(F.col(vec_col)).alias("cv"))
-        .limit(max_centroids + 1)
-        .collect()
-    )
-    if len(rows) > max_centroids:
-        raise CentroidCollectError(
-            f"ivf_assign collected more than max_centroids="
-            f"{max_centroids} centroid rows; an IVF coarse quantizer "
-            "is k ~ sqrt(N) cells (hundreds). Pass a real centroid "
-            "set, or raise max_centroids deliberately if you mean it."
-        )
-    for r in rows:
-        cv = [float(x) for x in r["cv"]]
+    for cell, cv in _collect_centroids(
+        centroids, vec_col, max_centroids, caller="ivf_assign"
+    ):
         n = math.sqrt(sum(x * x for x in cv))
-        cen.append(
-            (int(r["cell"]), [x / n for x in cv] if n > 1e-12 else cv)
-        )
+        cen.append((cell, [x / n for x in cv] if n > 1e-12 else cv))
     cen.sort()
     # materialize the double-cast vector ONCE — inlining it into K
     # score expressions would cast K times (functions/dedup.py note)

@@ -173,28 +173,15 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = SIM.ivf_assign(emb, centroids)
 
-    # queries probe their 2 nearest centroid cells
+    # queries probe their 2 nearest centroid cells — in-row top-n
+    # against the collected centroid literals (SIM.ivf_probes, r12):
+    # the former cross-join + row_number() formulation cost an
+    # exchange, two sorts and a window on the query side for a per-row
+    # argtop-2 over 8 bounded candidates.
     from pyspark.sql import Window
 
     q = _query_vectors(spark, sf_dir)
-    qd = q.select("query_id", SIM.as_double(F.col("embedding")).alias("qv"))
-    cen = centroids.select("cell", SIM.as_double(F.col("embedding")).alias("cv"))
-    probes = (
-        qd.join(F.broadcast(cen))
-        .withColumn("sim", SIM.cosine(F.col("qv"), F.col("cv")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("sim").desc(), F.col("cell").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") <= 2)
-        .select(
-            "query_id", "qv", SIM.l2_norm(F.col("qv")).alias("q_nrm"), "cell"
-        )
-    )
+    probes = SIM.ivf_probes(q, centroids, n_probe=2)
     # corpus-row norms staged once per row (see brute_force_topk)
     sim = SIM.dot(F.col("qv"), F.col("embedding")) / F.greatest(
         F.col("q_nrm") * F.col("c_nrm"), F.lit(1e-12)

@@ -50,3 +50,67 @@ def test_matmul_topk_raises_above_max_query_rows(spark):
         matmul_topk_pandas(corpus, qrows, max_query_rows=3)
     # at the bound it still works
     assert matmul_topk_pandas(corpus, qrows, max_query_rows=4).count() > 0
+
+
+def test_ivf_probes_matches_window_formulation(spark):
+    """ivf_probes (in-row sorted-array top-n, r12) returns exactly the
+    probes the former cross-join + row_number() formulation chose —
+    same cells, same tie-breaks (cosine DESC, cell ASC)."""
+    from pyspark.sql import Window
+
+    from fhir_to_lakehouse_spark.functions.similarity import (
+        as_double,
+        cosine,
+        ivf_probes,
+        l2_norm,
+    )
+
+    queries = _vecs(spark, 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = _vecs(spark, 5).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["cell"])
+        for r in ivf_probes(queries, centroids, n_probe=2).collect()
+    }
+    qd = queries.select(
+        "query_id", as_double(F.col("embedding")).alias("qv")
+    )
+    cen = centroids.select("cell", as_double(F.col("embedding")).alias("cv"))
+    want = {
+        (r["query_id"], r["cell"])
+        for r in qd.join(F.broadcast(cen))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == want
+    # q_nrm rides along for the downstream scoring expression
+    row = ivf_probes(queries, centroids, n_probe=2).first()
+    qn = qd.withColumn("n", l2_norm(F.col("qv"))).filter(
+        F.col("query_id") == row["query_id"]
+    ).first()["n"]
+    assert row["q_nrm"] == qn
+
+
+def test_ivf_probes_raises_above_max_centroids(spark):
+    queries = _vecs(spark, 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    centroids = _vecs(spark, 6).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    from fhir_to_lakehouse_spark.functions.similarity import ivf_probes
+
+    with pytest.raises(CentroidCollectError, match="max_centroids"):
+        ivf_probes(queries, centroids, max_centroids=5)
