@@ -31,6 +31,18 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Lazy DataFrame HANDLES per (SparkContext application, path) — driver
+# metadata reuse, NOT result caching: every action on the returned frame
+# still scans the parquet input; what is skipped on repeat calls is
+# re-reading the footer schema and re-listing the file (~90 ms of
+# driver-side time per spark.read.parquet at sf0.1, measured r12 —
+# called up to 4x per query across a 64-entry bench). This is the
+# bare-path analog of Spark's own in-session file-index cache for
+# catalog tables (spark.sql.hive.filesourcePartitionFileCacheSize); the
+# testdata star schema is immutable by contract, and entries are keyed
+# by applicationId so a restarted session never sees stale JVM refs.
+_TABLE_HANDLES: dict[tuple[str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # defensive session conf: the caller may pass a session built
@@ -38,7 +50,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # both are runtime-settable and required for correct reads/compares
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, path)
+    cached = _TABLE_HANDLES.get(key)
+    if cached is not None:
+        return cached
+    if len(_TABLE_HANDLES) > 256:  # drop handles of dead sessions
+        _TABLE_HANDLES.clear()
+    df = _load_table_uncached(spark, path, name)
+    _TABLE_HANDLES[key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, path: str, name: str
+) -> DataFrame:
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -83,7 +110,17 @@ def fan_out_small_scan(
         return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # df.rdd.getNumPartitions() plans the query a second time (~40 ms
+    # of driver time per call, r12 measurement); the count is a pure
+    # function of this immutable frame's scan, so compute it once and
+    # pin it ON the frame object (an attribute dies with the object —
+    # no cross-frame aliasing, and load_table's handle memo makes the
+    # common table frames long-lived).
+    nparts = getattr(df, "_spark_graft_nparts", None)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        df._spark_graft_nparts = nparts
+    if nparts >= target:
         return df
     return df.repartition(target)
 
