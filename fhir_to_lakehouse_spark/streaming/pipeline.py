@@ -88,6 +88,18 @@ class PipelineConfig:
     # `validation_valuesets` (an expand_valueset frame).
     validation_specs: list[dict] = field(default_factory=list)
     validation_valuesets: object | None = None
+    # Per-type processing concurrency (guide §2.6 overlap of
+    # independent jobs): the resource types in a batch maintain
+    # DISJOINT tables, so their dedup/encode/merge job chains are
+    # independent — running them from a small driver thread pool lets
+    # one type's job tail back-fill executors the previous type would
+    # have left idle. The reference gets this concurrency by running
+    # one streaming query PER type (at N× the parse cost and with
+    # documented starvation risk, /root/reference/src/main.py:119-124);
+    # a pool over one cached parse keeps its concurrency without its
+    # redundancy. 2-3 in flight is plenty (guide); 1 = the old
+    # sequential behavior.
+    max_concurrent_types: int = 3
     # (ViewDefinition dict, destination path) pairs: each view is
     # materialized flat and refreshed INCREMENTALLY at the upkeep
     # cadence (operators/materialized_view.py — per-resource
@@ -110,8 +122,15 @@ class BundlePipeline:
         # (/root/reference/src/bundle_processor.py:213-233)
         self.op_timer = HistogramSnapshot()
         # cumulative {(resource_type, rule): [violations, checked]}
-        # fed by cfg.validation_specs
+        # fed by cfg.validation_stats
         self.validation_stats: dict[tuple[str, str], list[int]] = {}
+        # serializes the few cross-type shared effects under the
+        # per-type thread pool: appends to the ONE dead-letter path
+        # (two concurrent append jobs would race on the same
+        # _temporary staging dir) and catalog DDL
+        import threading
+
+        self._shared_sink_lock = threading.Lock()
 
     # -- table access ----------------------------------------------------
 
@@ -236,7 +255,8 @@ class BundlePipeline:
                 return
             if self.cfg.log_batch_stats:
                 prepared.groupBy("resource_type").count().show(truncate=False)
-            for rt in types:
+
+            def _one(rt: str) -> None:
                 self._process_single_type(
                     prepared.filter(F.col("resource_type") == rt),
                     rt,
@@ -244,6 +264,28 @@ class BundlePipeline:
                     has_deletes=counts.get((rt, "DELETE"), 0) > 0,
                     batch_id=batch_id,
                 )
+
+            workers = min(max(self.cfg.max_concurrent_types, 1), len(types))
+            if workers > 1:
+                # types maintain disjoint tables; overlapping their job
+                # chains back-fills the executor tail (guide §2.6).
+                # inheritable_thread_target propagates the JVM-side
+                # thread locals (job group/description) into pool
+                # threads — the documented PySpark idiom.
+                from concurrent.futures import ThreadPoolExecutor
+
+                from pyspark import inheritable_thread_target
+
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    futures = [
+                        pool.submit(inheritable_thread_target(_one), rt)
+                        for rt in types
+                    ]
+                    for fut in futures:
+                        fut.result()
+            else:
+                for rt in types:
+                    _one(rt)
             if batch_id % self.cfg.upkeep_interval == 0:
                 self.upkeep(types)
         finally:
@@ -393,7 +435,8 @@ class BundlePipeline:
         path = os.path.join(
             self.cfg.warehouse_dir, "_corrupt_resources.parquet"
         )
-        out.write.mode("append").parquet(path)
+        with self._shared_sink_lock:
+            out.write.mode("append").parquet(path)
 
     def corrupt_resources(self) -> DataFrame:
         path = os.path.join(
@@ -410,11 +453,12 @@ class BundlePipeline:
         schema = self.cfg.register_schema
         fmt = "DELTA" if delta_available() else "PARQUET"
         path = self.table(resource_type).path
-        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
-        self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {schema}.`{resource_type}` "
-            f"USING {fmt} LOCATION '{path}'"
-        )
+        with self._shared_sink_lock:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {schema}.`{resource_type}` "
+                f"USING {fmt} LOCATION '{path}'"
+            )
 
     # -- maintenance (reference :236-238 + lakehousekeeper) --------------
 

@@ -543,3 +543,38 @@ def test_pipeline_encode_extensions_widens_and_serves_views(spark, tmp_path):
     }
     got = {r.pid: r.birthsex for r in compile_view(view, stored).collect()}
     assert got == {"old": None, "new": "F"}
+
+
+def test_concurrent_type_processing_matches_sequential(spark, tmp_path):
+    """The per-type thread pool (PipelineConfig.max_concurrent_types,
+    r12 — guide §2.6 overlap of independent jobs) is a scheduling
+    change only: a mixed-type batch lands byte-identical tables under
+    workers=3 and workers=1."""
+    rows = [
+        {"value": put_bundle("Patient", "1", active=True), "offset": 0},
+        {"value": put_bundle("Patient", "2", active=False), "offset": 1},
+        {"value": delete_bundle("Patient", "2"), "offset": 2},
+        {"value": put_bundle("Observation", "10", status="final"), "offset": 3},
+        {"value": put_bundle("Observation", "10", status="amended"), "offset": 4},
+        {"value": put_bundle("Condition", "20"), "offset": 5},
+        {"value": delete_bundle("Condition", "99"), "offset": 6},
+    ]
+    outputs = {}
+    for workers in (1, 3):
+        cfg = PipelineConfig(
+            warehouse_dir=str(tmp_path / f"wh{workers}"),
+            checkpoint_dir=str(tmp_path / f"ck{workers}"),
+            max_concurrent_types=workers,
+        )
+        pipe = BundlePipeline(spark, cfg)
+        pipe.process_batch(batch(spark, rows), batch_id=1)
+        outputs[workers] = {
+            rt: sorted(
+                (r["id"],) for r in pipe.table(rt).to_df().select("id").collect()
+            )
+            for rt in ("Patient", "Observation", "Condition")
+        }
+    assert outputs[1] == outputs[3]
+    assert outputs[3]["Patient"] == [("1",)]
+    assert outputs[3]["Observation"] == [("10",)]
+    assert outputs[3]["Condition"] == [("20",)]
