@@ -108,7 +108,7 @@ class CentroidCollectError(ValueError):
 
 
 def _collect_centroids(
-    centroids: DataFrame,
+    centroids,
     vec_col: str,
     max_centroids: int,
     caller: str,
@@ -116,7 +116,20 @@ def _collect_centroids(
     """Bounded driver-side centroid collect shared by ivf_assign and
     ivf_probes: at most ``max_centroids + 1`` rows ever move (the +1
     detects overflow without a count job); raw double vectors, no
-    normalization (callers differ)."""
+    normalization (callers differ). A pre-collected
+    ``[(cell, vector), ...]`` list passes through unchanged (still
+    bound-checked) so one collect job can feed BOTH the assignment and
+    the probe expressions — one driver round-trip per query instead of
+    two."""
+    if isinstance(centroids, list):
+        if len(centroids) > max_centroids:
+            raise CentroidCollectError(
+                f"{caller} got more than max_centroids="
+                f"{max_centroids} pre-collected centroid rows."
+            )
+        return [
+            (int(c), [float(x) for x in v]) for c, v in centroids
+        ]
     rows = (
         centroids.select("cell", as_double(F.col(vec_col)).alias("cv"))
         .limit(max_centroids + 1)
@@ -134,7 +147,7 @@ def _collect_centroids(
 
 def ivf_probes(
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     n_probe: int = 2,
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
@@ -195,7 +208,7 @@ def ivf_probes(
 
 def ivf_assign(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_centroids: int = MAX_COLLECTED_CENTROIDS,

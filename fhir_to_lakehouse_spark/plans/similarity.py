@@ -171,7 +171,15 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8)
         .select(F.col("vec_id").alias("cell"), "embedding")
     )
-    assigned = SIM.ivf_assign(emb, centroids)
+    # ONE bounded collect feeds both the assignment and the probe
+    # expressions (r12): ivf_assign and ivf_probes each accept the
+    # pre-collected [(cell, vector), ...] list, so the query pays one
+    # driver round-trip for the quantizer instead of two.
+    cen_rows = SIM._collect_centroids(
+        centroids, "embedding", SIM.MAX_COLLECTED_CENTROIDS,
+        caller="similarity_ivf_topk",
+    )
+    assigned = SIM.ivf_assign(emb, cen_rows)
 
     # queries probe their 2 nearest centroid cells — in-row top-n
     # against the collected centroid literals (SIM.ivf_probes, r12):
@@ -181,7 +189,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     q = _query_vectors(spark, sf_dir)
-    probes = SIM.ivf_probes(q, centroids, n_probe=2)
+    probes = SIM.ivf_probes(q, cen_rows, n_probe=2)
     # corpus-row norms staged once per row (see brute_force_topk)
     sim = SIM.dot(F.col("qv"), F.col("embedding")) / F.greatest(
         F.col("q_nrm") * F.col("c_nrm"), F.lit(1e-12)
