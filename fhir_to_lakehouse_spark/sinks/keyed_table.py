@@ -145,6 +145,13 @@ class KeyedTable:
         # merge also appends its row-level changes (_change_type +
         # commit_version) to <path>.changelog for incremental consumers
         self.changelog = changelog
+        # set when the parquet fallback just wrote a ZERO-ROW table via
+        # create_if_not_exists: the next merge_upsert can take the
+        # initial-write fast path instead of reading the empty table
+        # back through the full anti-join/union machinery (a first
+        # batch on a fresh warehouse pays that per resource type).
+        # Any _swap_write clears it.
+        self._known_empty = False
         self.table_properties = (
             dict(table_properties)
             if table_properties is not None
@@ -223,6 +230,7 @@ class KeyedTable:
             self.spark.createDataFrame([], schema).repartition(1).write.mode(
                 "overwrite"
             ).parquet(self.path)
+            self._known_empty = True
 
     # -- MERGE -----------------------------------------------------------
 
@@ -261,7 +269,11 @@ class KeyedTable:
             )
             return
         self._check_unique_source(src)
-        if not self.exists():
+        if not self.exists() or self._known_empty:
+            # initial write (or the table was just created EMPTY by
+            # create_if_not_exists): merging into zero rows is the
+            # source itself — skip reading the empty table back and
+            # the anti-join/union pass
             if self.changelog:
                 self._append_changes(src.withColumn("_change_type", F.lit("insert")))
             self._swap_write(src)
@@ -648,6 +660,7 @@ class KeyedTable:
         :meth:`_recover_stranded` (run by exists()/vacuum()) restores
         the pre-swap directory in that window, so no committed rows are
         ever lost."""
+        self._known_empty = False
         suffix = f".tmp-{uuid.uuid4().hex[:8]}"
         if not presorted and self.sort_on_write and self.key in df.columns:
             df = df.sortWithinPartitions(self.key)
