@@ -771,7 +771,14 @@ def main() -> None:
     settle_cap = float(os.environ.get("BENCH_SETTLE_WAIT_S", "30"))
     settle_busy = float(os.environ.get("BENCH_SETTLE_BUSY", "0.20"))
 
-    n_cpus = os.cpu_count() or 1
+    # host capacity, NOT the bench core count: the contamination bars
+    # below compare foreign CPU burn against what the MACHINE could
+    # burn during a pass, which is all host cores regardless of how
+    # many threads local[$SPARK_GRAFT_CPUS] uses. The reported env
+    # block carries both (VERDICT r12 item 3: an 8-thread run must
+    # self-describe as c=8, with host capacity in `host_cpus`).
+    host_cpus = os.cpu_count() or 1
+    bench_cpus = spark.sparkContext.defaultParallelism
 
     def _measure(name: str) -> tuple[float, dict, bool]:
         """One settle + warmup + median-of-`reps`-clean-passes
@@ -835,7 +842,7 @@ def main() -> None:
             # processes or hypervisor steal burned >25% of the machine
             # for its duration — both mean the pass measured the
             # environment, not the code
-            lim = 0.25 * n_cpus * t
+            lim = 0.25 * host_cpus * t
             foreign = max(other or 0.0, steal or 0.0)
             if foreign > lim:
                 dirty.append((t, foreign))
@@ -981,7 +988,7 @@ def main() -> None:
             # the number measured the competitor, not the code: settle
             # and rerun once, report the clean pass, and keep the
             # contaminated one in the JSON for adjudication.
-            contam = 0.25 * n_cpus * elapsed
+            contam = 0.25 * host_cpus * elapsed
             foreign = max(cpu.other_s or 0.0, cpu.steal_s or 0.0)
             if foreign > contam:
                 # record the two contamination sources separately: a
@@ -1035,7 +1042,12 @@ def main() -> None:
             "n_processes": len(
                 [p for p in os.listdir("/proc") if p.isdigit()]
             ),
-            "n_cpus": os.cpu_count(),
+            # n_cpus = the core count the bench actually ran at
+            # (local[$SPARK_GRAFT_CPUS] via defaultParallelism), so a
+            # low-core scaling run self-describes correctly; host
+            # capacity is a separate field (VERDICT r12 item 3)
+            "n_cpus": bench_cpus,
+            "host_cpus": os.cpu_count(),
         }
     except OSError:  # pragma: no cover — non-POSIX fallback
         env_load = {}
@@ -1088,10 +1100,16 @@ def main() -> None:
         "env": env_load,
         "query_env": query_env,
     }
+    # A filtered (BENCH_ONLY) run must never clobber the last FULL
+    # run's record: round 12's "official" commit captured a 2-entry
+    # isolated re-measure because this default was unconditional
+    # (VERDICT r12 item 1). Full runs keep BENCH_DIAG.json; subset
+    # runs default to a separate file; BENCH_DIAG_PATH overrides both.
+    default_diag = "BENCH_DIAG.json" if not only else "BENCH_DIAG_partial.json"
     diag_path = os.environ.get(
         "BENCH_DIAG_PATH",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DIAG.json"
+            os.path.dirname(os.path.abspath(__file__)), default_diag
         ),
     )
     try:

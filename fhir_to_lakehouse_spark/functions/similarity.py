@@ -178,6 +178,14 @@ def ivf_probes(
         F.col(query_id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
     ).withColumn("q_nrm", l2_norm(F.col("qv")))
+    if not cen:
+        # zero centroids: F.array() of no structs has no `cell` field,
+        # so the expression below fails at ANALYSIS time. The former
+        # cross-join + row_number formulation returned an empty frame
+        # with the correct schema for the same input — preserve that.
+        return q.select(
+            "query_id", "qv", "q_nrm", F.lit(None).cast("long").alias("cell")
+        ).where(F.lit(False))
     cvn = {cell: math.sqrt(sum(x * x for x in cv)) for cell, cv in cen}
     ranked = F.sort_array(
         F.array(
@@ -250,6 +258,15 @@ def ivf_assign(
     tmp = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("__v")
     )
+    if not cen:
+        # same empty-centroid guard as ivf_probes: the argmax over an
+        # empty literal array cannot be analyzed; the former window
+        # formulation yielded an empty frame of the same schema.
+        return tmp.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("cell"),
+            F.col("__v").alias(vec_col),
+        ).where(F.lit(False))
     best = F.array_max(
         F.array(
             *[

@@ -181,7 +181,18 @@ def patient_everything(
     plans/r12/compartment_patient_everything_before.txt. The cohort
     is broadcast-sized by contract, so the checkpoint is a tiny
     single-stage job and every slice's BroadcastExchange reads the
-    materialized blocks."""
+    materialized blocks.
+
+    Deliberate tradeoff (ADVICE r12, re-measured r13): persist()+count
+    keeps the lineage recomputable after an executor loss, but each
+    slice then carries the whole InMemoryRelation subtree — plan 34->48
+    operators, isolated bench 0.94 s -> 1.51 s and 47 -> 119 CPU-s —
+    so localCheckpoint stays. The exposure is bounded: checkpoint
+    blocks are non-replicated, so losing an executor mid-query (e.g.
+    under dynamic allocation) fails the downstream slices, but the
+    cohort is dimension-sized and the caller just re-runs the query;
+    the eager materialization job is the same job persist's count()
+    would run."""
     if isinstance(patient_ids, DataFrame):
         patient_ids = patient_ids.toDF("patient_id").localCheckpoint(
             eager=True

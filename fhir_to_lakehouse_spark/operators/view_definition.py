@@ -1084,7 +1084,30 @@ def compile_view(
         schema = schema_for(rtype, include_extensions=True)
 
     df = encoded
-    for w in view.get("where", []) or []:
+    wheres = view.get("where", []) or []
+    if wheres:
+        # Pushdown barrier (guide §4.4's optimizer-duplication trap,
+        # applied to expressions): a `where` filter over an encoded
+        # frame otherwise gets pushed below the from_json projection,
+        # re-substituting the parse into the predicate — Catalyst then
+        # prunes that copy's schema to the referenced field and every
+        # row pays a SECOND full JSON lex just to evaluate the filter
+        # (measured: viewdef_observation_components carried
+        # `from_json(status).status = final` inside its Filter node,
+        # plans/r12/viewdef_observation_components_before.txt node 5).
+        # A one-element explode re-emits every row through a Generate;
+        # predicates referencing generator output are not pushed below
+        # it, so the parse stays single-evaluation. Row set unchanged:
+        # explode of a 1-element array is exactly one row per row.
+        packed = df.select(
+            F.explode(
+                F.array(F.struct(*[F.col(c) for c in df.columns]))
+            ).alias("__vd_row")
+        )
+        df = packed.select(
+            *[F.col("__vd_row")[c].alias(c) for c in df.columns]
+        )
+    for w in wheres:
         mo = _MEMBEROF_RE.match(w["path"].strip())
         if mo:
             if valuesets is None:

@@ -150,15 +150,42 @@ class KeyedTable:
         # initial-write fast path instead of reading the empty table
         # back through the full anti-join/union machinery (a first
         # batch on a fresh warehouse pays that per resource type).
-        # Any _swap_write clears it.
+        # Any _swap_write clears it; _fresh_empty() re-validates the
+        # flag against the on-disk _SUCCESS stamp before the fast path
+        # trusts it, so a second writer to the same path is never
+        # clobbered (ADVICE r12).
         self._known_empty = False
+        self._empty_stamp: tuple[int, int] | None = None
         self.table_properties = (
             dict(table_properties)
             if table_properties is not None
             else dict(self.DEFAULT_TABLE_PROPERTIES)
         )
 
+    @property
+    def is_delta(self) -> bool:
+        """True when this table runs on the Delta backend (callers that
+        piggyback work on merge jobs need to know which engine plans
+        the merge)."""
+        return self._delta
+
     # -- existence / read ------------------------------------------------
+
+    def _fresh_empty(self) -> bool:
+        """True only while the zero-row table THIS instance created is
+        still what's on disk. The in-memory flag alone is not enough:
+        another KeyedTable instance (or process) writing to the same
+        path after our create_if_not_exists would be silently clobbered
+        by the fast-path _swap_write. One stat() of _SUCCESS re-validates
+        — any foreign _swap_write replaces the directory, giving the
+        marker a new inode/mtime."""
+        if not self._known_empty or self._empty_stamp is None:
+            return False
+        try:
+            st = os.stat(os.path.join(self._os_path, "_SUCCESS"))
+        except OSError:
+            return False
+        return (st.st_mtime_ns, st.st_ino) == self._empty_stamp
 
     def exists(self) -> bool:
         if self._delta:
@@ -230,7 +257,12 @@ class KeyedTable:
             self.spark.createDataFrame([], schema).repartition(1).write.mode(
                 "overwrite"
             ).parquet(self.path)
-            self._known_empty = True
+            try:
+                st = os.stat(os.path.join(self._os_path, "_SUCCESS"))
+                self._empty_stamp = (st.st_mtime_ns, st.st_ino)
+                self._known_empty = True
+            except OSError:  # pragma: no cover — marker missing: no fast path
+                self._known_empty = False
 
     # -- MERGE -----------------------------------------------------------
 
@@ -269,7 +301,7 @@ class KeyedTable:
             )
             return
         self._check_unique_source(src)
-        if not self.exists() or self._known_empty:
+        if not self.exists() or self._fresh_empty():
             # initial write (or the table was just created EMPTY by
             # create_if_not_exists): merging into zero rows is the
             # source itself — skip reading the empty table back and

@@ -203,20 +203,30 @@ class HistogramSnapshot:
     same design as :class:`GaugeSnapshot`."""
 
     def __init__(self):
+        import threading
+
         self._series: dict[tuple[str, Labels], dict[str, float]] = {}
+        # observe() is read-modify-write; the pipeline's per-type
+        # thread pool (BundlePipeline.process_batch) times merges from
+        # several driver threads into ONE histogram, and two types
+        # sharing a (metric, labels) series would race the increments.
+        # Lock here, in the metrics object, so every caller is safe —
+        # the critical section is a dict update, contention is nil.
+        self._lock = threading.Lock()
 
     def observe(self, metric: str, value: float, **labels: str) -> None:
         key = (metric, _labels(**labels))
-        s = self._series.get(key)
-        if s is None:
-            self._series[key] = {
-                "count": 1, "sum": value, "min": value, "max": value,
-            }
-        else:
-            s["count"] += 1
-            s["sum"] += value
-            s["min"] = min(s["min"], value)
-            s["max"] = max(s["max"], value)
+        with self._lock:
+            s = self._series.get(key)
+            if s is None:
+                self._series[key] = {
+                    "count": 1, "sum": value, "min": value, "max": value,
+                }
+            else:
+                s["count"] += 1
+                s["sum"] += value
+                s["min"] = min(s["min"], value)
+                s["max"] = max(s["max"], value)
 
     def get(self, metric: str, **labels: str) -> dict[str, float] | None:
         return self._series.get((metric, _labels(**labels)))

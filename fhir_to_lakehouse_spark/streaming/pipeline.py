@@ -122,7 +122,7 @@ class BundlePipeline:
         # (/root/reference/src/bundle_processor.py:213-233)
         self.op_timer = HistogramSnapshot()
         # cumulative {(resource_type, rule): [violations, checked]}
-        # fed by cfg.validation_stats
+        # fed by cfg.validation_specs via _validate_batch
         self.validation_stats: dict[tuple[str, str], list[int]] = {}
         # serializes the few cross-type shared effects under the
         # per-type thread pool: appends to the ONE dead-letter path
@@ -178,12 +178,17 @@ class BundlePipeline:
             rows = validation_summary(
                 sp, encoded, valuesets=self.cfg.validation_valuesets
             ).collect()
-            for r in rows:
-                slot = self.validation_stats.setdefault(
-                    (resource_type, r["rule"]), [0, 0]
-                )
-                slot[0] += r["violations"] or 0
-                slot[1] += r["checked"]
+            # the fold is read-modify-write on shared state; under the
+            # per-type pool two types sharing a rule name would race —
+            # the collect() above (the expensive part) stays outside
+            # the critical section
+            with self._shared_sink_lock:
+                for r in rows:
+                    slot = self.validation_stats.setdefault(
+                        (resource_type, r["rule"]), [0, 0]
+                    )
+                    slot[0] += r["violations"] or 0
+                    slot[1] += r["checked"]
             if self.cfg.log_batch_stats:
                 for r in rows:
                     print(
@@ -366,28 +371,62 @@ class BundlePipeline:
                 # null-key row in the table. Dead-letter it with the raw
                 # resource instead (the reference's Pathling encoder
                 # throws for these; silent nulls are worse than either).
-                # ONE aggregate answers both "how many rows" and "how
-                # many invalid" (vs two sequential isEmpty probes, each
-                # re-running the from_json encode over the cache).
-                enc = encoded.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.count_if(F.col("id").isNull()).alias("n_invalid"),
-                ).collect()[0]
-                if enc["n_invalid"]:
-                    self._dead_letter_resources(
-                        encoded.filter(F.col("id").isNull()),
-                        resource_type,
-                        batch_id,
+                if tbl.is_delta:
+                    # Delta compiles MERGE into its own command, so an
+                    # Observation on the source side has no guaranteed
+                    # delivery — keep the explicit one-aggregate probe
+                    # (still a single job answering both counts).
+                    enc = encoded.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_if(F.col("id").isNull()).alias("n_invalid"),
+                    ).collect()[0]
+                    if enc["n_invalid"]:
+                        self._dead_letter_resources(
+                            encoded.filter(F.col("id").isNull()),
+                            resource_type,
+                            batch_id,
+                        )
+                        encoded = encoded.filter(F.col("id").isNotNull())
+                    if enc["n"] > enc["n_invalid"]:
+                        with MeasureElapsed(
+                            self.op_timer,
+                            DELTA_OPERATION_SECONDS,
+                            operation="merge",
+                            resource_type=resource_type,
+                        ):
+                            tbl.merge_upsert(encoded)
+                else:
+                    # parquet path: the row/invalid counts ride the
+                    # MERGE job itself via the Observation API — one
+                    # collect job per type per batch saved (the old
+                    # aggregate re-ran the from_json encode over the
+                    # dedup cache). CollectMetrics is a pushdown
+                    # barrier, so `n_invalid` counts pre-filter rows
+                    # even though the merge consumes only valid ones
+                    # (pinned in test_bundles).
+                    from pyspark.sql import Observation
+
+                    obs = Observation()
+                    observed = encoded.observe(
+                        obs,
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_if(F.col("id").isNull()).alias("n_invalid"),
                     )
-                    encoded = encoded.filter(F.col("id").isNotNull())
-                if enc["n"] > enc["n_invalid"]:
                     with MeasureElapsed(
                         self.op_timer,
                         DELTA_OPERATION_SECONDS,
                         operation="merge",
                         resource_type=resource_type,
                     ):
-                        tbl.merge_upsert(encoded)
+                        tbl.merge_upsert(
+                            observed.filter(F.col("id").isNotNull())
+                        )
+                    if obs.get["n_invalid"]:
+                        self._dead_letter_resources(
+                            encoded.filter(F.col("id").isNull()),
+                            resource_type,
+                            batch_id,
+                        )
 
             if has_deletes and existed_before:
                 delete_ids = deletes.select(

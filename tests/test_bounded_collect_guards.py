@@ -114,3 +114,24 @@ def test_ivf_probes_raises_above_max_centroids(spark):
 
     with pytest.raises(CentroidCollectError, match="max_centroids"):
         ivf_probes(queries, centroids, max_centroids=5)
+
+
+def test_ivf_with_empty_centroid_set_returns_empty_frames(spark):
+    """Zero centroids must analyze cleanly (ADVICE r12): the literal
+    array formulations have no struct fields to reference, so both
+    functions early-return an empty frame with the schema the former
+    cross-join formulations produced."""
+    from fhir_to_lakehouse_spark.functions.similarity import ivf_probes
+
+    queries = _vecs(spark, 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probes = ivf_probes(queries, [], n_probe=2)
+    assert probes.count() == 0
+    assert probes.columns == ["query_id", "qv", "q_nrm", "cell"]
+    assert dict(probes.dtypes)["cell"] == "bigint"
+
+    assigned = ivf_assign(_vecs(spark, 4), [])
+    assert assigned.count() == 0
+    assert assigned.columns == ["vec_id", "cell", "embedding"]
+    assert dict(assigned.dtypes)["cell"] == "bigint"

@@ -162,3 +162,22 @@ def test_fallback_rejects_remote_scheme(spark):
     # local URI forms stay accepted (both Hadoop renderings)
     KeyedTable(spark, "file:///tmp/t.parquet")
     KeyedTable(spark, "file:/tmp/t.parquet")
+
+
+def test_known_empty_fast_path_revalidates_on_disk(spark, tmp_path):
+    """The initial-write fast path must not trust the in-memory
+    _known_empty flag blindly (ADVICE r12): a second writer to the
+    same path after our create_if_not_exists would be clobbered by
+    the fast-path swap. The _SUCCESS stamp check detects the foreign
+    write and falls back to the full anti-join merge."""
+    a = make(spark, tmp_path)
+    b = KeyedTable(spark, str(tmp_path / "t.parquet"), key="id")
+    a.create_if_not_exists(SCHEMA)
+    assert a._fresh_empty()
+    # a foreign instance lands rows in the same path
+    b.merge_upsert(df(spark, [("x", 1)]))
+    assert not a._fresh_empty()
+    # our merge must now PRESERVE the foreign row, not clobber it
+    a.merge_upsert(df(spark, [("y", 2)]))
+    got = {(r["id"], r["v"]) for r in a.to_df().collect()}
+    assert got == {("x", 1), ("y", 2)}

@@ -29,7 +29,7 @@ def main() -> None:
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SNAP_DIR", "r13"),
     )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
