@@ -519,14 +519,26 @@ def prefix_filter_pairs(
         # against 1.6 s with the relation pre-materialized (r10
         # diagnosis; the r9 official 10 s and the 52 s contention
         # blow-up were this stampede plus machine load, not shuffle
-        # cost). localCheckpoint also truncates lineage, so the four
-        # consumers read compact UnsafeRow blocks instead of carrying
-        # the join subtree. Lifecycle: functions/cache.py checkpoint
-        # contract (persist_scope releases the blocks; one-shot runs
-        # leave one dimension-sized RDD, same as the BPE symbol
-        # frame).
-        .transform(lambda d: scoped_local_checkpoint(d, eager=True))
+        # cost). The eager count() below closes that hole for persist
+        # just as eager=True did for localCheckpoint: the relation is
+        # fully cached before any consumer composes.
+        #
+        # persist, NOT localCheckpoint (r13): the distinct-set relation
+        # is THE staged intermediate of this operator (the deployment
+        # model the bench docstring names for minhash signatures and tf
+        # aggregates — stored once, queried repeatedly). The SQL cache
+        # is keyed by plan identity, so a rebuilt identical query
+        # reuses it, exactly like the minhash/tf staging; checkpoint
+        # blocks are invisible to that lookup, which made this operator
+        # re-run its whole ranking chain per pass while its siblings
+        # ran staged. Measured bench-style (steal-adjudicated,
+        # warmup + 3 passes): steady passes 3.5-4.3 s (ckpt, rebuilt
+        # per pass) -> 1.5-2.3 s (persist, staged); rows identical at
+        # sf0.01. Lifecycle unchanged: persist_scope releases it, and
+        # one-shot harnesses clearCache between entries.
+        .transform(lambda d: scoped_persist(d))
     )
+    groups.count()  # eager materialization — see stampede note above
 
     # (1) within-group pairs: identical sets, jaccard exactly 1.
     # Generated IN-ARRAY (all i<j combinations of the sorted ids list

@@ -1052,6 +1052,26 @@ def _apply_member_of(
     return df.join(matches, "id", "left_semi")
 
 
+def _parse_backed(df: DataFrame) -> bool:
+    """True when the frame's columns are produced by an in-plan
+    from_json/from_xml (the bundle decode chain) rather than read from
+    storage or a materialized cache. Decides whether `where` filters
+    need the parse pushdown barrier: pushing a predicate through a
+    cheap column-ref projection (stored table) is pure win; pushing it
+    through a wire-format parse duplicates the parse per row. Walks
+    the ANALYZED plan via toJSON() — plan toString() truncates long
+    expression trees, the JSON form does not."""
+    try:
+        plan_json = df._jdf.queryExecution().analyzed().toJSON()
+        return (
+            "JsonToStructs" in plan_json or "XmlToStructs" in plan_json
+        )
+    except Exception:
+        # unknown plan shape: keep the single-parse guarantee (the
+        # measured hazard); the cost is only a missed scan pushdown
+        return True
+
+
 def compile_view(
     view: dict,
     encoded: DataFrame,
@@ -1085,20 +1105,25 @@ def compile_view(
 
     df = encoded
     wheres = view.get("where", []) or []
-    if wheres:
+    if wheres and _parse_backed(df):
         # Pushdown barrier (guide §4.4's optimizer-duplication trap,
-        # applied to expressions): a `where` filter over an encoded
-        # frame otherwise gets pushed below the from_json projection,
-        # re-substituting the parse into the predicate — Catalyst then
-        # prunes that copy's schema to the referenced field and every
-        # row pays a SECOND full JSON lex just to evaluate the filter
-        # (measured: viewdef_observation_components carried
+        # applied to expressions): a `where` filter over a frame whose
+        # columns come from an in-plan from_json/from_xml projection
+        # otherwise gets pushed below that projection, re-substituting
+        # the parse into the predicate — Catalyst then prunes that
+        # copy's schema to the referenced field and every row pays a
+        # SECOND full JSON lex just to evaluate the filter (measured:
+        # viewdef_observation_components carried
         # `from_json(status).status = final` inside its Filter node,
         # plans/r12/viewdef_observation_components_before.txt node 5).
         # A one-element explode re-emits every row through a Generate;
         # predicates referencing generator output are not pushed below
         # it, so the parse stays single-evaluation. Row set unchanged:
         # explode of a 1-element array is exactly one row per row.
+        # Applied ONLY to parse-backed frames: over a STORED table the
+        # same barrier would BLOCK the pushdown we want — scalar
+        # predicates into the parquet scan and column pruning out of
+        # it (pinned by test_extension_frame_still_prunes_from_parquet).
         packed = df.select(
             F.explode(
                 F.array(F.struct(*[F.col(c) for c in df.columns]))

@@ -310,7 +310,18 @@ class KeyedTable:
                 self._append_changes(src.withColumn("_change_type", F.lit("insert")))
             self._swap_write(src)
             return
-        existing = self.to_df()
+        # Read the existing table through the SOURCE frame's session,
+        # not self.spark: inside a streaming foreachBatch the batch df
+        # belongs to the stream's CLONED session, and a merge plan
+        # rooted on a self.spark read would execute under the original
+        # session's UUID — so a listener registered on the clone (the
+        # pipeline's Observation counts) never sees the completion
+        # event and Observation.get blocks forever (reproduced:
+        # test_recovery_processes_only_new_data_after_commit hung on
+        # the first post-create merge). Executing the whole merge in
+        # the caller's session is also simply correct — its confs are
+        # the ones in force for this batch.
+        existing = src.sparkSession.read.parquet(self.path)
         if self.changelog:
             matched_keys = src.select(self.key).distinct()
             pre = existing.join(matched_keys, on=self.key, how="left_semi")
