@@ -129,23 +129,21 @@ def test_no_reinlined_tokenizer_in_explode_plans(spark, sf_dir):
       InferFiltersFromConstraints cannot re-inline them either.
 
     The tokenizer fingerprint `split(trim(lower(` must appear at most
-    once per source-scan branch of the optimized plan."""
-    # The expected counts assume the only cached subtrees are the ones
-    # the query functions themselves persist.  Earlier tests that ran
-    # the same queries leave entries in the cache manager, and Spark
-    # substitutes those InMemoryRelations into the new plans — each
-    # substitution site prints the cached plan's tokenizer once more.
+    once per LIVE source-scan branch of the physical plan. Counted by
+    walking plan NODES (each node's one-line simpleString), not the
+    whole-plan text: an InMemoryRelation prints its cached plan at
+    every InMemoryTableScan consumer site, so text counting charges a
+    staged relation's ONE build once per reader — the r13 prefix-join
+    staging put 5 such sites inside dedup_minhash_xxhash's plan and
+    inflated the old text count to 22 for 2 real evaluations. Cached
+    internals are excluded by construction (an InMemoryTableScanExec
+    has no children; its cached plan is a field)."""
     spark.catalog.clearCache()
     per_query_scans = {
         "decontaminate_ngram_overlap": 2,   # bench + train branches
-        # tot + cand branches + the persisted bench subtree, whose
-        # plan TEXT prints at both of its InMemoryTableScan sites
-        # (one real evaluation)
-        "decontaminate_bloom_prefilter": 4,
+        "decontaminate_bloom_prefilter": 2,  # tot + cand branches
         "text_repetition_quality": 1,
-        # scoring branch + persisted vocab-counts subtree, whose plan
-        # text prints at both InMemoryTableScan sites (one real eval)
-        "text_unigram_logprob_score": 3,
+        "text_unigram_logprob_score": 1,    # scoring branch
         "text_hapax_spectrum": 1,
         "text_term_frequency": 1,
         "text_lang_id": 1,           # was 35x before staging
@@ -159,12 +157,22 @@ def test_no_reinlined_tokenizer_in_explode_plans(spark, sf_dir):
         # re-derive pass + rewrite pass, one tokenize per scan branch
         "dedup_span_removal": 3,
     }
+
+    def live_evals(df, fp: str) -> int:
+        def walk(node) -> int:
+            n = node.simpleString(1000).count(fp)
+            ch = node.children()
+            for i in range(ch.size()):
+                n += walk(ch.apply(i))
+            return n
+
+        return walk(df._jdf.queryExecution().sparkPlan())
+
     for name, max_evals in per_query_scans.items():
         df = QUERIES[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        n = plan.count("split(trim(lower(")
+        n = live_evals(df, "split(trim(lower(")
         assert n <= max_evals, (
-            f"{name}: tokenizer evaluated {n}x in the optimized plan "
+            f"{name}: tokenizer evaluated {n}x in live plan nodes "
             f"(expected <= {max_evals}) — an inferred filter is "
             "re-inlining the expression"
         )
@@ -391,15 +399,23 @@ def test_prefix_filter_join_stays_defragilized(spark, sf_dir):
     full ranking lineage — measured 5.6-31 s per pass vs 3.2 s fixed),
     with the element df-ranking join inside the checkpointed subtree.
     A plan that re-grows the join count or reroots the consumers on the
-    raw lineage is the 52-s-under-load regression coming back."""
+    raw lineage is the 52-s-under-load regression coming back.
+
+    r13: the distinct-set relation is now a staged scoped_persist
+    (cache reused across bench passes by plan identity, like the
+    minhash/tf intermediates) instead of a per-pass localCheckpoint,
+    so the invariants are asserted on LIVE physical nodes — cached
+    internals excluded (an InMemoryTableScanExec has no children) —
+    rather than on plan text, which prints the cached subtree once per
+    consumer site."""
     df = QUERIES["dedup_prefix_filter_join"](spark, sf_dir)
-    logical = df._jdf.queryExecution().optimizedPlan().toString()
-    n_joins = logical.count("Join ")
+    names = _exec_node_names(df)
+    n_joins = sum(1 for n in names if "Join" in n)
     assert n_joins <= 3, f"{n_joins} live joins — restructure regressed"
-    # consumers must read the checkpointed blocks (LogicalRDD /
-    # ExistingRDD leaves), not re-derive the ranking from parquet
-    assert "LogicalRDD" in logical or "ExistingRDD" in logical, logical
-    assert "parquet" not in logical.lower(), (
+    # consumers must read the materialized distinct-set relation ...
+    assert any("InMemoryTableScan" in n for n in names), names
+    # ... and never re-derive the ranking from the raw parquet scan
+    assert not any("FileSourceScan" in n for n in names), (
         "a consumer branch re-rooted on the raw scan — the distinct-set"
         " relation is no longer materialized once"
     )
